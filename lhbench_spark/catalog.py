@@ -1,0 +1,61 @@
+"""Table registry over the driver-generated testdata parquet.
+
+The reference loads a fixed star schema and queries tables by name
+(reference: TPCDSDataLoad.scala:117-126, every query via ``spark.sql``).
+Here the fixed schema is the driver's TPC-H-ish set (TESTDATA.md); we
+expose both DataFrame handles and temp views so queries can be written in
+either the DataFrame API or SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets column pruning
+    and predicate pushdown for free; callers must not ``.cache()`` by
+    default (the reference never caches, Benchmark.scala:146-147).
+
+    `events.ts` is written as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read it as a long (legacy conf) and convert with
+    integer ns→µs division — matching DuckDB's truncation exactly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict (lazy scans; nothing is materialized)."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view, enabling the ``spark.sql`` path
+    (the reference's only query entry point, Benchmark.scala:146)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

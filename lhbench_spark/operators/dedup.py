@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (its tables are synthetic-unique), these are
+the dedup primitives an LLM-training-data pipeline needs, each built from
+Spark built-ins (no Python UDFs — every hash/shingle expression compiles
+into whole-stage codegen):
+
+- exact dedup          — hash-groupBy on normalized text
+- MinHash + LSH        — shingle → k-minhash signature → banded bucket
+                         join → candidate pairs → exact Jaccard verify
+- SimHash              — per-bit majority sign of token hashes → banded
+                         hamming candidates
+- n-gram Jaccard       — exact set similarity inside blocking buckets
+- embedding cosine     — near-dup pairs over an embedding column
+
+Scale design: every pairwise step is preceded by a blocking/banding stage
+so no O(n²) comparison ever materializes. The LSH band join shuffles on
+the band key (tunable bands×rows tradeoff in operators/hashing.py); skewed
+buckets (boilerplate text) are the known hazard — AQE skew-join handles
+moderate skew, and a bucket-size cap is applied before pairing so a
+degenerate bucket (e.g. empty-string docs) cannot produce a quadratic
+blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lhbench_spark.operators import hashing, textnorm
+
+# Buckets larger than this are dropped from pair generation (they indicate
+# degenerate/boilerplate content that needs a dedicated rule, not n² work).
+MAX_BUCKET = 1000
+
+
+def normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_norm", F.expr(textnorm.norm_spark(text_col)))
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: the minimum id wins (the
+    deterministic `keep-first` policy). Single hash-agg shuffle on the
+    normalized text — at 100 TB, group on md5(_norm) instead of the full
+    string to cut shuffle width; we group on the digest here for that
+    reason and keep a sample count per group."""
+    return (
+        normalized(df, text_col)
+        .withColumn("_fp", F.md5("_norm"))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    norm = textnorm.norm_spark(text_col)
+    return df.withColumn("_shingles", F.expr(textnorm.shingles_spark(norm, n)))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingles, sig: array<bigint>[k]) per document."""
+    return with_shingles(df, text_col).select(
+        F.col(id_col),
+        F.col("_shingles"),
+        F.expr(hashing.minhash_sig_spark("_shingles")).alias("_sig"),
+    )
+
+
+def _capped_buckets(banded: DataFrame, key: str) -> DataFrame:
+    w = Window.partitionBy(key)
+    return banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsz") <= MAX_BUCKET
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with exact-Jaccard verification.
+
+    Plan: signature (narrow) → explode band keys (×4) → self-join on band
+    key (shuffle) → distinct pairs → Jaccard on the carried shingle sets.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sigs = minhash_signatures(df, id_col, text_col)
+    banded = _capped_buckets(
+        sigs.select(
+            F.col(id_col).alias("_id"),
+            F.col("_shingles"),
+            F.explode(F.expr(hashing.band_keys_spark("_sig"))).alias("_bkey"),
+        ),
+        "_bkey",
+    )
+    left = banded.select(
+        F.col("_id").alias("doc_a"), F.col("_shingles").alias("_sa"), "_bkey"
+    )
+    right = banded.select(
+        F.col("_id").alias("doc_b"), F.col("_shingles").alias("_sb"), "_bkey"
+    )
+    pairs = (
+        left.join(right, "_bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
+    jac = inter / union
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash bigint) — 32-bit per-bit-majority fingerprint over the
+    distinct token set."""
+    tokens = f"array_distinct({textnorm.tokens_spark(text_col)})"
+    return df.select(
+        F.col(id_col), F.expr(hashing.simhash_spark(tokens)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Candidate pairs by 8-bit band collision, verified by hamming
+    distance on the 32-bit fingerprint."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    bands = fps.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        (F.shiftright("simhash", 8 * b) % 256).cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bkey"),
+    )
+    bands = _capped_buckets(bands, "_bkey")
+    left = bands.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_fa"), "_bkey")
+    right = bands.select(F.col("_id").alias("doc_b"), F.col("simhash").alias("_fb"), "_bkey")
+    pairs = (
+        left.join(right, "_bkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_fa", "_fb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb")))
+    return pairs.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard within blocking buckets. The blocking key is
+    the scale lever: pairs are only formed inside a bucket."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("_id"), *block_cols, "_shingles"
+    )
+    sh = _capped_buckets(sh, block_cols[0]) if len(block_cols) == 1 else sh
+    left = sh.select(
+        F.col("_id").alias("doc_a"), F.col("_shingles").alias("_sa"), *block_cols
+    )
+    right = sh.select(
+        F.col("_id").alias("doc_b"), F.col("_shingles").alias("_sb"), *block_cols
+    )
+    pairs = left.join(right, list(block_cols)).filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
+    jac = inter / union
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

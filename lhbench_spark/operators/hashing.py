@@ -1,0 +1,103 @@
+"""Cross-engine deterministic hashing.
+
+Both the Spark implementation and the DuckDB oracle must compute
+bit-identical hashes, so we avoid engine-native hash() (Spark = Murmur3,
+DuckDB = its own) and define H32(s) = first 8 hex digits of md5(s) as an
+unsigned 32-bit integer. Everything downstream (MinHash, SimHash) is pure
+int64 arithmetic on H32, identical in both engines.
+
+Generated expressions come in two dialects:
+- ``*_spark(expr)`` → Spark SQL string (used via F.expr, stays in
+  whole-stage codegen — no Python UDF in any hash path).
+- ``*_duck(expr)``  → DuckDB SQL string for the oracle.
+"""
+
+from __future__ import annotations
+
+# MinHash parameters: k hash functions h_j(x) = (A[j]*x + B[j]) mod P.
+# P is the smallest prime > 2^32; A values stay < 2^20 so A*H32 < 2^52
+# fits comfortably in signed int64 in both engines.
+MINHASH_K = 8
+MINHASH_P = 4_294_967_311
+# Fixed (seeded once, embedded as constants so both dialects agree).
+MINHASH_A = [672637, 413291, 886313, 204151, 997523, 541699, 318211, 760531]
+MINHASH_B = [98921, 771173, 334571, 556027, 122251, 904837, 481249, 668699]
+# LSH banding: k=8 signature → 4 bands × 2 rows.
+MINHASH_BANDS = 4
+MINHASH_ROWS_PER_BAND = 2
+
+SIMHASH_BITS = 32
+
+
+def h32_spark(expr: str) -> str:
+    """H32 in Spark SQL: conv() parses the hex prefix (returns string)."""
+    return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def h32_duck(expr: str) -> str:
+    """H32 in DuckDB: hex-literal string cast."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def minhash_sig_spark(shingles: str) -> str:
+    """array<bigint> MinHash signature over a Spark array column expr."""
+    mins = [
+        f"array_min(transform({shingles}, s -> "
+        f"({MINHASH_A[j]} * {h32_spark('s')} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(MINHASH_K)
+    ]
+    return "array(" + ", ".join(mins) + ")"
+
+
+def minhash_sig_duck(shingles: str) -> str:
+    mins = [
+        f"list_min(list_transform({shingles}, s -> "
+        f"({MINHASH_A[j]} * {h32_duck('s')} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(MINHASH_K)
+    ]
+    return "[" + ", ".join(mins) + "]"
+
+
+def _band_keys(sig: str, element_fn: str, cast_type: str, wrap: tuple[str, str]) -> str:
+    keys = []
+    for b in range(MINHASH_BANDS):
+        parts = []
+        for r in range(MINHASH_ROWS_PER_BAND):
+            idx = b * MINHASH_ROWS_PER_BAND + r + 1
+            parts.append(f"CAST({element_fn}({sig}, {idx}) AS {cast_type})")
+        joined = ", '_', ".join(parts)
+        keys.append(f"concat('{b}:', {joined})")
+    return wrap[0] + ", ".join(keys) + wrap[1]
+
+
+def band_keys_spark(sig: str) -> str:
+    """array<string> of LSH band keys (band index baked into the key)."""
+    return _band_keys(sig, "element_at", "STRING", ("array(", ")"))
+
+
+def band_keys_duck(sig: str) -> str:
+    return _band_keys(sig, "list_element", "VARCHAR", ("[", "]"))
+
+
+def simhash_spark(tokens: str) -> str:
+    """32-bit SimHash over a Spark array<string> column expr: per bit,
+    sum ±1 over token hashes; fingerprint assembles the sign bits."""
+    bits = []
+    for i in range(SIMHASH_BITS):
+        s = (
+            f"aggregate({tokens}, 0L, (acc, t) -> acc + "
+            f"(CASE WHEN (SHIFTRIGHT({h32_spark('t')}, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN {s} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def simhash_duck(tokens: str) -> str:
+    bits = []
+    for i in range(SIMHASH_BITS):
+        s = (
+            f"list_aggregate(list_transform({tokens}, t -> "
+            f"CASE WHEN (({h32_duck('t')} >> {i}) & 1) = 1 THEN 1 ELSE -1 END), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {s} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"

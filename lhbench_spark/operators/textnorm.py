@@ -1,0 +1,64 @@
+"""Text normalization / tokenization, dual-dialect.
+
+Shared by dedup and text-analysis operators. Normalization = lowercase,
+collapse whitespace, trim — the standard canonicalization step before
+exact/near dedup of web-scale corpora.
+"""
+
+from __future__ import annotations
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Minimal per-language stopword sets for the n-gram/langid heuristics.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+}
+
+
+def norm_spark(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\\\s+', ' '))"
+
+
+def norm_duck(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def tokens_spark(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}', 0)"
+
+
+def tokens_duck(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
+
+
+def shingles_spark(norm: str, n: int = 3) -> str:
+    """Distinct character n-gram set over a normalized string expr.
+    Guards the degenerate len<n case (whole string as single shingle)."""
+    return (
+        f"CASE WHEN length({norm}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length({norm}) - {n - 1}), "
+        f"i -> substring({norm}, i, {n}))) "
+        f"ELSE array({norm}) END"
+    )
+
+
+def shingles_duck(norm: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN length({norm}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, length({norm}) - {n - 2}), "
+        f"i -> substr({norm}, CAST(i AS INT), {n}))) "
+        f"ELSE [{norm}] END"
+    )
+
+
+def stopword_hits_spark(tokens: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({tokens}, t -> t IN ({words})))"
+
+
+def stopword_hits_duck(tokens: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens}, t -> t IN ({words})))"

@@ -1,0 +1,20 @@
+"""Query inventory. Importing this package registers every query module."""
+
+from lhbench_spark.queries.registry import QueryDef, all_queries, get_query
+
+# Import for side effect: each module registers its queries.
+from lhbench_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    windows,
+    setops,
+    scalars,
+    subqueries,
+    events,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+)
+
+__all__ = ["QueryDef", "all_queries", "get_query"]

@@ -1,0 +1,228 @@
+"""Aggregation operator family (SURVEY.md §2.4).
+
+Covers: hash GROUP BY, sum/avg/min/max/count, count(distinct), stddev_samp,
+conditional aggregation (pivot idiom, reference q2/q9/q88 shape), GROUP BY
+ROLLUP + grouping() (reference q5/q22/q67/q70 shape), HAVING (q6/q23 shape).
+
+All Spark plans here are single-shuffle hash aggregates with map-side
+partial aggregation (Catalyst does partial+final automatically); at 100 TB
+these scale linearly as long as group-key cardinality per partition fits
+memory — no collect, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+
+@query(
+    "agg_pricing_summary",
+    tags=("groupby", "filter", "flagship"),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_quantity")} AS sum_qty,
+       {dsum_sql("l_extendedprice")} AS sum_base_price,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {dsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {davg_sql("l_quantity")} AS avg_qty,
+       {davg_sql("l_extendedprice")} AS avg_price,
+       {davg_sql("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide scan → filter → hash agg. The reference's
+    most common query shape (~90 of 103 TPC-DS queries are grouped aggs,
+    SURVEY §2.4). Filter pushes to the parquet scan; agg is partial+final."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    tags=("groupby", "distinct"),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS uniq_custs,
+       COUNT(*) AS order_cnt
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """count(distinct) — reference q16/q28/q94/q95 shape. Catalyst plans
+    multi-distinct via Expand; distinct-on-key shuffles once on
+    (group, key) then re-aggregates — scales with distinct cardinality."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_custs"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    tags=("groupby", "stats"),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark, sf_dir):
+    """stddev_samp — reference q17/q29/q39 coefficient-of-variation shape.
+    Rounded to 4dp: stddev is the one aggregate where engines may differ in
+    accumulation algorithm (Welford vs. naive); group sizes here make the
+    relative error ≪ rounding granularity."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "agg_conditional_pivot",
+    tags=("groupby", "case"),
+    oracle=f"""
+SELECT l_returnflag,
+       {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_f,
+       {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_o,
+       COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS discounted_cnt,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_conditional_pivot(spark, sf_dir):
+    """Conditional aggregation (manual pivot) — reference q2/q9/q88 8x8
+    time-band shape. One pass, one shuffle, regardless of pivot width."""
+    li = table(spark, sf_dir, "lineitem")
+    qty_if = lambda status: dsum(  # noqa: E731
+        F.when(F.col("l_linestatus") == status, F.col("l_quantity")).otherwise(0.0)
+    )
+    return li.groupBy("l_returnflag").agg(
+        qty_if("F").alias("qty_f"),
+        qty_if("O").alias("qty_o"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_cnt"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "agg_rollup_grouping",
+    tags=("rollup", "join"),
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS cust_cnt,
+       {dsum_sql("c_acctbal")} AS total_bal,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+""",
+)
+def agg_rollup_grouping(spark, sf_dir):
+    """GROUP BY ROLLUP + grouping() — reference q5/q18/q22/q36/q67/q70/q86
+    shape (8-col rollup in q67). Spark plans rollup via Expand (one row per
+    grouping set) before the hash agg — a constant-factor expansion, still
+    one shuffle. Dimension joins broadcast (nation/region are tiny)."""
+    cust = table(spark, sf_dir, "customer")
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    joined = cust.join(nat, cust.c_nationkey == nat.n_nationkey).join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("cust_cnt"),
+        dsum("c_acctbal").alias("total_bal"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    )
+
+
+@query(
+    "agg_having",
+    tags=("groupby", "having"),
+    oracle=f"""
+SELECT l_suppkey,
+       COUNT(*) AS item_cnt,
+       {dsum_sql("l_quantity")} AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) >= 40
+""",
+)
+def agg_having(spark, sf_dir):
+    """HAVING — reference q6 (`having count(*) >= 10`) shape: post-agg
+    filter, planned as Filter above HashAggregate (no extra shuffle)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("item_cnt"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("item_cnt") >= 40)
+    )
+
+
+@query(
+    "agg_minmax_by_brand",
+    tags=("groupby",),
+    oracle="""
+SELECT p_brand,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       COUNT(DISTINCT p_type) AS type_cnt
+FROM part
+GROUP BY p_brand
+""",
+)
+def agg_minmax_by_brand(spark, sf_dir):
+    """min/max need no decimal detour (order-independent already)."""
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            F.countDistinct("p_type").alias("type_cnt"),
+        )
+    )

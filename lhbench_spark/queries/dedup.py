@@ -1,0 +1,174 @@
+"""Deduplication queries over `documents` (north-star extension surface).
+
+Each query wraps an operator from lhbench_spark.operators.dedup and pairs
+it with a DuckDB oracle generated from the SAME constants
+(operators/hashing.py, operators/textnorm.py) — one source of truth for
+hash parameters across both engines.
+
+The bucket-size cap in the Spark operators (MAX_BUCKET) is a scale guard
+that is inactive at oracle SF (500 docs), so the oracles do not model it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.operators import dedup, hashing, textnorm
+from lhbench_spark.queries.registry import query
+
+_NORM = textnorm.norm_duck("text")
+_SHINGLES = textnorm.shingles_duck("t")
+
+
+@query(
+    "dedup_exact",
+    tags=("dedup", "documents"),
+    oracle=f"""
+SELECT md5(t) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+FROM (SELECT doc_id, {_NORM} AS t FROM documents) n
+GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on normalized text. Grouping on the
+    md5 digest (not the raw string) keeps shuffle rows narrow at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keepers(docs).select(
+        F.col("_fp").alias("fp"), "keep_id", "dup_cnt"
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, {_NORM} AS t FROM documents
+), sh AS (
+    SELECT doc_id, {_SHINGLES} AS shingles FROM norm
+), sig AS (
+    SELECT doc_id, shingles, {hashing.minhash_sig_duck('shingles')} AS sig FROM sh
+), banded AS (
+    SELECT doc_id, unnest({hashing.band_keys_duck('sig')}) AS bkey FROM sig
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), verified AS (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM verified WHERE jac >= 0.3
+"""
+
+
+@query("dedup_minhash_lsh", tags=("dedup", "minhash", "documents"), oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=8) + LSH(4 bands × 2) near-dup pairs, exact-Jaccard
+    verified at 0.3. The band join is the only wide shuffle; candidate
+    volume is controlled by the band/row tradeoff, not corpus size²."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+_TOKENS_DISTINCT_DUCK = f"list_distinct({textnorm.tokens_duck('text')})"
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id, {hashing.simhash_duck(_TOKENS_DISTINCT_DUCK)} AS simhash
+FROM documents
+"""
+
+
+@query("dedup_simhash", tags=("dedup", "simhash", "documents"), oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (per-bit majority over distinct token
+    hashes). One narrow projection — no shuffle at all."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs)
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id, {hashing.simhash_duck(_TOKENS_DISTINCT_DUCK)} AS simhash
+    FROM documents
+), banded AS (
+    SELECT doc_id, simhash,
+           unnest([
+               concat('0:', CAST((simhash >> 0) % 256 AS VARCHAR)),
+               concat('1:', CAST((simhash >> 8) % 256 AS VARCHAR)),
+               concat('2:', CAST((simhash >> 16) % 256 AS VARCHAR)),
+               concat('3:', CAST((simhash >> 24) % 256 AS VARCHAR))
+           ]) AS bkey
+    FROM fp
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS fa, b.simhash AS fb
+    FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    tags=("dedup", "simhash", "documents"),
+    oracle=_SIMHASH_PAIRS_ORACLE,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 8-bit band collision → hamming ≤ 6 verify.
+    Banding bounds the candidate set exactly like MinHash-LSH."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=6)
+
+
+_NGRAM_ORACLE = f"""
+WITH norm AS (
+    SELECT doc_id, lang, source, {_NORM} AS t FROM documents
+), sh AS (
+    SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM norm
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+FROM pairs WHERE jac >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", tags=("dedup", "jaccard", "documents"), oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard within (lang, source) blocking buckets —
+    the blocking key bounds pair counts; at scale swap in an LSH band key
+    when no natural blocking column exists."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.ev, b.ev) >= 0.95
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    tags=("dedup", "embedding"),
+    oracle=_EMB_NEAR_DUP_ORACLE,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.95) inside label blocks."""
+    from lhbench_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95)

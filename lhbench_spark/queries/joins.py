@@ -1,0 +1,248 @@
+"""Join operator family (SURVEY.md §2.3).
+
+Covers: inner equi-join (N-way), left/full outer, semi (EXISTS), anti
+(NOT EXISTS), theta residuals on equi-joins (interval predicates), and
+broadcast strategy for dimension tables.
+
+Scale notes: fact-fact joins (orders ⋈ lineitem) shuffle on the join key —
+both sides are naturally keyed on orderkey so AQE keeps partitions sized;
+all dimension joins are explicitly broadcast (region/nation/customer/
+supplier/part are orders-of-magnitude smaller than the fact tables at any
+SF, matching TPC-DS star-schema practice the reference relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+
+@query(
+    "join_shipping_priority",
+    tags=("join", "topk", "flagship"),
+    oracle=f"""
+SELECT l_orderkey,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def join_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape = reference q3's 3-way star join + group + top-k
+    (TPCDSBenchmarkQueries.scala:104-123). customer is broadcast; the
+    orders⋈lineitem shuffle is the only wide exchange. LIMIT is fully
+    tie-broken (revenue DESC, l_orderkey) for deterministic top-k."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "join_local_supplier_volume",
+    tags=("join", "groupby"),
+    oracle=f"""
+SELECT n_name,
+       {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def join_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join incl. a compound-key join
+    (l_suppkey AND c_nationkey = s_nationkey — reference catalog_page
+    compound join shape, TPCDSRefreshSchema.scala:784-785). supplier/
+    nation/region broadcast; one fact-fact shuffle."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    tags=("join", "outer"),
+    oracle=f"""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS order_cnt,
+       COALESCE({dsum_sql("o_totalprice")}, 0.0) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left_outer(spark, sf_dir):
+    """LEFT OUTER JOIN — reference q93/q72 + refresh-view 7-way left-outer
+    chains (TPCDSRefreshSchema.scala:604-610). COUNT(col) ignores the
+    nulls outer rows produce; COALESCE normalizes the null sum."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    tags=("join", "outer"),
+    oracle="""
+WITH negcust AS (
+    SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt
+    FROM customer WHERE c_acctbal < 0 GROUP BY c_nationkey
+), richsupp AS (
+    SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt
+    FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+)
+SELECT COALESCE(negcust.nk, richsupp.nk) AS nationkey,
+       COALESCE(cust_cnt, 0) AS cust_cnt,
+       COALESCE(supp_cnt, 0) AS supp_cnt
+FROM negcust FULL OUTER JOIN richsupp ON negcust.nk = richsupp.nk
+""",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER JOIN — reference q51/q97 shape (:4718): two aggregated
+    branches stitched with full-outer + COALESCE'd keys."""
+    negcust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+    richsupp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return negcust.join(
+        richsupp, negcust.cnk == richsupp.snk, "full_outer"
+    ).select(
+        F.coalesce("cnk", "snk").alias("nationkey"),
+        F.coalesce("cust_cnt", F.lit(0)).alias("cust_cnt"),
+        F.coalesce("supp_cnt", F.lit(0)).alias("supp_cnt"),
+    )
+
+
+@query(
+    "join_semi_exists",
+    tags=("join", "semi"),
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_semi_exists(spark, sf_dir):
+    """Semi-join via EXISTS — reference q10/q95. Catalyst rewrites EXISTS
+    to LeftSemi; we express it directly as a left_semi join (same plan,
+    no duplicate-elimination cost of a plain join+distinct)."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_not_exists",
+    tags=("join", "anti"),
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti_not_exists(spark, sf_dir):
+    """Anti-join via NOT EXISTS — reference q16/q94 shape → LeftAnti."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_theta_interval",
+    tags=("join", "theta"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS late_lines
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority
+""",
+)
+def join_theta_interval(spark, sf_dir):
+    """Equi-join with a theta (interval) residual — reference q72 shape
+    (`d3.d_date > d1.d_date + interval 5 days`, :3678). Catalyst keeps the
+    equi key for the shuffle and evaluates the residual post-match, so
+    this scales like a plain orderkey join."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_lines"))
+    )

@@ -1,0 +1,93 @@
+"""Set-operation family (SURVEY.md §2.7): UNION ALL, INTERSECT, EXCEPT.
+
+The reference uses UNION ALL heavily (q2/q5/q14/q23/q33/... channel
+unions), INTERSECT (q8/q14/q38 3-way) and EXCEPT (q87 double chain).
+Spark plans INTERSECT/EXCEPT as left-semi/left-anti + distinct — the
+same shuffle profile as the corresponding joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+
+@query(
+    "setop_union_all_channels",
+    tags=("setop", "union"),
+    oracle=f"""
+SELECT channel, o_orderstatus,
+       COUNT(*) AS cnt, {dsum_sql("o_totalprice")} AS total
+FROM (
+    SELECT 'high_value' AS channel, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 300000
+    UNION ALL
+    SELECT 'urgent' AS channel, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+) channels
+GROUP BY channel, o_orderstatus
+""",
+)
+def setop_union_all_channels(spark, sf_dir):
+    """UNION ALL of branded branches + reaggregation — reference q2/q77
+    5-branch channel-union shape. unionByName avoids positional bugs."""
+    orders = table(spark, sf_dir, "orders")
+    high = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("high_value").alias("channel"), "o_orderstatus", "o_totalprice"
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("channel"), "o_orderstatus", "o_totalprice"
+    )
+    return (
+        high.unionByName(urgent)
+        .groupBy("channel", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "setop_intersect",
+    tags=("setop", "intersect"),
+    oracle="""
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+""",
+)
+def setop_intersect(spark, sf_dir):
+    """INTERSECT — reference q8/q14/q38. Customers active in both 1996
+    and 1997. Set semantics (deduplicated) on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@query(
+    "setop_except",
+    tags=("setop", "except"),
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def setop_except(spark, sf_dir):
+    """EXCEPT — reference q87 double-EXCEPT chain. Customers with no
+    orders (the set-op twin of join_anti_not_exists)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    ordered = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.subtract(ordered)  # subtract == EXCEPT (distinct) semantics

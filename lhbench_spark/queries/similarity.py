@@ -1,0 +1,93 @@
+"""Similarity-search queries over `embeddings` (north-star extension).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+is the sub-linear scale path. Both oracles compute cosine in DuckDB over
+DOUBLE[] lists so the arithmetic matches Spark's double-precision
+zip_with/aggregate fold.
+"""
+
+from __future__ import annotations
+
+from lhbench_spark.catalog import table
+from lhbench_spark.operators import similarity
+from lhbench_spark.operators.similarity import LSH_PLANES, _rademacher
+from lhbench_spark.queries.registry import query
+
+_DIM = 64
+_TOPK = 5
+_NQUERIES = 3
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {_NQUERIES}
+), c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+    FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@query("sim_bruteforce_topk", tags=("similarity", "embedding"), oracle=_BRUTE_ORACLE)
+def sim_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k: broadcast the query set, score the corpus in
+    place (no corpus shuffle), window-rank per query. At 100 TB this is
+    one pass over the corpus per query batch — the exact-recall baseline
+    every ANN variant is measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    return similarity.brute_force_topk(emb, queries, k=_TOPK)
+
+
+def _bucket_duck(vec: str) -> str:
+    """DuckDB rendering of the random-hyperplane bucket — generated from
+    the same _rademacher constants as the Spark side."""
+    bits = []
+    for p in range(LSH_PLANES):
+        signs = _rademacher(p, _DIM)
+        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+_ANN_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev,
+           {_bucket_duck("embedding::DOUBLE[]")} AS bucket
+    FROM embeddings
+), q AS (
+    SELECT vec_id AS query_id, ev AS qv, bucket FROM v WHERE vec_id < {_NQUERIES}
+), scored AS (
+    SELECT query_id, v.vec_id AS neighbor_id,
+           list_cosine_similarity(qv, v.ev) AS cos
+    FROM q JOIN v ON q.bucket = v.bucket AND v.vec_id <> q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@query("sim_ann_lsh_topk", tags=("similarity", "embedding", "ann"), oracle=_ANN_ORACLE)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH buckets + exact re-rank inside
+    the bucket. Candidates ≈ corpus/2^planes per query — the sub-linear
+    path when the corpus no longer admits a full scan per query batch."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    return similarity.ann_topk(emb, queries, dim=_DIM, k=_TOPK)

@@ -1,0 +1,242 @@
+"""Window-function operator family (SURVEY.md §2.5).
+
+Covers: rank over partitions (q36/q44/q47/q67/q70 shape), ratio-to-report
+(q12/q20/q98), whole-partition avg (q47/q53/q63/q89), running totals and
+running max with ROWS frames (q51), lag/lead (the idiomatic form of the
+reference's rank+self-join emulation in q47/q57), row_number/dense_rank/
+ntile, and a window over an aggregated child (q51's sum(sum(..)) over).
+
+Scale notes: every window here partitions on a key whose cardinality grows
+with the data (custkey, brand, month), so partitions stay small and the
+sort inside each partition is bounded — no single-partition global window
+(`Window.orderBy` without partitionBy) appears in any hot path.
+Determinism: every ORDER BY inside a window is fully tie-broken.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+
+@query(
+    "win_rank_topn_per_group",
+    tags=("window", "rank"),
+    oracle="""
+SELECT p_brand, p_partkey, p_retailprice, rnk
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey) AS rnk
+    FROM part
+) ranked
+WHERE rnk <= 3
+""",
+)
+def win_rank_topn_per_group(spark, sf_dir):
+    """rank() over partition — the reference's most common window
+    (q36/q44/q67/q70/q86). Top-N per group via rank filter: one shuffle on
+    the partition key, sort within partition, no global sort."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        table(spark, sf_dir, "part")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+@query(
+    "win_ratio_to_report",
+    tags=("window", "agg-over-agg"),
+    oracle=f"""
+SELECT r_name, n_name, nation_rev,
+       nation_rev * 100 / CAST(SUM(CAST(nation_rev AS DECIMAL(18,8)))
+                              OVER (PARTITION BY r_name) AS DOUBLE) AS rev_pct
+FROM (
+    SELECT r_name, n_name,
+           {dsum_sql("l_extendedprice * (1 - l_discount)")} AS nation_rev
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+) per_nation
+""",
+)
+def win_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: window over an aggregated child — reference
+    q12/q20/q98 `sum(x)*100/sum(sum(x)) over (partition by ...)`.
+    The window input is already aggregated (25 rows/region-nation), so the
+    window stage is negligible at any scale. nation_rev is decimal-exact
+    → the double division is engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    per_nation = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("nation_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    region_rev = F.sum(F.col("nation_rev").cast("decimal(18,8)")).over(w).cast("double")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "nation_rev",
+        (F.col("nation_rev") * 100 / region_rev).alias("rev_pct"),
+    )
+
+
+@query(
+    "win_avg_deviation",
+    tags=("window",),
+    oracle=f"""
+SELECT p_brand, p_type, brand_type_rev, brand_avg
+FROM (
+    SELECT p_brand, p_type, brand_type_rev,
+           CAST(SUM(CAST(brand_type_rev AS DECIMAL(18,8)))
+                OVER (PARTITION BY p_brand) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+    FROM (
+        SELECT p_brand, p_type, {dsum_sql("l_extendedprice")} AS brand_type_rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_type
+    ) bt
+) t
+WHERE brand_type_rev > brand_avg * 1.1
+""",
+)
+def win_avg_deviation(spark, sf_dir):
+    """Unordered window avg (whole-partition frame) + deviation filter —
+    reference q53/q63/q89 shape. AVG over ≤6 rows per brand: the window
+    operates on aggregated data; engine-exact inputs keep the filter
+    boundary deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    part = F.broadcast(table(spark, sf_dir, "part"))
+    bt = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(dsum("l_extendedprice").alias("brand_type_rev"))
+    )
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("brand_type_rev").cast("decimal(18,8)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return bt.withColumn("brand_avg", brand_avg).filter(
+        F.col("brand_type_rev") > F.col("brand_avg") * 1.1
+    )
+
+
+@query(
+    "win_running_total",
+    tags=("window", "frame"),
+    oracle=f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend,
+       MAX(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS running_max
+FROM orders
+""",
+)
+def win_running_total(spark, sf_dir):
+    """Running SUM + running MAX with an explicit ROWS frame — reference
+    q51 (:2525-2552). Decimal accumulation keeps the running sum exact and
+    order-stable; the frame ordering is tie-broken by orderkey."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(w).cast("double").alias("running_spend"),
+        F.max("o_totalprice").over(w).alias("running_max"),
+    )
+
+
+@query(
+    "win_lag_lead_monthly",
+    tags=("window", "lag"),
+    oracle=f"""
+SELECT month, rev,
+       LAG(rev) OVER (ORDER BY month) AS prev_rev,
+       LEAD(rev) OVER (ORDER BY month) AS next_rev
+FROM (
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+           {dsum_sql("o_totalprice")} AS rev
+    FROM orders GROUP BY 1
+) monthly
+""",
+)
+def win_lag_lead_monthly(spark, sf_dir):
+    """lag/lead — the idiomatic PySpark form of the reference's
+    rank+self-join lag emulation (q47 :2250-2262, q57). The global window
+    is safe here because its input is one row per month (bounded);
+    at 100 TB the pre-aggregation has already collapsed the data."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+
+
+@query(
+    "win_numbering",
+    tags=("window", "rank"),
+    oracle="""
+SELECT o_orderpriority, o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+WHERE o_totalprice > 400000
+""",
+)
+def win_numbering(spark, sf_dir):
+    """row_number / dense_rank / ntile — not used by the reference's
+    queries (SURVEY §2.5 notes their absence) but part of the complete
+    window surface; included for coverage."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Mirrors the session configuration the reference applies before running
+workloads (reference: src/main/scala/benchmark/TPCDSBenchmark.scala:84-87
+sets crossJoin + broadcastTimeout; scripts/benchmarks.py:192-196 wires the
+format extension). We additionally enable AQE and skew-join handling:
+at 100 TB the runtime re-planning (dynamic coalescing, skew splitting,
+broadcast demotion/promotion) is what keeps the TPC-DS-shaped join trees
+healthy without per-query hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "lhbench_spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    In local mode ``shuffle_partitions`` defaults to the core count: for the
+    small-SF correctness data, 1 partition per core avoids task-launch
+    overhead dominating. On a real cluster this should be sized to
+    ~128 MB of shuffle data per partition; AQE's coalescing makes the
+    initial number a ceiling rather than an exact choice.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # deterministic time semantics vs. the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime coalescing + skew-join splitting; the reference
+        # relies on Catalyst for all join strategy choices (SURVEY §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reference parity (TPCDSBenchmark.scala:84-87)
+        .config("spark.sql.crossJoin.enabled", "true")
+        .config("spark.sql.broadcastTimeout", "7200")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # arrow for the few pandas-UDF paths (multimodal / embeddings)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

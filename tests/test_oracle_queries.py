@@ -1,0 +1,34 @@
+"""The local replica of the driver's correctness gate: every registered
+query with an oracle runs on both engines at sf0.001 (fast) and must match
+exactly. Queries without an oracle must at least execute and return a
+stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lhbench_spark.queries import all_queries
+from tests.compare import compare
+from tests.conftest import SMOKE_SF
+
+QUERIES = all_queries()
+WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_match(spark, oracle, name):
+    qd = QUERIES[name]
+    sdf = qd.spark_fn(spark, SMOKE_SF)
+    rel = oracle(SMOKE_SF).sql(qd.oracle)
+    ok, msg = compare(sdf, rel)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_executes(spark, name):
+    qd = QUERIES[name]
+    sdf = qd.spark_fn(spark, SMOKE_SF)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
