@@ -1,0 +1,82 @@
+"""Benchmark entry point — prints ONE JSON line with per-query medians.
+
+Runs the full registered query suite (the operator inventory of
+SURVEY.md §2 plus the LLM-pipeline extensions) at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Measurement semantics replicate the reference harness
+(reference: src/main/scala/benchmark/Benchmark.scala:129-165, 267-273;
+TPCDSBenchmark.scala:94-110): N iterations per query, wall clock around
+plan+execute+fetch, per-query UPPER median, headline metric = sum of the
+per-query medians (the ``tpcds-result-seconds`` analog).
+
+Output (last stdout line):
+  {"metric": "suite-median-sum", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from lhbench_spark.harness import BenchmarkReport, BenchmarkRunner
+    from lhbench_spark.harness.report import spark_env_info
+    from lhbench_spark.queries import all_queries
+    from lhbench_spark.session import get_spark
+
+    t_start = time.monotonic()
+    spark = get_spark("lhbench_spark_bench", cpus=cpus)
+    runner = BenchmarkRunner(spark, iterations=iterations)
+
+    suite = {
+        name: (lambda qd=qd: qd.spark_fn(spark, sf_dir))
+        for name, qd in sorted(all_queries().items())
+    }
+    medians = runner.run_suite(suite)
+    total = sum(medians.values())
+    wall = time.monotonic() - t_start
+
+    report = BenchmarkReport(
+        benchmark_id=f"lhbench_spark-sf{sf}",
+        specs={"sf_dir": sf_dir, "iterations": str(iterations), "cpus": str(cpus)},
+        env=spark_env_info(spark),
+        query_results=runner.results,
+    )
+    report.report_extra_metric("suite-median-sum-seconds", total)
+    report.to_json(os.path.join(os.path.dirname(__file__) or ".", "bench_report.json"))
+
+    errors = runner.errors()
+    if errors:
+        print(f"bench: {len(errors)} queries errored: {sorted(errors)}", file=sys.stderr)
+        for name, msg in errors.items():
+            print(f"  {name}: {msg}", file=sys.stderr)
+
+    line = {
+        "metric": "suite-median-sum",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in sorted(medians.items())},
+        "sf": sf,
+        "iterations": iterations,
+        "n_queries": len(suite),
+        "n_errored": len(errors),
+        "wall_clock_sec": round(wall, 1),
+    }
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,11 +35,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default (the reference never caches, Benchmark.scala:146-147).
 
     `events.ts` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; we read it as a long (legacy conf) and convert with
-    integer ns→µs division — matching DuckDB's truncation exactly."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader rejects; the session sets ``spark.sql.legacy.parquet.nanosAsLong``
+    once at build time (session.get_spark) so it reads as a long, and we
+    convert with integer ns→µs division — matching DuckDB's truncation
+    exactly. No per-call session-conf mutation here: reads must be pure."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
 

@@ -1,0 +1,127 @@
+"""Per-query timing runner.
+
+Replicates the reference's measurement semantics exactly
+(reference: src/main/scala/benchmark/Benchmark.scala:129-165):
+
+- one wall-clock window around ``build DataFrame + collect()`` — i.e.
+  timing INCLUDES Catalyst planning + execution + result fetch;
+- a Spark job group per (query, iteration) so work is attributable and
+  cancellable (Benchmark.scala:143);
+- errors are captured per query, never abort the suite
+  (Benchmark.scala:155-161, ``ignoreError=true`` default);
+- the per-query metric over N iterations is the UPPER median —
+  ``sorted.drop(floor(n/2)).head`` (Benchmark.scala:267-273) — replicated
+  bit-for-bit for metric parity with the published baseline.
+
+At 100 TB nothing here changes: the runner stays driver-side and O(1) in
+data size; all heavy lifting is inside the collected query itself.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+import traceback
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QueryResult:
+    """One (query, iteration) measurement.
+
+    Mirrors ``QueryResult(name, iteration, durationMs, errorMsg)``
+    (reference: Benchmark.scala:61-65)."""
+
+    name: str
+    iteration: int
+    duration_ms: float
+    error_msg: str | None = None
+    row_count: int | None = None
+
+
+def upper_median(values: list[float]) -> float:
+    """Upper median: sort, drop floor(n/2), take head.
+
+    Exact replica of Benchmark.scala:267-273 — for even n this picks the
+    upper of the two middle elements (NOT their mean)."""
+    if not values:
+        raise ValueError("upper_median of empty list")
+    s = sorted(values)
+    return s[math.floor(len(s) / 2)]
+
+
+@dataclass
+class BenchmarkRunner:
+    """Run a named set of DataFrame-producing callables with timing.
+
+    ``iterations`` defaults to 3 like the reference
+    (TPCDSBenchmarkConf default, TPCDSBenchmark.scala:37)."""
+
+    spark: SparkSession
+    iterations: int = 3
+    ignore_errors: bool = True
+    results: list[QueryResult] = field(default_factory=list)
+
+    def run_query(
+        self,
+        name: str,
+        make_df: Callable[[], DataFrame],
+        iteration: int = 1,
+    ) -> QueryResult:
+        """Time one query end-to-end (plan + execute + fetch)."""
+        sc = self.spark.sparkContext
+        sc.setJobGroup(f"{name}-i{iteration}", f"{name} iteration {iteration}")
+        t0 = time.monotonic_ns()
+        try:
+            rows = make_df().collect()
+            dur_ms = (time.monotonic_ns() - t0) / 1e6
+            res = QueryResult(name, iteration, dur_ms, None, len(rows))
+        except Exception as exc:  # noqa: BLE001 — per-query capture by design
+            dur_ms = (time.monotonic_ns() - t0) / 1e6
+            msg = "".join(
+                traceback.format_exception_only(type(exc), exc)
+            ).strip()
+            res = QueryResult(name, iteration, dur_ms, msg, None)
+            if not self.ignore_errors:
+                self.results.append(res)
+                raise
+        finally:
+            sc.setJobGroup("", "")
+        self.results.append(res)
+        return res
+
+    def run_suite(
+        self,
+        queries: Mapping[str, Callable[[], DataFrame]],
+    ) -> dict[str, float]:
+        """Run every query ``iterations`` times; return {name: upper-median
+        seconds} for queries that never errored.
+
+        Iteration-major order like the reference (TPCDSBenchmark.scala:94-98:
+        for iteration, for each query sorted by name) so warm-cache effects
+        spread evenly across queries rather than clustering per query."""
+        for it in range(1, self.iterations + 1):
+            for name in sorted(queries):
+                self.run_query(name, queries[name], it)
+        return self.medians()
+
+    def medians(self) -> dict[str, float]:
+        """Upper-median seconds per fully-successful query.
+
+        Matches the reference's metric gate: a query contributes only if
+        ALL its iterations succeeded (TPCDSBenchmark.scala:100-108)."""
+        by_name: dict[str, list[QueryResult]] = {}
+        for r in self.results:
+            by_name.setdefault(r.name, []).append(r)
+        out: dict[str, float] = {}
+        for name, rs in by_name.items():
+            if any(r.error_msg for r in rs):
+                continue
+            out[name] = upper_median([r.duration_ms for r in rs]) / 1000.0
+        return out
+
+    def errors(self) -> dict[str, str]:
+        return {r.name: r.error_msg for r in self.results if r.error_msg}

@@ -47,7 +47,9 @@ def events_tumbling_window(spark, sf_dir):
     oracle="""
 SELECT event_type,
        COUNT(*) AS cnt,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       -- DuckDB SUM(BIGINT) yields HUGEINT (INT128); cast back to BIGINT so
+       -- the oracle's k_sum type matches Spark's LongType exactly.
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events
 GROUP BY event_type

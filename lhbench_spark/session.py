@@ -39,6 +39,10 @@ def get_spark(
         .master(f"local[{cpus}]")
         # deterministic time semantics vs. the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read as long once-for-all (catalog.table converts
+        # ns→µs). Set here, not per-read: no session-conf mutation mid-query.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # AQE: runtime coalescing + skew-join splitting; the reference
         # relies on Catalyst for all join strategy choices (SURVEY §4).
         .config("spark.sql.adaptive.enabled", "true")

@@ -10,18 +10,21 @@ import pytest
 
 from lhbench_spark.queries import all_queries
 from tests.compare import compare
-from tests.conftest import SMOKE_SF
+from tests.conftest import ORACLE_SF, SMOKE_SF
 
 QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
 
+# Both SFs: sf0.001 catches logic bugs fast; sf0.01 is the driver's actual
+# gate SF (divergences like bucket-cap effects only appear at volume).
+@pytest.mark.parametrize("sf_dir", [SMOKE_SF, ORACLE_SF], ids=["sf0.001", "sf0.01"])
 @pytest.mark.parametrize("name", WITH_ORACLE)
-def test_oracle_match(spark, oracle, name):
+def test_oracle_match(spark, oracle, name, sf_dir):
     qd = QUERIES[name]
-    sdf = qd.spark_fn(spark, SMOKE_SF)
-    rel = oracle(SMOKE_SF).sql(qd.oracle)
+    sdf = qd.spark_fn(spark, sf_dir)
+    rel = oracle(sf_dir).sql(qd.oracle)
     ok, msg = compare(sdf, rel)
     assert ok, f"{name}: {msg}"
 
