@@ -76,6 +76,18 @@ def _capped_buckets(banded: DataFrame, key: str) -> DataFrame:
     )
 
 
+def bucket_stats(banded: DataFrame, key: str) -> DataFrame:
+    """Observability for the bucket cap: per-bucket sizes with a dropped
+    flag. Run alongside any *_pairs operator to see how many buckets (and
+    rows) the MAX_BUCKET guard excluded — the cap itself is silent in the
+    pair output (and mirrored in the oracles via QUALIFY)."""
+    return (
+        banded.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("dropped", F.col("bucket_size") > MAX_BUCKET)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,44 +97,73 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
     Plan: signature (narrow) → explode band keys (×4) → self-join on band
-    key (shuffle) → distinct pairs → Jaccard on the carried shingle sets.
+    key carrying ONLY (id, bkey) → distinct id pairs → join the shingle
+    sets back for the Jaccard verify. Shingle arrays are ~KB per doc; at
+    100 TB they must not ride the band-join shuffle (4 band copies per
+    doc) nor the pair dedupe — ids only, re-joined once per verified pair.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(df, id_col, text_col)
+    sh = with_shingles(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        "_shingles",
+        F.size("_shingles").alias("_sz"),
+    )
+    sigs = sh.select(
+        "_id", F.expr(hashing.minhash_sig_spark("_shingles")).alias("_sig")
+    )
     banded = _capped_buckets(
         sigs.select(
-            F.col(id_col).alias("_id"),
-            F.col("_shingles"),
+            "_id",
             F.explode(F.expr(hashing.band_keys_spark("_sig"))).alias("_bkey"),
         ),
         "_bkey",
     )
-    left = banded.select(
-        F.col("_id").alias("doc_a"), F.col("_shingles").alias("_sa"), "_bkey"
-    )
-    right = banded.select(
-        F.col("_id").alias("doc_b"), F.col("_shingles").alias("_sb"), "_bkey"
-    )
-    pairs = (
-        left.join(right, "_bkey")
+    cand = (
+        banded.select(F.col("_id").alias("doc_a"), "_bkey")
+        .join(banded.select(F.col("_id").alias("doc_b"), "_bkey"), "_bkey")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sa", "_sb")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    pairs = cand.join(
+        sh.select(
+            F.col("_id").alias("doc_a"),
+            F.col("_shingles").alias("_sa"),
+            F.col("_sz").alias("_za"),
+        ),
+        "doc_a",
+    ).join(
+        sh.select(
+            F.col("_id").alias("doc_b"),
+            F.col("_shingles").alias("_sb"),
+            F.col("_sz").alias("_zb"),
+        ),
+        "doc_b",
+    )
+    # |A∪B| = |A|+|B|-|A∩B| for sets: one array_intersect per pair (CSE'd
+    # within each operator) instead of materializing the concatenated
+    # distinct union array — the hot expression at verify volume.
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
-    jac = inter / union
+    jac = inter / (F.col("_za") + F.col("_zb") - inter)
     return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash bigint) — 32-bit per-bit-majority fingerprint over the
-    distinct token set."""
+    """(id, simhash bigint) — 60-bit per-bit-majority fingerprint over the
+    distinct token set. Token hashes are materialized ONCE in a separate
+    projection (CollapseProject keeps multi-referenced non-cheap
+    expressions un-inlined), so md5 runs once per token, not once per
+    fingerprint bit."""
     tokens = f"array_distinct({textnorm.tokens_spark(text_col)})"
-    return df.select(
-        F.col(id_col), F.expr(hashing.simhash_spark(tokens)).alias("simhash")
+    hashed = df.select(
+        F.col(id_col),
+        F.expr(hashing.token_hashes_spark(tokens)).alias("_h"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.expr(hashing.simhash_from_hashes_spark("_h")).alias("simhash"),
     )
 
 
@@ -132,23 +173,16 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Candidate pairs by 8-bit band collision, verified by hamming
-    distance on the 32-bit fingerprint."""
+    """Candidate pairs by 15-bit band collision over the 60-bit
+    fingerprint, verified by hamming distance. The 15-bit bands are the
+    scale lever: candidates require 15 consecutive identical bits, so the
+    survivor set stays near-linear on natural corpora (the old 8-bit bands
+    over 32 bits let ~36% of all pairs through)."""
     fps = simhash_fingerprints(df, id_col, text_col)
     bands = fps.select(
         F.col(id_col).alias("_id"),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        (F.shiftright("simhash", 8 * b) % 256).cast("string"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("_bkey"),
+        F.explode(F.expr(hashing.simhash_band_keys_spark("simhash"))).alias("_bkey"),
     )
     bands = _capped_buckets(bands, "_bkey")
     left = bands.select(F.col("_id").alias("doc_a"), F.col("simhash").alias("_fa"), "_bkey")
@@ -174,21 +208,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard within blocking buckets. The blocking key is
-    the scale lever: pairs are only formed inside a bucket."""
+    the scale lever: pairs are only formed inside a bucket, and the bucket
+    cap applies UNCONDITIONALLY on the composite key — a boilerplate-heavy
+    (lang, source) block cannot go quadratic."""
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("_id"), *block_cols, "_shingles"
     )
-    sh = _capped_buckets(sh, block_cols[0]) if len(block_cols) == 1 else sh
+    # Composite blocking key (unit separator keeps it collision-free for
+    # text block columns); the cap is never skipped.
+    sh = _capped_buckets(
+        sh.withColumn("_blk", F.concat_ws("\x1f", *block_cols)), "_blk"
+    )
+    sh = sh.withColumn("_sz", F.size("_shingles"))
     left = sh.select(
-        F.col("_id").alias("doc_a"), F.col("_shingles").alias("_sa"), *block_cols
+        F.col("_id").alias("doc_a"),
+        F.col("_shingles").alias("_sa"),
+        F.col("_sz").alias("_za"),
+        "_blk",
     )
     right = sh.select(
-        F.col("_id").alias("doc_b"), F.col("_shingles").alias("_sb"), *block_cols
+        F.col("_id").alias("doc_b"),
+        F.col("_shingles").alias("_sb"),
+        F.col("_sz").alias("_zb"),
+        "_blk",
     )
-    pairs = left.join(right, list(block_cols)).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = left.join(right, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = F.size(F.array_distinct(F.concat("_sa", "_sb")))
-    jac = inter / union
+    jac = inter / (F.col("_za") + F.col("_zb") - inter)
     return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )

@@ -26,7 +26,14 @@ MINHASH_B = [98921, 771173, 334571, 556027, 122251, 904837, 481249, 668699]
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 2
 
-SIMHASH_BITS = 32
+# SimHash: 60-bit fingerprint (fits signed int64 without touching the sign
+# bit), banded for candidate generation as 4 bands × 15 bits. Wide bands
+# prune aggressively: a pair collides only if 15 consecutive fingerprint
+# bits agree, so near-quadratic candidate sets (the 32-bit/8-bit-band
+# failure mode) cannot occur on natural corpora.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
 
 
 def h32_spark(expr: str) -> str:
@@ -79,25 +86,55 @@ def band_keys_duck(sig: str) -> str:
     return _band_keys(sig, "list_element", "VARCHAR", ("[", "]"))
 
 
-def simhash_spark(tokens: str) -> str:
-    """32-bit SimHash over a Spark array<string> column expr: per bit,
-    sum ±1 over token hashes; fingerprint assembles the sign bits."""
+def token_hashes_spark(tokens: str) -> str:
+    """array<bigint> of H32 per token. Materialize this ONCE as a column,
+    then feed :func:`simhash_from_hashes_spark` — md5 is the expensive part
+    and must not be recomputed per fingerprint bit (60×)."""
+    return f"transform({tokens}, t -> {h32_spark('t')})"
+
+
+def token_hashes_duck(tokens: str) -> str:
+    return f"list_transform({tokens}, t -> {h32_duck('t')})"
+
+
+def simhash_from_hashes_spark(hashes: str) -> str:
+    """SimHash fingerprint over a precomputed array<bigint> hash column:
+    per bit, majority sign of the hash bits; 60 cheap int-only folds."""
     bits = []
     for i in range(SIMHASH_BITS):
         s = (
-            f"aggregate({tokens}, 0L, (acc, t) -> acc + "
-            f"(CASE WHEN (SHIFTRIGHT({h32_spark('t')}, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+            f"aggregate({hashes}, 0L, (acc, h) -> acc + "
+            f"(CASE WHEN (SHIFTRIGHT(h, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
         )
         bits.append(f"(CASE WHEN {s} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
-def simhash_duck(tokens: str) -> str:
+def simhash_from_hashes_duck(hashes: str) -> str:
     bits = []
     for i in range(SIMHASH_BITS):
         s = (
-            f"list_aggregate(list_transform({tokens}, t -> "
-            f"CASE WHEN (({h32_duck('t')} >> {i}) & 1) = 1 THEN 1 ELSE -1 END), 'sum')"
+            f"list_aggregate(list_transform({hashes}, h -> "
+            f"CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END), 'sum')"
         )
         bits.append(f"(CASE WHEN {s} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def simhash_band_keys_spark(fp: str) -> str:
+    """array<string> of 15-bit band keys over a 60-bit fingerprint column."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = [
+        f"concat('{b}:', CAST(SHIFTRIGHT({fp}, {b * SIMHASH_BAND_BITS}) & {mask} AS STRING))"
+        for b in range(SIMHASH_BANDS)
+    ]
+    return "array(" + ", ".join(keys) + ")"
+
+
+def simhash_band_keys_duck(fp: str) -> str:
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    keys = [
+        f"concat('{b}:', CAST(({fp} >> {b * SIMHASH_BAND_BITS}) & {mask} AS VARCHAR))"
+        for b in range(SIMHASH_BANDS)
+    ]
+    return "[" + ", ".join(keys) + "]"

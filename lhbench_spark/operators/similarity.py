@@ -21,10 +21,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Fixed random hyperplanes for the LSH tier (seed baked in, dim 64,
-# 8 planes → 256 buckets). Values are ±1 (Rademacher) so the projection is
-# a signed sum — cheap and dialect-portable.
+# Default hyperplane count for the ANN tier (2^planes buckets). This is a
+# DEFAULT, not a constant: size it to the corpus so per-bucket candidate
+# counts stay bounded — planes ≈ log2(corpus_rows / target_bucket_rows).
+# At 1e9 rows and ~10k-row buckets that's ~17 planes; callers pass it in.
+# Values are ±1 (Rademacher) so the projection is a signed sum — cheap and
+# dialect-portable.
 LSH_PLANES = 8
+# Banded near-dup blocking (OR-construction): NEARDUP_BANDS independent
+# bucket tables of NEARDUP_BAND_PLANES hyperplanes each. A single wide
+# bucket key has poor recall for cosine≈0.95 pairs (P[all signs agree]
+# decays geometrically); 4 bands × 8 planes gives ~0.9 recall at 0.95
+# while keeping buckets 2^8 per band.
+NEARDUP_BANDS = 4
+NEARDUP_BAND_PLANES = 8
 _LCG_SEED = 1103515245
 
 
@@ -102,12 +112,13 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col: str, dim: int) -> Column:
-    """Random-hyperplane signature (int in [0, 2^LSH_PLANES)) used as the
-    ANN blocking key."""
+def lsh_bucket(vec_col: str, dim: int, planes: int = LSH_PLANES, plane_offset: int = 0) -> Column:
+    """Random-hyperplane signature (int in [0, 2^planes)) used as the
+    ANN blocking key. ``plane_offset`` selects an independent plane set
+    (used by the banded near-dup blocking)."""
     bits = []
-    for p in range(LSH_PLANES):
-        signs = _rademacher(p, dim)
+    for p in range(planes):
+        signs = _rademacher(plane_offset + p, dim)
         arr = "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in signs) + ")"
         proj = (
             f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
@@ -124,19 +135,22 @@ def ann_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the query's
-    LSH bucket. Recall is tunable via LSH_PLANES (fewer planes → bigger
-    buckets → higher recall and cost)."""
+    LSH bucket. ``planes`` is the scale knob — per-query candidate count
+    ≈ corpus / 2^planes, so grow planes with the corpus
+    (planes ≈ log2(corpus / target_bucket)); fewer planes → bigger
+    buckets → higher recall and cost."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("_qv"),
-        lsh_bucket(vec_col, dim).alias("_bucket"),
+        lsh_bucket(vec_col, dim, planes).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("_cv"),
-        lsh_bucket(vec_col, dim).alias("_bucket"),
+        lsh_bucket(vec_col, dim, planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "_bucket")
@@ -153,23 +167,79 @@ def ann_topk(
     )
 
 
+def lsh_bucket_duck(vec: str, dim: int, planes: int = LSH_PLANES, plane_offset: int = 0) -> str:
+    """DuckDB rendering of :func:`lsh_bucket` — generated from the same
+    Rademacher constants so both engines bucket identically."""
+    bits = []
+    for p in range(planes):
+        signs = _rademacher(plane_offset + p, dim)
+        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]::DOUBLE[]"
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def neardup_band_keys_duck(vec: str, dim: int) -> str:
+    """DuckDB rendering of :func:`neardup_band_keys`."""
+    keys = []
+    for b in range(NEARDUP_BANDS):
+        bucket = lsh_bucket_duck(
+            vec, dim, NEARDUP_BAND_PLANES, plane_offset=b * NEARDUP_BAND_PLANES
+        )
+        keys.append(f"concat('{b}:', CAST({bucket} AS VARCHAR))")
+    return "[" + ", ".join(keys) + "]"
+
+
+def neardup_band_keys(vec_col: str, dim: int) -> Column:
+    """array<string> of banded hyperplane bucket keys (OR-construction):
+    one independent ``NEARDUP_BAND_PLANES``-plane bucket per band, band
+    index baked into the key. The embedding twin of MinHash-LSH banding."""
+    keys = []
+    for b in range(NEARDUP_BANDS):
+        bucket = lsh_bucket(
+            vec_col, dim, NEARDUP_BAND_PLANES, plane_offset=b * NEARDUP_BAND_PLANES
+        )
+        keys.append(F.concat(F.lit(f"{b}:"), bucket.cast("string")))
+    return F.array(*keys)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
-    block_col: str = "label",
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold) inside blocking
-    buckets — the embedding analog of n-gram Jaccard dedup."""
+    """Near-duplicate vector pairs (cosine ≥ threshold) via banded
+    random-hyperplane LSH blocking — the embedding analog of MinHash-LSH
+    dedup. Pairs form only inside a band bucket (candidates stay
+    near-linear as the corpus grows, unlike fixed-cardinality label
+    blocks), then exact cosine verifies. Oversized buckets (degenerate
+    direction clusters) are dropped by the cap, mirrored in the oracle."""
     v = df.select(
-        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), as_double(vec_col).alias("_v")
+        F.col(id_col).alias("_id"),
+        as_double(vec_col).alias("_v"),
     )
-    left = v.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), "_blk")
-    right = v.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), "_blk")
+    banded = v.select(
+        "_id", F.explode(neardup_band_keys("_v", dim)).alias("_bkey")
+    )
+    w = Window.partitionBy("_bkey")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    cand = (
+        banded.select(F.col("_id").alias("vec_a"), "_bkey")
+        .join(banded.select(F.col("_id").alias("vec_b"), "_bkey"), "_bkey")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    pairs = cand.join(
+        v.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va")), "vec_a"
+    ).join(v.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb")), "vec_b")
     cos = cosine("_va", "_vb")
-    return (
-        left.join(right, "_blk")
-        .filter((F.col("vec_a") < F.col("vec_b")) & (cos >= threshold))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    return pairs.filter(cos >= threshold).select(
+        "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
     )

@@ -11,6 +11,7 @@ from lhbench_spark.queries import (  # noqa: F401
     scalars,
     subqueries,
     events,
+    dml,
     dedup,
     similarity,
     text,

@@ -5,8 +5,9 @@ it with a DuckDB oracle generated from the SAME constants
 (operators/hashing.py, operators/textnorm.py) — one source of truth for
 hash parameters across both engines.
 
-The bucket-size cap in the Spark operators (MAX_BUCKET) is a scale guard
-that is inactive at oracle SF (500 docs), so the oracles do not model it.
+The bucket-size cap in the Spark operators (MAX_BUCKET) is modeled in
+every pairing oracle via QUALIFY, so Spark and oracle stay equivalent at
+ANY scale factor — including ones where degenerate buckets get dropped.
 """
 
 from __future__ import annotations
@@ -46,15 +47,20 @@ WITH norm AS (
     SELECT doc_id, {_SHINGLES} AS shingles FROM norm
 ), sig AS (
     SELECT doc_id, shingles, {hashing.minhash_sig_duck('shingles')} AS sig FROM sh
-), banded AS (
+), banded_raw AS (
     SELECT doc_id, unnest({hashing.band_keys_duck('sig')}) AS bkey FROM sig
+), banded AS (
+    SELECT * FROM banded_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {dedup.MAX_BUCKET}
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ), verified AS (
+    -- |A∪B| = |A|+|B|-|A∩B| (sets), matching the Spark side exactly
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jac
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jac
     FROM cand
     JOIN sh sa ON sa.doc_id = doc_a
     JOIN sh sb ON sb.doc_id = doc_b
@@ -76,32 +82,36 @@ def dedup_minhash_lsh(spark, sf_dir):
 _TOKENS_DISTINCT_DUCK = f"list_distinct({textnorm.tokens_duck('text')})"
 
 _SIMHASH_ORACLE = f"""
-SELECT doc_id, {hashing.simhash_duck(_TOKENS_DISTINCT_DUCK)} AS simhash
-FROM documents
+WITH h AS (
+    SELECT doc_id, {hashing.token_hashes_duck(_TOKENS_DISTINCT_DUCK)} AS hs
+    FROM documents
+)
+SELECT doc_id, {hashing.simhash_from_hashes_duck('hs')} AS simhash
+FROM h
 """
 
 
 @query("dedup_simhash", tags=("dedup", "simhash", "documents"), oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash fingerprints (per-bit majority over distinct token
-    hashes). One narrow projection — no shuffle at all."""
+    """60-bit SimHash fingerprints (per-bit majority over distinct token
+    hashes, hashed once per token). One narrow projection — no shuffle."""
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_fingerprints(docs)
 
 
 _SIMHASH_PAIRS_ORACLE = f"""
-WITH fp AS (
-    SELECT doc_id, {hashing.simhash_duck(_TOKENS_DISTINCT_DUCK)} AS simhash
+WITH h AS (
+    SELECT doc_id, {hashing.token_hashes_duck(_TOKENS_DISTINCT_DUCK)} AS hs
     FROM documents
-), banded AS (
+), fp AS (
+    SELECT doc_id, {hashing.simhash_from_hashes_duck('hs')} AS simhash FROM h
+), banded_raw AS (
     SELECT doc_id, simhash,
-           unnest([
-               concat('0:', CAST((simhash >> 0) % 256 AS VARCHAR)),
-               concat('1:', CAST((simhash >> 8) % 256 AS VARCHAR)),
-               concat('2:', CAST((simhash >> 16) % 256 AS VARCHAR)),
-               concat('3:', CAST((simhash >> 24) % 256 AS VARCHAR))
-           ]) AS bkey
+           unnest({hashing.simhash_band_keys_duck('simhash')}) AS bkey
     FROM fp
+), banded AS (
+    SELECT * FROM banded_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {dedup.MAX_BUCKET}
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS fa, b.simhash AS fb
@@ -118,8 +128,9 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6
     oracle=_SIMHASH_PAIRS_ORACLE,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 8-bit band collision → hamming ≤ 6 verify.
-    Banding bounds the candidate set exactly like MinHash-LSH."""
+    """SimHash near-dup pairs: 15-bit band collision over the 60-bit
+    fingerprint → hamming ≤ 6 verify. Banding bounds the candidate set
+    exactly like MinHash-LSH."""
     docs = table(spark, sf_dir, "documents")
     return dedup.simhash_near_pairs(docs, max_hamming=6)
 
@@ -127,12 +138,16 @@ def dedup_simhash_pairs(spark, sf_dir):
 _NGRAM_ORACLE = f"""
 WITH norm AS (
     SELECT doc_id, lang, source, {_NORM} AS t FROM documents
-), sh AS (
+), sh_raw AS (
     SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM norm
+), sh AS (
+    SELECT * FROM sh_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
 ), pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jac
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 )
@@ -150,25 +165,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
 
 
-_EMB_NEAR_DUP_ORACLE = """
+def _emb_near_dup_oracle() -> str:
+    from lhbench_spark.operators import similarity as sim
+
+    return f"""
 WITH v AS (
-    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), banded_raw AS (
+    SELECT vec_id, unnest({sim.neardup_band_keys_duck('ev', 64)}) AS bkey FROM v
+), banded AS (
+    SELECT * FROM banded_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= 1000
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.ev, b.ev), 6) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.ev, b.ev) >= 0.95
+SELECT vec_a, vec_b,
+       ROUND(list_cosine_similarity(va.ev, vb.ev), 6) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = vec_a
+JOIN v vb ON vb.vec_id = vec_b
+WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.95
 """
 
 
 @query(
     "dedup_embedding_cosine",
     tags=("dedup", "embedding"),
-    oracle=_EMB_NEAR_DUP_ORACLE,
+    oracle=_emb_near_dup_oracle(),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.95) inside label blocks."""
+    """Embedding near-dup pairs (cosine ≥ 0.95) via banded
+    random-hyperplane LSH blocking — candidates stay near-linear in corpus
+    size (label blocks grow O(corpus) and went quadratic)."""
     from lhbench_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.95)
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.95)

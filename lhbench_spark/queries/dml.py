@@ -1,0 +1,194 @@
+"""DDL/DML/maintenance queries over the parquet-native managed table —
+the reference's lakehouse surface (SURVEY.md §2.9) as oracle-checked
+CORRECTNESS entries.
+
+Each query materializes a managed table in a fresh temp directory, runs
+the DML (MERGE / OPTIMIZE), and returns a deterministic projection of the
+result or of the table metadata. The oracles recompute the same state
+relationally in DuckDB (a MERGE-equivalent CTE; metadata counts derived
+from the same source predicates), so manifest bookkeeping is value-checked,
+not just row-counted.
+
+References: MERGE IncrementalTPCDSBenchmark.scala:276-281,
+MergeMicroBenchmark.scala:204-213; CTAS + count validation
+TPCDSDataLoad.scala:91-129; OPTIMIZE IncrementalTPCDSBenchmark.scala:186-204;
+DESCRIBE HISTORY/DETAIL MergeMicroBenchmark.scala:269-280.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+from lhbench_spark.tables import ManagedTable
+
+
+def _tmp() -> str:
+    # The returned DataFrame is collected by the caller AFTER this query
+    # function returns, so the table directory must outlive the call —
+    # never auto-deleted (OS tmp cleanup reclaims it).
+    return tempfile.mkdtemp(prefix="lhbench_dml_") + "/t"
+
+
+# Shared target/source definitions (Spark + DuckDB must agree exactly):
+# target = orders with o_orderkey % 4 != 0
+# source = orders with o_orderkey % 3 == 0, price doubled, status 'M'
+_TARGET_PRED = "o_orderkey % 4 <> 0"
+_SOURCE_PRED = "o_orderkey % 3 = 0"
+
+
+def _target(spark, sf_dir):
+    return table(spark, sf_dir, "orders").filter(F.expr(_TARGET_PRED))
+
+
+def _source(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.expr(_SOURCE_PRED))
+    return o.withColumn("o_totalprice", F.col("o_totalprice") * 2).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+
+
+_MERGE_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@query("merge_upsert", tags=("dml", "merge", "managed-table"), oracle=_MERGE_ORACLE)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)
+    on the parquet-native managed table, verified by aggregating the
+    merged table state against a relational upsert CTE. File-level
+    copy-on-write: only files containing matched keys are rewritten."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+_HISTORY_ORACLE = f"""
+WITH target AS (
+    SELECT o_orderkey FROM orders WHERE {_TARGET_PRED}
+), s1 AS (
+    SELECT o_orderkey FROM orders WHERE {_SOURCE_PRED}
+), s2 AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+), v1 AS (
+    SELECT o_orderkey FROM target UNION SELECT o_orderkey FROM s1
+)
+SELECT 2 AS version, 'MERGE' AS operation,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM v1
+                              UNION SELECT o_orderkey FROM s2)) AS num_rows,
+       (SELECT COUNT(*) FROM s2 WHERE o_orderkey IN (SELECT o_orderkey FROM v1))
+           AS matched_updated,
+       (SELECT COUNT(*) FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1))
+           AS inserted
+UNION ALL
+SELECT 1, 'MERGE',
+       (SELECT COUNT(*) FROM v1),
+       (SELECT COUNT(*) FROM s1 WHERE o_orderkey IN (SELECT o_orderkey FROM target)),
+       (SELECT COUNT(*) FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target))
+UNION ALL
+SELECT 0, 'CREATE', (SELECT COUNT(*) FROM target), 0, 0
+"""
+
+
+@query(
+    "table_history_merges",
+    tags=("dml", "history", "managed-table"),
+    oracle=_HISTORY_ORACLE,
+)
+def table_history_merges(spark, sf_dir):
+    """DESCRIBE HISTORY after CREATE + two MERGEs: version, operation, and
+    per-version row/matched/inserted counts, all derived from the manifest
+    chain and cross-checked against relational set algebra."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    s2 = table(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 5 = 0"))
+    t.merge(s2, on=["o_orderkey"])
+    return t.history().select(
+        "version", "operation", "num_rows", "matched_updated", "inserted"
+    )
+
+
+_DETAIL_ORACLE = f"""
+SELECT 1 AS version, 'OPTIMIZE' AS operation, 1 AS num_files,
+       (SELECT COUNT(*) FROM orders WHERE {_TARGET_PRED}) AS num_rows
+"""
+
+
+@query(
+    "table_optimize_detail",
+    tags=("dml", "optimize", "managed-table"),
+    oracle=_DETAIL_ORACLE,
+)
+def table_optimize_detail(spark, sf_dir):
+    """OPTIMIZE (small-file compaction) + DESCRIBE DETAIL: 16 small files
+    bin-packed into 1; row count unchanged (compaction moves bytes, never
+    rows). num_files is deterministic because targeting is row-based."""
+    t = ManagedTable.create(spark, _tmp(), _target(spark, sf_dir), num_files=16)
+    t.optimize(target_file_rows=10_000_000)
+    m = t.current
+    return spark.createDataFrame(
+        [(m.version, m.operation, len(m.files), m.num_rows)],
+        "version INT, operation STRING, num_files INT, num_rows BIGINT",
+    )
+
+
+_CTAS_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       {dsum_sql("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@query("ctas_readback", tags=("ddl", "ctas", "managed-table"), oracle=_CTAS_ORACLE)
+def ctas_readback(spark, sf_dir):
+    """CTAS (clustered, sorted, fixed file count) + row-count load
+    validation + read-back aggregation — the TPCDSDataLoad.scala:91-129
+    loop in miniature. The oracle aggregates the source directly, so any
+    write→read fidelity loss (rows, values, types) fails the gate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    t = ManagedTable.create(
+        spark, _tmp(), li, cluster_by=("l_returnflag",), num_files=4
+    )
+    return (
+        t.read()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from lhbench_spark.catalog import table
 from lhbench_spark.operators import similarity
-from lhbench_spark.operators.similarity import LSH_PLANES, _rademacher
+from lhbench_spark.operators.similarity import LSH_PLANES, lsh_bucket_duck
 from lhbench_spark.queries.registry import query
 
 _DIM = 64
@@ -48,23 +48,10 @@ def sim_bruteforce_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=_TOPK)
 
 
-def _bucket_duck(vec: str) -> str:
-    """DuckDB rendering of the random-hyperplane bucket — generated from
-    the same _rademacher constants as the Spark side."""
-    bits = []
-    for p in range(LSH_PLANES):
-        signs = _rademacher(p, _DIM)
-        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]::DOUBLE[]"
-        bits.append(
-            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 THEN {1 << p} ELSE 0 END)"
-        )
-    return "(" + " + ".join(bits) + ")"
-
-
 _ANN_ORACLE = f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev,
-           {_bucket_duck("embedding::DOUBLE[]")} AS bucket
+           {lsh_bucket_duck("embedding::DOUBLE[]", _DIM, LSH_PLANES)} AS bucket
     FROM embeddings
 ), q AS (
     SELECT vec_id AS query_id, ev AS qv, bucket FROM v WHERE vec_id < {_NQUERIES}

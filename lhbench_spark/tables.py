@@ -1,0 +1,466 @@
+"""Parquet-native managed table with versioned JSON manifests.
+
+This environment ships no delta-spark, so the lakehouse DML surface the
+reference exercises — MERGE INTO, OPTIMIZE (compaction), DESCRIBE
+HISTORY / DETAIL, CTAS with row-count validation — is provided here over
+plain parquet + manifest files (reference:
+IncrementalTPCDSBenchmark.scala:186-283 merge+compact+history,
+MergeMicroBenchmark.scala:204-280 merge micro + DESCRIBE DETAIL,
+TPCDSDataLoad.scala:91-129 CTAS + count validation).
+
+Layout (Iceberg-style, not Hive-style):
+
+    <root>/_manifests/v00000.json, v00001.json, …
+    <root>/data/v00000/part-*.parquet, data/v00001/…
+
+- The manifest IS the file listing. Readers never list directories —
+  planning is O(manifest), not O(S3 LIST). Data files are immutable;
+  a version references any subset of files from any earlier write.
+- Files carry ALL columns (no Hive key=value path encoding), so a
+  version's files can be handed to ``spark.read.parquet(*files)``
+  directly. Clustering (``cluster_by``) hash-repartitions + sorts on the
+  cluster keys before write, and the manifest records per-file min/max
+  stats on those keys — file skipping happens manifest-side
+  (``read(prune=…)``), the moral equivalent of Delta data skipping.
+- MERGE is file-level copy-on-write: only files that contain a matched
+  key are rewritten; untouched files carry over by reference. The
+  only driver-side collect is the matched FILE list (metadata-sized,
+  same as Delta's own implementation).
+- Local-FS enumeration (os.scandir) happens only in the writer, for the
+  files it just wrote; an object-store deployment swaps _list_parquet /
+  _file_entry for the Hadoop FileSystem API without touching table logic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_ROWS = 1_000_000
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    # per-file min/max of the cluster columns (stringified), for skipping
+    stats: dict[str, list] = field(default_factory=dict)
+
+
+@dataclass
+class Manifest:
+    version: int
+    operation: str
+    timestamp_ms: int
+    files: list[FileEntry]
+    cluster_by: list[str] = field(default_factory=list)
+    metrics: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def num_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+    @property
+    def num_bytes(self) -> int:
+        return sum(f.bytes for f in self.files)
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, "_manifests", f"v{version:05d}.json")
+
+
+def _write_manifest(root: str, m: Manifest) -> None:
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    with open(_manifest_path(root, m.version), "w") as f:
+        json.dump(asdict(m), f, indent=1)
+
+
+def _load_manifests(root: str) -> list[Manifest]:
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            raw = json.load(f)
+        raw["files"] = [FileEntry(**fe) for fe in raw["files"]]
+        out.append(Manifest(**raw))
+    return out
+
+
+def _file_entry(root: str, abs_path: str, stat_cols: list[str]) -> FileEntry:
+    meta = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list] = {}
+    if stat_cols:
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for col in stat_cols:
+            if col not in idx:
+                continue
+            lo, hi = None, None
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None or s.min < lo else lo
+                hi = s.max if hi is None or s.max > hi else hi
+            if lo is not None:
+                stats[col] = [lo, hi]
+    return FileEntry(
+        path=os.path.relpath(abs_path, root),
+        rows=meta.num_rows,
+        bytes=os.path.getsize(abs_path),
+        stats=stats,
+    )
+
+
+def _list_parquet(d: str) -> list[str]:
+    return sorted(
+        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
+    )
+
+
+class ManagedTable:
+    """A versioned parquet table: CTAS / MERGE / OPTIMIZE / HISTORY /
+    DETAIL / time travel."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifests = _load_manifests(root)
+        if not self.manifests:
+            raise FileNotFoundError(f"not a managed table (no manifests): {root}")
+
+    # ---------- creation (CTAS analog, TPCDSDataLoad.scala:117-129) ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        cluster_by: tuple[str, ...] = (),
+        num_files: int | None = None,
+        mode: str = "error",
+        validate_count: bool = True,
+    ) -> "ManagedTable":
+        """CTAS: write ``df`` as version 0.
+
+        ``cluster_by`` hash-repartitions and sorts on the given keys so
+        per-file min/max ranges are tight (the sorted-write sink,
+        FileCountBenchmark.scala:230-237); ``num_files`` pins the exact
+        output file count (the repartition-to-N sink, :177).
+        ``validate_count`` re-counts the source and asserts it equals the
+        manifest total (TPCDSDataLoad.scala:124-128)."""
+        if os.path.exists(root):
+            if mode == "overwrite":
+                shutil.rmtree(root)
+            else:
+                raise FileExistsError(root)
+        data_dir = os.path.join(root, "data", "v00000")
+        shaped = _shape_for_write(df, cluster_by, num_files)
+        shaped.write.parquet(data_dir)
+        entries = [
+            _file_entry(root, p, list(cluster_by)) for p in _list_parquet(data_dir)
+        ]
+        manifest = Manifest(
+            version=0,
+            operation="CREATE",
+            timestamp_ms=int(time.time() * 1000),
+            files=entries,
+            cluster_by=list(cluster_by),
+            metrics={"num_output_rows": sum(e.rows for e in entries)},
+        )
+        _write_manifest(root, manifest)
+        table = cls(spark, root)
+        if validate_count:
+            src_rows = df.count()
+            if src_rows != manifest.num_rows:
+                raise AssertionError(
+                    f"load validation failed: source={src_rows} "
+                    f"target={manifest.num_rows} ({root})"
+                )
+        return table
+
+    # ---------- reads ----------
+
+    @property
+    def current(self) -> Manifest:
+        return self.manifests[-1]
+
+    def version_manifest(self, version: int) -> Manifest:
+        for m in self.manifests:
+            if m.version == version:
+                return m
+        raise KeyError(f"no version {version} in {self.root}")
+
+    def _abs(self, e: FileEntry) -> str:
+        return os.path.join(self.root, e.path)
+
+    def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame:
+        """Scan a table version. ``prune={col: value}`` drops files whose
+        manifest [min, max] range for ``col`` excludes ``value`` BEFORE the
+        scan — planning-side file skipping; Spark never opens the file."""
+        m = self.current if version is None else self.version_manifest(version)
+        files = m.files
+        if prune:
+            for col, value in prune.items():
+                files = [
+                    e
+                    for e in files
+                    if col not in e.stats or e.stats[col][0] <= value <= e.stats[col][1]
+                ]
+        if not files:
+            empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
+            return empty
+        return self.spark.read.parquet(*[self._abs(e) for e in files])
+
+    # ---------- MERGE INTO (IncrementalTPCDSBenchmark.scala:276-281) ----------
+
+    def merge(
+        self, source: DataFrame, on: list[str], validate_unique: bool = True
+    ) -> dict[str, int]:
+        """Upsert: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
+
+        File-level copy-on-write: only files containing a matched key are
+        rewritten; the rest carry over by reference. Like Delta, a source
+        with duplicate merge keys is an error (it would write duplicate
+        rows); ``validate_unique=False`` skips the check when the caller
+        already guarantees uniqueness (one small extra job)."""
+        m = self.current
+        target = self.read()
+        if validate_unique:
+            dups = (
+                source.groupBy(*on)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dups:
+                raise ValueError(
+                    f"merge source has duplicate keys on {on} "
+                    "(would produce duplicate rows; Delta raises here too)"
+                )
+        skeys = source.select(*on).dropDuplicates()
+
+        touched_rows = (
+            target.withColumn("_file", F.input_file_name())
+            .join(F.broadcast(skeys), on, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched = {_strip_uri(r["_file"]) for r in touched_rows}
+        untouched = [e for e in m.files if self._abs(e) not in touched]
+        rewritten = [e for e in m.files if self._abs(e) in touched]
+
+        if rewritten:
+            touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
+            kept = touched_df.join(skeys, on, "left_anti")
+            matched = sum(e.rows for e in rewritten) - _cheap_count(kept)
+            inserted = _cheap_count(source.join(touched_df.select(*on), on, "left_anti"))
+            new_data = kept.unionByName(source.select(*target.columns))
+        else:
+            matched = 0
+            inserted = _cheap_count(source)
+            new_data = source.select(*target.columns)
+
+        version = m.version + 1
+        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        n_files = max(1, math.ceil((_cheap_count(new_data)) / DEFAULT_TARGET_FILE_ROWS))
+        shaped = _shape_for_write(new_data, tuple(m.cluster_by), n_files)
+        shaped.write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+        ]
+        manifest = Manifest(
+            version=version,
+            operation="MERGE",
+            timestamp_ms=int(time.time() * 1000),
+            files=untouched + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "matched_updated": matched,
+                "inserted": inserted,
+                "files_rewritten": len(rewritten),
+                "files_added": len(new_entries),
+            },
+        )
+        _write_manifest(self.root, manifest)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
+    # ---------- OPTIMIZE (compaction, IncrementalTPCDSBenchmark.scala:186-204) ----------
+
+    def optimize(self, target_file_rows: int = DEFAULT_TARGET_FILE_ROWS) -> dict[str, int]:
+        """Bin-pack small files into ~``target_file_rows`` files. Row-based
+        (not byte-based) targeting keeps the resulting file count
+        deterministic for a given table state."""
+        m = self.current
+        small = [e for e in m.files if e.rows < target_file_rows]
+        big = [e for e in m.files if e.rows >= target_file_rows]
+        metrics = {"files_removed": 0, "files_added": 0}
+        if len(small) > 1:
+            df = self.spark.read.parquet(*[self._abs(e) for e in small])
+            n = max(1, math.ceil(sum(e.rows for e in small) / target_file_rows))
+            version = m.version + 1
+            data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+            _shape_for_write(df, tuple(m.cluster_by), n).write.parquet(data_dir)
+            new_entries = [
+                _file_entry(self.root, p, m.cluster_by)
+                for p in _list_parquet(data_dir)
+            ]
+            metrics = {"files_removed": len(small), "files_added": len(new_entries)}
+            manifest = Manifest(
+                version=version,
+                operation="OPTIMIZE",
+                timestamp_ms=int(time.time() * 1000),
+                files=big + new_entries,
+                cluster_by=m.cluster_by,
+                metrics=metrics,
+            )
+            _write_manifest(self.root, manifest)
+            self.manifests.append(manifest)
+        return metrics
+
+    # ---------- HISTORY / DETAIL ----------
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per version, newest first
+        (MergeMicroBenchmark.scala:277)."""
+        rows = [
+            (
+                m.version,
+                m.operation,
+                len(m.files),
+                m.num_rows,
+                int(m.metrics.get("matched_updated", 0)),
+                int(m.metrics.get("inserted", 0)),
+            )
+            for m in reversed(self.manifests)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version INT, operation STRING, num_files INT, num_rows BIGINT, "
+            "matched_updated BIGINT, inserted BIGINT",
+        )
+
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL analog (MergeMicroBenchmark.scala:269-271)."""
+        m = self.current
+        return self.spark.createDataFrame(
+            [(self.root, m.version, len(m.files), m.num_rows, m.num_bytes)],
+            "location STRING, version INT, num_files INT, num_rows BIGINT, "
+            "size_bytes BIGINT",
+        )
+
+
+def _strip_uri(p: str) -> str:
+    return p[7:] if p.startswith("file://") else p
+
+
+def _cheap_count(df: DataFrame) -> int:
+    return df.count()
+
+
+def _shape_for_write(
+    df: DataFrame, cluster_by: tuple[str, ...], num_files: int | None
+) -> DataFrame:
+    """Apply the write-shaping sinks: repartition-to-N and/or cluster+sort.
+
+    cluster_by → RANGE repartition on keys (sampled boundaries are
+    seeded-deterministic), sorted within each partition. Range, not hash:
+    each file then owns a disjoint key range, so (a) manifest min/max
+    stats are tight and non-overlapping (FileCountBenchmark.scala:230-237
+    builds its sorted table for exactly this reason) and (b) a merge whose
+    keys span a narrow range rewrites few files instead of all of them.
+    num_files alone → round-robin repartition(N)
+    (FileCountBenchmark.scala:177)."""
+    if cluster_by and num_files:
+        return df.repartitionByRange(num_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    if cluster_by:
+        return df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+    if num_files:
+        return df.repartition(num_files)
+    return df
+
+
+class LakeCatalog:
+    """Database/table namespace over a root directory — the §2.9 lifecycle
+    surface (CREATE/DROP DATABASE, SHOW TABLES/DATABASES, USE, DROP TABLE;
+    TPCDSDataLoad.scala:91-92,115,132-133)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._db: str | None = None
+        os.makedirs(root, exist_ok=True)
+
+    def create_database(self, name: str) -> None:
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+
+    def drop_database(self, name: str, cascade: bool = False) -> None:
+        d = os.path.join(self.root, name)
+        if not os.path.isdir(d):
+            return
+        if os.listdir(d) and not cascade:
+            raise ValueError(f"database {name} not empty (use cascade)")
+        shutil.rmtree(d)
+
+    def show_databases(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n))
+        )
+
+    def use(self, name: str) -> None:
+        if name not in self.show_databases():
+            raise KeyError(f"no database {name}")
+        self._db = name
+
+    def _table_root(self, name: str, db: str | None = None) -> str:
+        db = db or self._db
+        if db is None:
+            raise ValueError("no database selected (call use())")
+        return os.path.join(self.root, db, name)
+
+    def create_table(self, name: str, df: DataFrame, **kwargs) -> ManagedTable:
+        return ManagedTable.create(self.spark, self._table_root(name), df, **kwargs)
+
+    def table(self, name: str) -> ManagedTable:
+        return ManagedTable(self.spark, self._table_root(name))
+
+    def show_tables(self) -> list[str]:
+        db_dir = os.path.join(self.root, self._db) if self._db else None
+        if not db_dir or not os.path.isdir(db_dir):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(db_dir)
+            if os.path.isdir(os.path.join(db_dir, n, "_manifests"))
+        )
+
+    def drop_table(self, name: str, if_exists: bool = True) -> None:
+        d = self._table_root(name)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        elif not if_exists:
+            raise KeyError(f"no table {name}")
+
+    def register_view(self, name: str, view_name: str | None = None) -> None:
+        """Expose a managed table to the spark.sql path as a temp view."""
+        self.table(name).read().createOrReplaceTempView(view_name or name)

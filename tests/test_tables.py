@@ -1,0 +1,157 @@
+"""Workload-level tests for the parquet-native managed table — the
+reference-shaped e2e mechanics (SURVEY.md §5.3): load→count-assert,
+merge→expected matched/inserted counts, compaction→file-count decrease,
+history→version increments, time travel, manifest-side file skipping.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lhbench_spark.tables import LakeCatalog, ManagedTable
+
+
+@pytest.fixture()
+def tdir():
+    with tempfile.TemporaryDirectory(prefix="lhbench_tbl_") as d:
+        yield d
+
+
+def _base_df(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 7).alias("part"),
+        (F.col("id") * 2.5).alias("value"),
+        F.concat(F.lit("row-"), F.col("id")).alias("tag"),
+    )
+
+
+def test_create_validates_and_reads_back(spark, tdir):
+    df = _base_df(spark)
+    t = ManagedTable.create(spark, f"{tdir}/t1", df, num_files=4)
+    assert t.current.version == 0
+    assert t.current.operation == "CREATE"
+    assert len(t.current.files) == 4
+    got = t.read()
+    assert got.count() == 1000
+    assert sorted(got.columns) == sorted(df.columns)
+
+
+def test_create_rejects_existing(spark, tdir):
+    ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 10))
+    with pytest.raises(FileExistsError):
+        ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 10))
+    # overwrite mode replaces
+    t = ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 20), mode="overwrite")
+    assert t.read().count() == 20
+
+
+def test_merge_upsert_semantics(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 1000), num_files=4)
+    # source: update keys 0..499 (even half exists), insert 1000..1099
+    source = spark.range(0, 500).union(spark.range(1000, 1100)).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 7).alias("part"),
+        F.lit(-1.0).alias("value"),
+        F.lit("merged").alias("tag"),
+    )
+    metrics = t.merge(source, on=["key"])
+    assert metrics["matched_updated"] == 500
+    assert metrics["inserted"] == 100
+
+    got = t.read()
+    assert got.count() == 1100
+    assert got.filter(F.col("tag") == "merged").count() == 600
+    # untouched rows keep original values
+    keep = got.filter((F.col("key") >= 500) & (F.col("key") < 1000))
+    assert keep.filter(F.col("tag") == "merged").count() == 0
+    assert t.current.operation == "MERGE"
+    assert t.current.version == 1
+
+
+def test_merge_rewrites_only_touched_files(spark, tdir):
+    # cluster on key so each file holds a key range; a narrow update set
+    # must leave most files untouched (file-level CoW, not table rewrite)
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 1000), cluster_by=("key",), num_files=8
+    )
+    source = _base_df(spark, 1000).filter(F.col("key") < 5).withColumn(
+        "tag", F.lit("touched")
+    )
+    metrics = t.merge(source, on=["key"])
+    assert metrics["matched_updated"] == 5
+    assert metrics["files_rewritten"] < 8, "narrow merge rewrote every file"
+    assert t.read().filter(F.col("tag") == "touched").count() == 5
+
+
+def test_optimize_compacts_small_files(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 1000), num_files=16)
+    assert len(t.current.files) == 16
+    metrics = t.optimize(target_file_rows=1000)
+    assert metrics["files_removed"] == 16
+    assert metrics["files_added"] == 1
+    assert t.current.operation == "OPTIMIZE"
+    assert t.read().count() == 1000  # no data change
+
+
+def test_history_and_detail_and_time_travel(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 100), num_files=2)
+    src = _base_df(spark, 120).withColumn("tag", F.lit("v1"))
+    t.merge(src, on=["key"])
+    src2 = _base_df(spark, 130).withColumn("tag", F.lit("v2"))
+    t.merge(src2, on=["key"])
+
+    hist = t.history().collect()
+    assert [r["operation"] for r in hist] == ["MERGE", "MERGE", "CREATE"]
+    assert [r["version"] for r in hist] == [2, 1, 0]
+    assert hist[1]["matched_updated"] == 100
+    assert hist[1]["inserted"] == 20
+    assert hist[0]["matched_updated"] == 120
+    assert hist[0]["inserted"] == 10
+
+    d = t.detail().collect()[0]
+    assert d["num_rows"] == 130
+    assert d["num_files"] == len(t.current.files)
+
+    # time travel: version 0 still has the original 100 rows
+    assert t.read(version=0).count() == 100
+    assert t.read(version=1).count() == 120
+
+
+def test_manifest_file_skipping(spark, tdir):
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 1000), cluster_by=("key",), num_files=10
+    )
+    # every file has key stats; pruning to one key must scan fewer files
+    pruned = t.read(prune={"key": 7})
+    full = t.read()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    n_full = full.select(F.input_file_name()).distinct().count()
+    assert n_full == 10
+    assert n_pruned < n_full
+    assert pruned.filter(F.col("key") == 7).count() == 1
+
+
+def test_lake_catalog_lifecycle(spark, tdir):
+    cat = LakeCatalog(spark, f"{tdir}/warehouse")
+    cat.create_database("db1")
+    assert cat.show_databases() == ["db1"]
+    cat.use("db1")
+    cat.create_table("t1", _base_df(spark, 50), num_files=2)
+    assert cat.show_tables() == ["t1"]
+    assert cat.table("t1").read().count() == 50
+
+    cat.register_view("t1", "managed_t1")
+    assert spark.sql("SELECT COUNT(*) c FROM managed_t1").collect()[0]["c"] == 50
+
+    cat.drop_table("t1")
+    assert cat.show_tables() == []
+    cat.create_table("t2", _base_df(spark, 5))
+    with pytest.raises(ValueError):
+        cat.drop_database("db1")  # non-empty, no cascade
+    cat.drop_database("db1", cascade=True)
+    assert cat.show_databases() == []
