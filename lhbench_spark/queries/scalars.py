@@ -158,3 +158,39 @@ def sort_topk(spark, sf_dir):
         .limit(100)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@query(
+    "scalar_time_decode",
+    tags=("scalar", "time"),
+    oracle="""
+SELECT event_type,
+       CAST(SUM(
+           CAST(substr(strftime(ts, '%H:%M:%S'), 1, 2) AS INT) * 3600
+         + CAST(substr(strftime(ts, '%H:%M:%S'), 4, 2) AS INT) * 60
+         + CAST(substr(strftime(ts, '%H:%M:%S'), 7, 2) AS INT)
+       ) AS BIGINT) AS total_secs,
+       CAST(MAX(
+           CAST(substr(strftime(ts, '%H:%M:%S'), 1, 2) AS INT) * 3600
+         + CAST(substr(strftime(ts, '%H:%M:%S'), 4, 2) AS INT) * 60
+         + CAST(substr(strftime(ts, '%H:%M:%S'), 7, 2) AS INT)
+       ) AS BIGINT) AS max_secs
+FROM events
+GROUP BY event_type
+""",
+)
+def scalar_time_decode(spark, sf_dir):
+    """HH:MM:SS → seconds-since-midnight decode (the refresh schema's time
+    decode, reference TPCDSRefreshSchema.scala:641-643) — exercised by
+    round-tripping event timestamps through a formatted time string."""
+    ev = table(spark, sf_dir, "events")
+    t = F.date_format("ts", "HH:mm:ss")
+    secs = (
+        F.substring(t, 1, 2).cast("int") * 3600
+        + F.substring(t, 4, 2).cast("int") * 60
+        + F.substring(t, 7, 2).cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(secs).cast("bigint").alias("total_secs"),
+        F.max(secs).cast("bigint").alias("max_secs"),
+    )

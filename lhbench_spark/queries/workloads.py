@@ -1,0 +1,214 @@
+"""Oracle-checked query entries for the workload surface (SURVEY.md §2.1
+range source, §2.2 rand() sampling, §2.9 merge micro / file-count).
+
+The standalone workload runners (lhbench_spark.workloads.*) use true
+``rand()`` sampling and big configs; these registry entries run small
+DETERMINISTIC configurations of the same code paths so DuckDB can verify
+values (modulo-sampled update sets; range() is reproducible in both
+engines). ``sample_rand_filter`` exercises genuine rand()/randn() and is
+registered rows-only (nondeterministic by nature — exactly why the
+reference only uses it to pick update rows, MergeMicroBenchmark.scala:249).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+from lhbench_spark.tables import ManagedTable
+from lhbench_spark.workloads.merge_micro import gen_table
+
+_GEN_ROWS = 100_000
+
+# DuckDB twin of workloads.merge_micro.gen_table — same formulas over
+# range(); conv(key,10,16) in Spark yields uppercase hex, hence upper(to_hex).
+_GEN_DUCK = f"""
+SELECT r AS key, r * 7.1 + 13.4 AS value,
+       upper(to_hex(r)) AS skey, r % 1000 AS bucket
+FROM range({_GEN_ROWS}) t(r)
+"""
+
+
+@query(
+    "range_gen_table",
+    tags=("range-source", "datagen"),
+    oracle=f"""
+WITH g AS ({_GEN_DUCK})
+SELECT COUNT(*) AS cnt,
+       {dsum_sql("value")} AS value_sum,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       MAX(skey) AS max_skey
+FROM g
+""",
+)
+def range_gen_table(spark, sf_dir):
+    """Range-source data generation (spark.range with explicit splits,
+    MergeMicroBenchmark.scala:225-229) — aggregate fingerprint of the
+    generated table, value-checked against DuckDB's range()."""
+    g = gen_table(spark, _GEN_ROWS, 16)
+    return g.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value").alias("value_sum"),
+        F.countDistinct("bucket").cast("bigint").alias("n_buckets"),
+        F.max("skey").alias("max_skey"),
+    )
+
+
+_MERGE_MICRO_ORACLE = f"""
+WITH base AS ({_GEN_DUCK}),
+upd AS (
+    SELECT key, -value AS value, skey, bucket FROM base WHERE key % 97 = 0
+),
+ins AS (
+    SELECT r AS key, r * 7.1 + 13.4 AS value,
+           upper(to_hex(r)) AS skey, r % 1000 AS bucket
+    FROM range({_GEN_ROWS}, {_GEN_ROWS + 1000}) t(r)
+),
+merged AS (
+    SELECT * FROM upd
+    UNION ALL SELECT * FROM ins
+    UNION ALL SELECT * FROM base b
+    WHERE b.key % 97 <> 0
+)
+SELECT COUNT(*) AS cnt,
+       {dsum_sql("value")} AS value_sum,
+       (SELECT COUNT(*) FROM merged WHERE value < 0) AS updated_cnt
+FROM merged
+"""
+
+
+@query(
+    "merge_micro_counts",
+    tags=("dml", "merge", "range-source"),
+    oracle=_MERGE_MICRO_ORACLE,
+)
+def merge_micro_counts(spark, sf_dir):
+    """Merge-micro round with a deterministic (modulo) update sample:
+    range-generated table → MERGE of updates+inserts → table fingerprint.
+    Same code path as workloads.merge_micro, value-checked end to end."""
+    root = tempfile.mkdtemp(prefix="lhbench_mm_") + "/t"
+    base = gen_table(spark, _GEN_ROWS, 16)
+    t = ManagedTable.create(spark, root, base, cluster_by=("key",), num_files=8)
+    updates = t.read().filter(F.col("key") % 97 == 0).withColumn(
+        "value", -F.col("value")
+    )
+    inserts = gen_table(spark, _GEN_ROWS + 1000, 4).filter(F.col("key") >= _GEN_ROWS)
+    t.merge(updates.unionByName(inserts), on=["key"], validate_unique=False)
+    got = t.read()
+    return got.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value").alias("value_sum"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("updated_cnt"),
+    )
+
+
+_FC_ROWS = 50_000
+
+_FILE_COUNT_ORACLE = f"""
+WITH g AS (
+    SELECT r AS key, r % 1000 AS bucket FROM range({_FC_ROWS}) t(r)
+)
+SELECT (SELECT COUNT(*) FROM g) AS full_cnt,
+       (SELECT COUNT(*) FROM g WHERE key = 7) AS prune_cnt,
+       (SELECT COUNT(*) FROM g WHERE bucket = 3) AS value_cnt
+"""
+
+
+@query(
+    "file_count_answers",
+    tags=("metadata", "file-count", "managed-table"),
+    oracle=_FILE_COUNT_ORACLE,
+)
+def file_count_answers(spark, sf_dir):
+    """File-count workload read shapes (FileCountBenchmark.scala:244-249)
+    against a 64-file manifest table: full scan count, manifest-pruned
+    key lookup, value filter — completeness and pruning are value-checked."""
+    root = tempfile.mkdtemp(prefix="lhbench_fcq_") + "/t"
+    t = ManagedTable.create(
+        spark, root, gen_table(spark, _FC_ROWS, 16), cluster_by=("key",), num_files=64
+    )
+    full_cnt = t.read().agg(F.count(F.lit(1)).alias("c"))
+    prune_cnt = (
+        t.read(prune={"key": 7})
+        .filter(F.col("key") == 7)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    value_cnt = t.read().filter(F.col("bucket") == 3).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        full_cnt.select(F.col("c").alias("full_cnt"))
+        .crossJoin(prune_cnt.select(F.col("c").alias("prune_cnt")))
+        .crossJoin(value_cnt.select(F.col("c").alias("value_cnt")))
+    )
+
+
+@query("sample_rand_filter", tags=("rand", "sampling"))
+def sample_rand_filter(spark, sf_dir):
+    """Genuine rand()/randn() sampling filter (MergeMicroBenchmark.scala:249,
+    FileCountBenchmark.scala:216-228) — rows-only by nature: the sample is
+    engine-seeded. Returns one row of sample stats; the sanity bound on
+    the sampled fraction is asserted in unit tests."""
+    li = table(spark, sf_dir, "lineitem")
+    sample = li.filter(F.rand(42) < 0.01).withColumn("noise", F.randn(7))
+    return sample.agg(
+        F.count(F.lit(1)).alias("sampled_rows"),
+        F.avg("noise").alias("noise_mean"),
+    )
+
+
+_REFRESH_VIEW_ORACLE = """
+WITH li_delta AS (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           (l_extendedprice * 1.01) AS l_extendedprice, l_discount
+    FROM lineitem WHERE l_orderkey % 7 = 1
+), o_delta AS (
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 1
+), rv AS (
+    SELECT l.l_orderkey,
+           (l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           COALESCE(n.n_name, 'UNKNOWN') AS cust_nation
+    FROM li_delta l
+    LEFT JOIN o_delta o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT cust_nation, COUNT(*) AS cnt, {rev_sum} AS revenue_sum
+FROM rv GROUP BY cust_nation
+""".format(rev_sum=dsum_sql("revenue"))
+
+
+@query(
+    "csv_refresh_view",
+    tags=("csv", "refresh", "staging"),
+    oracle=_REFRESH_VIEW_ORACLE,
+)
+def csv_refresh_view(spark, sf_dir):
+    """CSV staging ingest with explicit StructType (pipe-delimited,
+    headerless — IncrementalTPCDSBenchmark.scala:430-440) feeding the
+    join-dense refresh view (TPCDSRefreshSchema.scala:579-613 shape).
+    The oracle recomputes from the parquet sources directly, so any CSV
+    round-trip fidelity loss (doubles, nulls, delimiters) fails the gate."""
+    import tempfile as _tf
+
+    from lhbench_spark.workloads import refresh as rw
+
+    work = _tf.mkdtemp(prefix="lhbench_csvrv_")
+    rw.write_staging_csv(rw.stage_lineitem_delta(spark, sf_dir, 1), f"{work}/li")
+    rw.write_staging_csv(rw.stage_orders_delta(spark, sf_dir, 1), f"{work}/o")
+    li_delta = rw.read_staging_csv(spark, f"{work}/li", rw.LINEITEM_STAGING_SCHEMA)
+    o_delta = rw.read_staging_csv(spark, f"{work}/o", rw.ORDERS_STAGING_SCHEMA)
+    rv = rw.refresh_view(
+        li_delta,
+        o_delta,
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "supplier"),
+    )
+    return rv.groupBy("cust_nation").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("revenue").alias("revenue_sum"),
+    )
