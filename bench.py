@@ -28,6 +28,11 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # Wall-clock budget: always finish iteration 1 (every query measured
+    # once), then run further iterations only while inside the budget —
+    # the driver gets a parseable line no matter how slow the slowest
+    # query iteration is.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -44,7 +49,19 @@ def main() -> int:
         name: (lambda qd=qd: qd.spark_fn(spark, sf_dir))
         for name, qd in sorted(all_queries().items())
     }
-    medians = runner.run_suite(suite)
+    iters_done = 0
+    for it in range(1, iterations + 1):
+        if it > 1 and time.monotonic() - t_start > budget_sec:
+            print(
+                f"bench: budget {budget_sec}s reached after iteration {it - 1}; "
+                f"stopping early",
+                file=sys.stderr,
+            )
+            break
+        for name in sorted(suite):
+            runner.run_query(name, suite[name], it)
+        iters_done = it
+    medians = runner.medians()
     total = sum(medians.values())
     wall = time.monotonic() - t_start
 
@@ -69,7 +86,7 @@ def main() -> int:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in sorted(medians.items())},
         "sf": sf,
-        "iterations": iterations,
+        "iterations": iters_done,
         "n_queries": len(suite),
         "n_errored": len(errors),
         "wall_clock_sec": round(wall, 1),

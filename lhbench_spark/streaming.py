@@ -1,0 +1,113 @@
+"""Structured Streaming twins of the batch event queries.
+
+The reference is batch-only (SURVEY.md §2.10) — this module adds the
+streaming surface a modern pipeline needs, built so every operator has a
+BATCH TWIN in ``lhbench_spark.queries.events`` whose results must match
+when the stream is drained with ``trigger(availableNow=True)``. That
+equivalence (stream == batch over the same input) is the correctness
+gate the unit tests enforce — stronger than a rows-only check, and the
+property Structured Streaming itself guarantees for these operators.
+
+Scale design:
+- state is bounded by watermarks: the tumbling-window agg keeps one row
+  of state per (window, event_type) within the watermark horizon;
+  session windows hold one state row per open session;
+- the file source processes files in bounded batches
+  (``maxFilesPerTrigger``) — at 100 TB this is the replay/backfill path,
+  while Kafka-style sources swap in without touching the query logic;
+- no Python UDF anywhere: window(), session_window(), and the aggregates
+  are all JVM-side (whole-stage codegen in each microbatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lhbench_spark.functions.numeric import dsum
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events table (schema declared from the
+    batch reader — streaming sources never infer). The nanos→micros ts
+    conversion matches lhbench_spark.catalog.table exactly."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The streaming file source monitors a DIRECTORY; events.parquet is a
+    # single file, so stream the parent dir with a glob filter.
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of queries.events.events_tumbling_window: 1-day
+    tumbling window + watermark. State = one row per (day, event_type)
+    inside the watermark horizon; late events beyond it are dropped —
+    the documented difference from the batch twin (batch sees everything)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of queries.events.events_sessionize via
+    session_window (gap-based merging). One state row per open session;
+    sessions close when the watermark passes their end.
+
+    Boundary semantics: session_window's windows are half-open, so an
+    event at EXACTLY start+gap begins a new session — identical to the
+    batch twin's strict ``ts - lag(ts) > gap`` test."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )
+
+
+def sessionize_per_user(sessions: DataFrame) -> DataFrame:
+    """Per-user rollup over the (drained) session_counts output, matching
+    the batch twin's schema (user_id, session_cnt, event_cnt). This is a
+    separate step because chaining a second streaming aggregation after
+    session_window is unsupported — production pipelines write the
+    session stream to a sink and roll it up downstream, which is exactly
+    what this models."""
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("session_cnt"),
+        F.sum("event_cnt").alias("event_cnt"),
+    )
+
+
+def drain_to_table(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+    """Run an availableNow drain of a streaming DataFrame into an
+    in-memory sink and return the result table — the test/backfill path
+    (process everything currently available, then stop)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.table(name)
