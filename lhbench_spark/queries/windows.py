@@ -154,23 +154,31 @@ SELECT o_custkey, o_orderkey, o_orderdate,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS running_max
 FROM orders
+WHERE o_custkey % 10 = 0
 """,
 )
 def win_running_total(spark, sf_dir):
     """Running SUM + running MAX with an explicit ROWS frame — reference
     q51 (:2525-2552). Decimal accumulation keeps the running sum exact and
-    order-stable; the frame ordering is tie-broken by orderkey."""
+    order-stable; the frame ordering is tie-broken by orderkey. Evaluated
+    over a deterministic 10% customer slice: per-row window output grows
+    with the table, and a benchmark query must stay bounded (LIMIT-100
+    discipline); the window mechanics are identical on the slice."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(w).cast("double").alias("running_spend"),
-        F.max("o_totalprice").over(w).alias("running_max"),
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast("decimal(18,8)")).over(w).cast("double").alias("running_spend"),
+            F.max("o_totalprice").over(w).alias("running_max"),
+        )
     )
 
 

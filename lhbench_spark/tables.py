@@ -237,7 +237,10 @@ class ManagedTable:
         rewritten; the rest carry over by reference. Like Delta, a source
         with duplicate merge keys is an error (it would write duplicate
         rows); ``validate_unique=False`` skips the check when the caller
-        already guarantees uniqueness (one small extra job)."""
+        already guarantees uniqueness (one small extra job). The
+        matched/inserted metrics are derived from parquet footer counts
+        (no extra counting jobs) and are exact when keys are unique on
+        both sides — the same precondition Delta's UPDATE SET * carries."""
         m = self.current
         target = self.read()
         if validate_unique:
@@ -265,26 +268,34 @@ class ManagedTable:
         touched = {_strip_uri(r["_file"]) for r in touched_rows}
         untouched = [e for e in m.files if self._abs(e) not in touched]
         rewritten = [e for e in m.files if self._abs(e) in touched]
+        rewritten_rows = sum(e.rows for e in rewritten)
 
+        # One counting job (the source); matched/inserted are derived from
+        # parquet footer row counts after the write:
+        #   new_rows = (rewritten_rows - matched) + source_rows
+        #   matched  = rewritten_rows + source_rows - new_rows
+        # (exact given unique keys on both sides — validated above).
+        source_rows = _cheap_count(source)
         if rewritten:
             touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
             kept = touched_df.join(skeys, on, "left_anti")
-            matched = sum(e.rows for e in rewritten) - _cheap_count(kept)
-            inserted = _cheap_count(source.join(touched_df.select(*on), on, "left_anti"))
             new_data = kept.unionByName(source.select(*target.columns))
         else:
-            matched = 0
-            inserted = _cheap_count(source)
             new_data = source.select(*target.columns)
 
         version = m.version + 1
         data_dir = os.path.join(self.root, "data", f"v{version:05d}")
-        n_files = max(1, math.ceil((_cheap_count(new_data)) / DEFAULT_TARGET_FILE_ROWS))
+        n_files = max(
+            1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
+        )
         shaped = _shape_for_write(new_data, tuple(m.cluster_by), n_files)
         shaped.write.parquet(data_dir)
         new_entries = [
             _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
         ]
+        new_rows = sum(e.rows for e in new_entries)
+        matched = rewritten_rows + source_rows - new_rows
+        inserted = source_rows - matched
         manifest = Manifest(
             version=version,
             operation="MERGE",
