@@ -245,3 +245,67 @@ def embedding_near_dup_pairs(
     return pairs.filter(cos >= threshold).select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    centroid_stride: int = 125,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells, probe the
+    query's nearest cells, exact-rerank inside them.
+
+    The coarse quantizer here is a deterministic stand-in for trained
+    k-means (centroids = every ``centroid_stride``-th corpus vector by
+    id), which keeps both engines bit-identical; a production build swaps
+    in trained centroids without changing the plan. Scale shape: cell
+    assignment is one broadcast-join pass over the corpus (centroid list
+    is tiny); at 100 TB the assignment is computed once at ingest and the
+    corpus is stored PARTITIONED BY cell, so a probe reads only
+    ``probes/num_cells`` of the data — this operator models the read
+    path: candidates = cells nearest the query, never the full corpus."""
+    from lhbench_spark.operators import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    )
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("_cid"), as_double(vec_col).alias("_ce")
+    )
+    l2 = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(_v, _ce, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+        )
+    )
+
+    def assign(df: DataFrame, id_out: str, vec_out: str, n_cells: int) -> DataFrame:
+        scored = df.withColumnRenamed(vec_out, "_v").crossJoin(F.broadcast(cents))
+        w = Window.partitionBy(id_out).orderBy(l2.asc(), F.asc("_cid"))
+        return (
+            scored.withColumn("_crnk", F.row_number().over(w))
+            .filter(F.col("_crnk") <= n_cells)
+            .select(id_out, F.col("_v").alias(vec_out), F.col("_cid").alias("_cell"))
+        )
+
+    corpus_cells = assign(c, "neighbor_id", "_cv", 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    query_probes = assign(q, "query_id", "_qv", probes)
+
+    cand = corpus_cells.join(F.broadcast(query_probes), "_cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
+    )

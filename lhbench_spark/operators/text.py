@@ -71,3 +71,48 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col),
         F.md5(F.expr(f"array_join({toks}, ' ')")).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF.
+
+    Plan: explode tokens → (doc, term, tf) hash agg (one shuffle) →
+    document frequency per term (agg over the tf table, broadcast back) →
+    idf = ln((N+1)/(df+1)) → window top-k per doc. The term dictionary is
+    orders of magnitude smaller than the corpus, so the df side always
+    broadcasts; corpus-side data shuffles exactly once. Ties broken by
+    term ASC (deterministic)."""
+    toks = textnorm.tokens_spark(text_col)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("term")
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rnk")
+    )

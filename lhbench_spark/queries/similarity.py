@@ -78,3 +78,44 @@ def sim_ann_lsh_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < _NQUERIES)
     return similarity.ann_topk(emb, queries, dim=_DIM, k=_TOPK)
+
+
+_IVF_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), cents AS (
+    SELECT vec_id AS cid, ev AS ce FROM v WHERE vec_id % 125 = 0
+), assign AS (
+    SELECT vec_id, ev, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_distance(ev, ce), cid) AS crnk
+    FROM v CROSS JOIN cents
+), cells AS (
+    SELECT vec_id, ev, cid AS cell FROM assign WHERE crnk = 1
+), probes AS (
+    SELECT vec_id AS query_id, ev AS qv, cid AS cell
+    FROM assign WHERE vec_id < {_NQUERIES} AND crnk <= 2
+), scored AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(qv, c.ev) AS cos
+    FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@query("sim_ivf_topk", tags=("similarity", "embedding", "ann", "ivf"), oracle=_IVF_ORACLE)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse cells + multi-probe + exact re-rank — the
+    trained-quantizer scale path next to the LSH tier (at 100 TB the
+    corpus is stored partitioned by cell, so a probe reads probes/cells
+    of the data)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    return similarity.ivf_topk(emb, queries, dim=_DIM, k=_TOPK, probes=2)

@@ -89,3 +89,42 @@ def text_fingerprint(spark, sf_dir):
     """Canonical token-stream fingerprint (md5 of the normalized token
     join) — layout-insensitive exact dedup key."""
     return text_ops.fingerprints(table(spark, sf_dir, "documents"))
+
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), docfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (docfreq.df + 1)), 6)
+               AS tfidf
+    FROM tf JOIN docfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, tf, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk
+FROM ranked WHERE rnk <= 3 AND doc_id % 5 = 0
+"""
+
+
+@query("text_tfidf_topterms", tags=("text", "tfidf", "documents"), oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF: one corpus shuffle for term
+    frequencies, document frequencies broadcast back (the term dictionary
+    is tiny relative to the corpus), window top-k per doc. Emitted for a
+    deterministic 20% doc slice to keep output bounded; scores are
+    computed over the FULL corpus."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(docs, k=3).filter(F.col("doc_id") % 5 == 0)
