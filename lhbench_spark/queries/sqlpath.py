@@ -51,3 +51,67 @@ def sql_temp_view_rollup(spark, sf_dir):
     """GROUP BY ROLLUP through the spark.sql path — same shared text."""
     register_views(spark, sf_dir)
     return spark.sql(_VIEW_ROLLUP_SQL)
+
+
+# Database lifecycle: the loader's catalog choreography
+# (TPCDSDataLoad.scala:91-133 — CREATE DATABASE … LOCATION, DROP TABLE IF
+# EXISTS, CTAS per table, USE db, row-count validation;
+# FileCountBenchmark.scala:127-136 — SHOW TABLES existence probe,
+# DROP DATABASE CASCADE). The oracle counts the sources directly, so
+# loaded_rows is value-checked: any write→read row loss flips `validated`
+# to 0 and fails the hash.
+_DB_ORACLE = """
+SELECT 'nation' AS tbl, (SELECT COUNT(*) FROM nation) AS loaded_rows, 1 AS validated
+UNION ALL
+SELECT 'orders', (SELECT COUNT(*) FROM orders), 1
+UNION ALL
+SELECT 'supplier', (SELECT COUNT(*) FROM supplier), 1
+"""
+
+
+@query("catalog_db_lifecycle", tags=("ddl", "catalog", "database"), oracle=_DB_ORACLE)
+def catalog_db_lifecycle(spark, sf_dir):
+    """CREATE DATABASE … LOCATION → per-table CTAS via saveAsTable (orders
+    partitioned, mirroring the partitioned loads) → DROP TABLE IF EXISTS +
+    re-create (the loader's idempotent path) → SHOW TABLES existence probe
+    → qualified-name `spark.table` read-back → source-vs-loaded row-count
+    validation. Catalog probes (SHOW TABLES) are driver-side metadata by
+    nature — O(tables), never O(rows)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.catalog import table
+
+    db = "lhb_cat"
+    loc = tempfile.mkdtemp(prefix="lhbench_db_")
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    for name, part in (("nation", None), ("supplier", None), ("orders", "o_orderpriority")):
+        w = table(spark, sf_dir, name).write.format("parquet").mode("overwrite")
+        if part:
+            w = w.partitionBy(part)
+        w.saveAsTable(f"{db}.{name}")
+    spark.sql(f"DROP TABLE IF EXISTS {db}.nation")
+    table(spark, sf_dir, "nation").write.format("parquet").saveAsTable(f"{db}.nation")
+
+    listed = sorted(r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect())
+    assert listed == ["nation", "orders", "supplier"], listed
+
+    frames = []
+    for name in listed:
+        loaded = spark.table(f"{db}.{name}").agg(
+            F.count(F.lit(1)).alias("loaded_rows")
+        )
+        src = table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("_src_rows"))
+        frames.append(
+            loaded.crossJoin(src).select(
+                F.lit(name).alias("tbl"),
+                "loaded_rows",
+                (F.col("loaded_rows") == F.col("_src_rows")).cast("int").alias("validated"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -12,6 +12,7 @@ healthy without per-query hand-tuning.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -55,6 +56,9 @@ def get_spark(
         # arrow for the few pandas-UDF paths (multimodal / embeddings)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # managed tables without an explicit LOCATION land here, not in
+        # a spark-warehouse/ dir polluting the caller's cwd
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="lhbench_wh_"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
