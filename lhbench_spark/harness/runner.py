@@ -74,6 +74,12 @@ class BenchmarkRunner:
         """Time one query end-to-end (plan + execute + fetch)."""
         sc = self.spark.sparkContext
         sc.setJobGroup(f"{name}-i{iteration}", f"{name} iteration {iteration}")
+        # Measurement isolation: operators that persist intermediates
+        # (dedup signature sets) must not carry cached state into the next
+        # query or iteration — every measurement is a clean cold run, and
+        # the session never accumulates leaked cache entries across a
+        # 60+-query suite.
+        self.spark.catalog.clearCache()
         t0 = time.monotonic_ns()
         try:
             rows = make_df().collect()

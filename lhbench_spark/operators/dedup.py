@@ -123,13 +123,20 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
     )
+    # The md5-per-shingle projection is the expensive leaf and is consumed
+    # by THREE downstream branches (banding, verify-join doc_a side,
+    # verify-join doc_b side) whose exchanges differ — without persistence
+    # Spark recomputes it per branch (measured 3-4× the pipeline cost at
+    # sf0.1). Persist the distinct hash sets once; the signature is
+    # min-per-hash-function, which is invariant under array_distinct, so
+    # it derives from the cached set. At cluster scale this persist is a
+    # written signature table, computed once per corpus ingest.
     sh = hashed.select(
         "_id",
         F.array_distinct("_hs").alias("_hset"),
-        F.size(F.array_distinct("_hs")).alias("_sz"),
-    )
-    sigs = hashed.select(
-        "_id", F.expr(hashing.minhash_sig_spark("_hs")).alias("_sig")
+    ).withColumn("_sz", F.size("_hset")).cache()
+    sigs = sh.select(
+        "_id", F.expr(hashing.minhash_sig_spark("_hset")).alias("_sig")
     )
     banded = _capped_buckets(
         sigs.select(
@@ -235,10 +242,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"), *block_cols, "_shingles"
     )
     # Composite blocking key (unit separator keeps it collision-free for
-    # text block columns); the cap is never skipped.
+    # text block columns); the cap is never skipped. Cached for the same
+    # reason as the MinHash hash sets: three consumers (candidate ids,
+    # both verify-join sides) would otherwise re-shingle the corpus each.
     sh = _capped_buckets(
         sh.withColumn("_blk", F.concat_ws("\x1f", *block_cols)), "_blk"
-    )
+    ).cache()
     # Candidates carry (id, block) only — the shingle arrays do not ride
     # the block self-join (same shuffle-width discipline as the MinHash
     # band join); each pair occurs in exactly one block, so no dedupe.

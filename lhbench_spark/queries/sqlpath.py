@@ -95,7 +95,13 @@ def catalog_db_lifecycle(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {db}.nation")
     table(spark, sf_dir, "nation").write.format("parquet").saveAsTable(f"{db}.nation")
 
-    listed = sorted(r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect())
+    # SHOW TABLES also lists session temp views (isTemporary) — the
+    # existence probe is about the database's tables only.
+    listed = sorted(
+        r.tableName
+        for r in spark.sql(f"SHOW TABLES IN {db}").collect()
+        if not r.isTemporary
+    )
     assert listed == ["nation", "orders", "supplier"], listed
 
     frames = []
