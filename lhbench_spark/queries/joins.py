@@ -246,3 +246,52 @@ def join_theta_interval(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("late_lines"))
     )
+
+
+@query(
+    "join_asof_last_event",
+    tags=("join", "asof", "extension"),
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts,
+           MAX_BY(event_id, event_id) AS last_event_id,
+           MAX_BY(event_type, event_id) AS last_event_type
+    FROM events GROUP BY user_id, ts
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       e.last_event_id, e.last_event_type, e.ts AS asof_ts
+FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+""",
+)
+def join_asof_last_event(spark, sf_dir):
+    """As-of join (point-in-time lookup): for each urgent order, the most
+    recent event by the same user at or before the order date. Spark has
+    no ASOF JOIN primitive — operators/asof.py implements it as
+    union + one keyed shuffle + running `last(ignorenulls)` window (never
+    the O(n*m) theta-join blowup); DuckDB's native ASOF LEFT JOIN is the
+    oracle. Build side is pre-aggregated to one row per (user, ts) so the
+    carried payload is tie-free in both engines."""
+    from lhbench_spark.operators.asof import asof_join_backward
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("last_event_id"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    return asof_join_backward(
+        orders,
+        ev,
+        on="o_custkey",
+        build_on="user_id",
+        probe_ts="o_orderdate",
+        build_ts="ts",
+        payload_cols=["last_event_id", "last_event_type"],
+    )

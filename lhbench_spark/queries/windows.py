@@ -248,3 +248,64 @@ def win_numbering(spark, sf_dir):
             F.ntile(4).over(w).alias("quartile"),
         )
     )
+
+
+@query(
+    "win_frames_ntile",
+    tags=("window", "ntile", "frames"),
+    oracle="""
+SELECT o_orderpriority, tile,
+       COUNT(*) AS cnt,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       MAX(drank) AS max_drank,
+       MIN(fkey) AS first_key,
+       MAX(cum_cnt) AS max_cumcnt
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           NTILE(4) OVER w_uniq AS tile,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice) AS drank,
+           FIRST_VALUE(o_orderkey) OVER w_uniq AS fkey,
+           COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_cnt
+    FROM orders
+    WINDOW w_uniq AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+) t
+GROUP BY o_orderpriority, tile
+""",
+)
+def win_frames_ntile(spark, sf_dir):
+    """The window variants SURVEY §2.5 lists as unused-but-available:
+    ntile, dense_rank, first_value, and a RANGE frame (peers-inclusive
+    running count). ntile/first_value use a fully tie-broken ordering
+    (price, orderkey) so both engines agree; dense_rank and the RANGE
+    frame order by price alone (both are tie-deterministic by
+    definition). Bounded output: aggregated to (priority, tile)."""
+    orders = table(spark, sf_dir, "orders")
+    w_uniq = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_price = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_range = w_price.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w_uniq).alias("tile"),
+            F.dense_rank().over(w_price).alias("drank"),
+            F.first("o_orderkey").over(w_uniq).alias("fkey"),
+            F.count(F.lit(1)).over(w_range).alias("cum_cnt"),
+        )
+        .groupBy("o_orderpriority", "tile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.max("drank").alias("max_drank"),
+            F.min("fkey").alias("first_key"),
+            F.max("cum_cnt").alias("max_cumcnt"),
+        )
+    )
