@@ -94,15 +94,73 @@ def sessionize_per_user(sessions: DataFrame) -> DataFrame:
     )
 
 
-def drain_to_table(stream_df: DataFrame, name: str, timeout_sec: int = 120) -> DataFrame:
+def user_activity_stateful(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for per-key state no built-in streaming aggregate can
+    express. Per user: event count, value sum, last-seen timestamp, and
+    an exponential moving average of ``value`` (order-dependent state —
+    EMA depends on the full event sequence, not any commutative
+    combination, so ``groupBy().agg()`` cannot compute it).
+
+    State per key is four scalars (bounded, O(|users|) total); each
+    microbatch is Arrow-batched into pandas, folded in event order
+    (ts, event_id), and emits one updated row per active user. Production
+    would add ``GroupStateTimeout.EventTimeTimeout`` to expire idle users;
+    kept NoTimeout here so the availableNow drain equals the batch twin
+    exactly (the equivalence the unit test enforces)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_cnt bigint, total_value double, "
+        "last_ts_us bigint, ema_value double"
+    )
+    state_schema = "event_cnt bigint, total_value double, last_ts_us bigint, ema double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        cnt, total, last_us, ema = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for v, ts in zip(batch["value"], batch["ts"]):
+            v = float(v)
+            cnt += 1
+            total += v
+            ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+            last_us = int(ts.value) // 1000  # pandas ns → micros
+        state.update((cnt, total, last_us, ema))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "event_cnt": cnt,
+                    "total_value": total,
+                    "last_ts_us": last_us,
+                    "ema_value": ema,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def drain_to_table(
+    stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> DataFrame:
     """Run an availableNow drain of a streaming DataFrame into an
     in-memory sink and return the result table — the test/backfill path
-    (process everything currently available, then stop)."""
+    (process everything currently available, then stop). Stateful
+    ``applyInPandasWithState`` streams drain with ``output_mode="update"``
+    (complete mode is undefined for arbitrary state)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

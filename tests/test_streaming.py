@@ -42,6 +42,54 @@ def test_sessionize_stream_equals_batch(spark):
     assert _canon_rows(got.select(*cols)) == _canon_rows(expected.select(*cols))
 
 
+def test_stateful_user_activity_equals_batch(spark):
+    """applyInPandasWithState custom stateful op ≡ a batch fold: per-user
+    count/sum/last-seen plus an order-dependent EMA. The batch twin folds
+    the (ts, event_id)-sorted event sequence with aggregate() — same IEEE
+    double ops in the same order, so values match to float tolerance."""
+    alpha = 0.3
+    stream = streaming.stream_events(spark, SMOKE_SF)
+    got = streaming.drain_to_table(
+        streaming.user_activity_stateful(stream, alpha=alpha),
+        "t_stateful",
+        output_mode="update",
+    )
+    batch = (
+        spark.read.parquet(f"{SMOKE_SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(F.col("value").cast("double")).alias("total_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("value").cast("double").alias("value"))
+                )
+            ).alias("_evs"),
+        )
+        .withColumn(
+            "ema_value",
+            F.expr(
+                f"aggregate(_evs, CAST(NULL AS DOUBLE), (acc, x) -> "
+                f"CASE WHEN acc IS NULL THEN x.value "
+                f"ELSE {alpha} * x.value + {1 - alpha} * acc END)"
+            ),
+        )
+        .drop("_evs")
+    )
+    cols = ["user_id", "event_cnt", "total_value", "last_ts_us", "ema_value"]
+    g = {r["user_id"]: r for r in got.select(*cols).collect()}
+    b = {r["user_id"]: r for r in batch.select(*cols).collect()}
+    assert set(g) == set(b) and len(g) > 0
+    for uid, row in b.items():
+        s = g[uid]
+        assert s["event_cnt"] == row["event_cnt"]
+        assert s["last_ts_us"] == row["last_ts_us"]
+        assert abs(s["total_value"] - row["total_value"]) < 1e-6
+        assert abs(s["ema_value"] - row["ema_value"]) < 1e-9
+
+
 def test_bounded_microbatches(spark):
     """maxFilesPerTrigger bounds each microbatch (the backfill/replay
     path); result is identical regardless of batch slicing."""
