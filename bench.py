@@ -45,6 +45,20 @@ def main() -> int:
     spark = get_spark("lhbench_spark_bench", cpus=cpus)
     runner = BenchmarkRunner(spark, iterations=iterations)
 
+    # Untimed warmup: JVM class-loading, whole-stage-codegen compiler, and
+    # parquet-source initialization happen once here instead of inside the
+    # first measured query (alphabetical order was billing ~6s of one-time
+    # session warmup to agg_conditional_pivot). The reference's semantics
+    # are warm: a long-lived cluster session + 3-iteration median that
+    # discards the cold run (Benchmark.scala:129-165, 267-273).
+    from lhbench_spark.catalog import table
+
+    spark.range(1_000_000).selectExpr("id % 97 AS k").groupBy("k").count().collect()
+    try:
+        table(spark, sf_dir, "nation").filter("n_nationkey >= 0").collect()
+    except Exception as exc:  # noqa: BLE001 — warmup must never kill the bench
+        print(f"bench: warmup read skipped: {exc}", file=sys.stderr)
+
     suite = {
         name: (lambda qd=qd: qd.spark_fn(spark, sf_dir))
         for name, qd in sorted(all_queries().items())
