@@ -53,6 +53,101 @@ def sql_temp_view_rollup(spark, sf_dir):
     return spark.sql(_VIEW_ROLLUP_SQL)
 
 
+# CUBE completes the grouping-set family (SURVEY §2.4 lists it as
+# available-but-unused in the reference: 0 hits in the 103 queries).
+# GROUPING() columns disambiguate "NULL because subtotal" from data NULLs,
+# exactly as the reference's rollup queries do (q27/q36/q70 idiom).
+_VIEW_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_prio,
+       GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("sql_temp_view_cube", tags=("sql-path", "temp-view", "cube"), oracle=_VIEW_CUBE_SQL)
+def sql_temp_view_cube(spark, sf_dir):
+    """GROUP BY CUBE + grouping() through the spark.sql path — same shared
+    text on both engines. Cube is an Expand (4 grouping sets) over one
+    hash-agg shuffle, not 4 scans."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VIEW_CUBE_SQL)
+
+
+_BUCKETED_ORACLE = """
+SELECT c_custkey, c_name,
+       COUNT(*) AS order_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey % 97 = 0
+GROUP BY c_custkey, c_name
+"""
+
+
+@query(
+    "bucketed_colocated_join",
+    tags=("ddl", "bucketing", "join", "physical"),
+    oracle=_BUCKETED_ORACLE,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed tables — the technique
+    that removes the fact-fact exchange at 100 TB: write both sides
+    ``bucketBy(N, join_key).sortBy(join_key)`` (one-time shuffle at write,
+    amortized over every later join), then join + group on the bucket key
+    with NO Exchange anywhere in the physical plan — scans come up already
+    hash-clustered and sorted, so sort-merge join and the final hash-agg
+    both reuse the on-disk partitioning. The no-Exchange property is
+    asserted on the plan, not just claimed; the DuckDB oracle checks the
+    join's values."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.catalog import table
+    from lhbench_spark.functions.numeric import dsum
+
+    db = "lhb_buck"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(
+        f"CREATE DATABASE {db} LOCATION '{tempfile.mkdtemp(prefix='lhbench_buck_')}'"
+    )
+    (
+        table(spark, sf_dir, "customer")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.customer_b")
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    c = spark.table(f"{db}.customer_b")
+    o = spark.table(f"{db}.orders_b")
+    out = (
+        # hint("merge") pins sort-merge so the planner cannot pick a
+        # broadcast join (whose BroadcastExchange would defeat the
+        # co-location demonstration once the filter prunes one side).
+        c.hint("merge")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("c_custkey") % 97 == 0)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed join plan has a shuffle:\n{plan}"
+    return out
+
+
 # Database lifecycle: the loader's catalog choreography
 # (TPCDSDataLoad.scala:91-133 — CREATE DATABASE … LOCATION, DROP TABLE IF
 # EXISTS, CTAS per table, USE db, row-count validation;
