@@ -27,7 +27,10 @@ import time
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # 3 iterations like the reference (TPCDSBenchmark.scala:37): the
+    # upper median of 3 discards a one-off GC/IO spike, which the
+    # worse-of-2 upper median cannot.
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     # Wall-clock budget: always finish iteration 1 (every query measured
     # once), then run further iterations only while inside the budget —
     # the driver gets a parseable line no matter how slow the slowest
@@ -64,16 +67,24 @@ def main() -> int:
         for name, qd in sorted(all_queries().items())
     }
     iters_done = 0
+    last_iter_sec = 0.0
     for it in range(1, iterations + 1):
-        if it > 1 and time.monotonic() - t_start > budget_sec:
+        elapsed = time.monotonic() - t_start
+        # Predictive guard: don't START an iteration the budget can't fit
+        # (the previous iteration's duration is the estimate) — otherwise
+        # an iteration starting just under the budget overruns it by a
+        # whole iteration length.
+        if it > 1 and elapsed + last_iter_sec > budget_sec:
             print(
-                f"bench: budget {budget_sec}s reached after iteration {it - 1}; "
-                f"stopping early",
+                f"bench: budget {budget_sec}s cannot fit iteration {it} "
+                f"(elapsed {elapsed:.0f}s + est {last_iter_sec:.0f}s); stopping",
                 file=sys.stderr,
             )
             break
+        t_it = time.monotonic()
         for name in sorted(suite):
             runner.run_query(name, suite[name], it)
+        last_iter_sec = time.monotonic() - t_it
         iters_done = it
     medians = runner.medians()
     total = sum(medians.values())

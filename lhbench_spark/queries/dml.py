@@ -164,6 +164,55 @@ def table_optimize_detail(spark, sf_dir):
     )
 
 
+_TIME_TRAVEL_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT t.o_orderkey,
+           COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, s.o_totalprice FROM source s
+    WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+)
+SELECT 0 AS version,
+       (SELECT COUNT(*) FROM target) AS cnt,
+       (SELECT {dsum_sql("o_totalprice")} FROM target) AS total_price
+UNION ALL
+SELECT 1,
+       (SELECT COUNT(*) FROM merged),
+       (SELECT {dsum_sql("o_totalprice")} FROM merged)
+"""
+
+
+@query(
+    "table_time_travel",
+    tags=("dml", "time-travel", "managed-table"),
+    oracle=_TIME_TRAVEL_ORACLE,
+)
+def table_time_travel(spark, sf_dir):
+    """Time travel: after a MERGE, version 0 still reads the exact
+    pre-merge state (immutable data files + versioned manifests), while
+    the current version reads the merged state. Both snapshots are
+    value-checked in one result — the audit/reproducibility guarantee a
+    lakehouse table carries (Delta VERSION AS OF analog)."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+
+    def snap(version):
+        return t.read(version=version).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select(F.lit(version).alias("version"), "cnt", "total_price")
+
+    return snap(0).unionByName(snap(t.current.version))
+
+
 _CTAS_ORACLE = f"""
 SELECT l_returnflag,
        COUNT(*) AS cnt,

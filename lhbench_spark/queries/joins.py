@@ -249,6 +249,51 @@ def join_theta_interval(spark, sf_dir):
 
 
 @query(
+    "join_skew_salted",
+    tags=("join", "skew", "salting", "extension"),
+    oracle="""
+SELECT s_nationkey,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-salted join (operators/skew.py): the top-5 hottest supplier
+    keys are salted over 8 partitions (probe salt = hash of l_orderkey,
+    build rows replicated per salt); cold keys join normally and the
+    slices union. The oracle is the PLAIN join — salting must be
+    result-invariant, which is exactly what the hash check proves."""
+    from lhbench_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    hot = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("l_suppkey"))
+        .limit(5)
+        .select("l_suppkey")
+    )
+    out = salted_join(
+        li,
+        sup,
+        on="l_suppkey",
+        build_on="s_suppkey",
+        salts=8,
+        salt_src="l_orderkey",
+        hot_keys=hot,
+    )
+    return out.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+@query(
     "join_asof_last_event",
     tags=("join", "asof", "extension"),
     oracle="""
