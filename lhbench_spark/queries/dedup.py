@@ -251,6 +251,80 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# Connected components over the 3-gram-Jaccard pair graph (threshold 0.5
+# — tighter than the pair query's 0.2, so clusters are true near-dup
+# groups; (lang, source) blocking keeps both the pair graph and its
+# closure tractable at any corpus size). The oracle computes the same
+# closure with a recursive CTE: reach(id, r) = transitive closure over
+# the symmetrized edge set, cluster label = MIN(reachable id) — identical
+# semantics to the min-label-propagation fixpoint in operators/cluster.py.
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE norm AS (
+    SELECT doc_id, lang, source, {_NORM} AS t FROM documents
+), sh_raw AS (
+    SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM norm
+), sh AS (
+    SELECT * FROM sh_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
+), raw_pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jac
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT doc_a, doc_b FROM raw_pairs WHERE jac >= 0.5
+), sym AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT s AS id FROM sym
+), reach AS (
+    SELECT id, id AS r FROM nodes
+    UNION
+    SELECT reach.id, e.d AS r FROM reach JOIN sym e ON reach.r = e.s
+), labels AS (
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), clusters AS (
+    SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY cluster_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(MAX(sz) AS BIGINT) AS max_size,
+       CAST(SUM(cluster_id) AS BIGINT) AS keeper_id_sum
+FROM clusters
+"""
+
+
+@query(
+    "dedup_cluster_keepers",
+    tags=("dedup", "cluster", "iterative", "documents"),
+    oracle=_CLUSTER_ORACLE,
+)
+def dedup_cluster_keepers(spark, sf_dir):
+    """Near-dup CLUSTER formation: 3-gram-Jaccard pairs (>= 0.5) →
+    connected components by iterative min-label propagation with pointer
+    jumping (operators/cluster.py) → one keeper (min doc_id) per
+    component. The iterative fixpoint is value-checked against a
+    recursive-CTE transitive closure in DuckDB — the strongest oracle an
+    iterative algorithm can get. Output is the bounded cluster
+    fingerprint."""
+    from lhbench_spark.operators.cluster import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    labels = connected_components(pairs)
+    clusters = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return clusters.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.max("sz").cast("bigint").alias("max_size"),
+        F.sum("cluster_id").cast("bigint").alias("keeper_id_sum"),
+    )
+
+
 def _emb_near_dup_oracle() -> str:
     from lhbench_spark.operators import similarity as sim
 
