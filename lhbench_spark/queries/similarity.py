@@ -8,6 +8,8 @@ zip_with/aggregate fold.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lhbench_spark.catalog import table
 from lhbench_spark.operators import similarity
 from lhbench_spark.operators.similarity import LSH_PLANES, lsh_bucket_duck
@@ -119,3 +121,67 @@ def sim_ivf_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < _NQUERIES)
     return similarity.ivf_topk(emb, queries, dim=_DIM, k=_TOPK, probes=2)
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), n AS (
+    SELECT vec_id,
+           sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS nrm,
+           ev
+    FROM v
+), nv AS (
+    SELECT vec_id, nrm,
+           CASE WHEN nrm = 0.0 THEN ev
+                ELSE list_transform(ev, x -> x / nrm) END AS uv
+    FROM n
+), q AS (
+    SELECT vec_id, nrm, uv,
+           list_aggregate(list_transform(uv, x -> abs(x)), 'max') AS mx
+    FROM nv
+), qv AS (
+    SELECT vec_id, nrm,
+           CASE WHEN mx = 0.0 THEN list_transform(uv, x -> CAST(0 AS INT))
+                ELSE list_transform(uv, x -> CAST(round(x * 127.0 / mx) AS INT))
+           END AS iq
+    FROM q
+)
+SELECT vec_id,
+       ROUND(nrm, 6) AS l2_norm,
+       CAST(list_aggregate(iq, 'sum') AS BIGINT) AS q_sum,
+       CAST(list_aggregate(iq, 'max') AS INT) AS q_max
+FROM qv
+"""
+
+
+@query(
+    "sim_embedding_quantize",
+    tags=("similarity", "embedding", "quantize"),
+    oracle=_QUANT_ORACLE,
+)
+def sim_embedding_quantize(spark, sf_dir):
+    """Embedding maintenance: L2-normalize then symmetric int8 quantize
+    (operators/similarity.py) — the compression pass before ANN indexing
+    (4x smaller than float32). Pure higher-order-function projection:
+    JVM-side, no shuffle, scan-bandwidth bound. Output: per-vector norm
+    and quantized fingerprint, value-checked against DuckDB's list ops."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.as_double("embedding").alias("_v")
+    )
+    unit = emb.select(
+        "vec_id",
+        similarity.norm("_v").alias("_nrm"),
+        similarity.l2_normalize("_v").alias("_uv"),
+    )
+    q = unit.select(
+        "vec_id",
+        "_nrm",
+        similarity.quantize_int8("_uv").alias("_iq"),
+    )
+    return q.select(
+        "vec_id",
+        F.round("_nrm", 6).alias("l2_norm"),
+        F.expr("aggregate(_iq, 0L, (acc, v) -> acc + v)").alias("q_sum"),
+        F.array_max("_iq").alias("q_max"),
+    )

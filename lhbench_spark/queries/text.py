@@ -32,6 +32,46 @@ def text_token_stats(spark, sf_dir):
     return text_ops.token_stats(table(spark, sf_dir, "documents"))
 
 
+# BPE-ish pre-tokenization (the GPT-2 pretokenizer shape): letter runs,
+# <=3-digit number chunks, punctuation runs, each optionally space-prefixed.
+# Counting THESE (not whitespace words) approximates LLM token budgets —
+# the number every curation pipeline sizes its corpus by. The pattern uses
+# only alternation + classes + bounded repeats, which Java regex (Spark)
+# and RE2 (DuckDB) match identically.
+_BPE_PAT = r" ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s]+|\s+"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]{{1,3}}| ?[^a-z0-9\\s]+|\\s+'))
+           AS n_subword,
+       len({_TOKS}) AS n_word,
+       ROUND(CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]{{1,3}}| ?[^a-z0-9\\s]+|\\s+')) AS DOUBLE)
+           / greatest(len({_TOKS}), 1), 6) AS subword_per_word
+FROM documents
+"""
+
+
+@query("text_bpe_tokens", tags=("text", "tokens", "documents"), oracle=_BPE_ORACLE)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword token counting next to whitespace word counting —
+    the LLM-token-budget estimate per document. Pure regexp projection
+    (scan-bandwidth bound, no shuffle); identical regex semantics on both
+    engines."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    n_sub = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), F.lit(0)))
+    n_word = F.expr(f"size({textnorm.tokens_spark('text')})")
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subword"),
+        n_word.alias("n_word"),
+        F.round(
+            n_sub.cast("double") / F.greatest(n_word, F.lit(1)), 6
+        ).alias("subword_per_word"),
+    )
+
+
 def _stop_duck(lang: str) -> str:
     return textnorm.stopword_hits_duck(_TOKS, lang)
 
