@@ -115,3 +115,92 @@ def events_sessionize(spark, sf_dir):
         F.countDistinct("session_id").cast("bigint").alias("session_cnt"),
         F.count(F.lit(1)).alias("event_cnt"),
     )
+
+
+# Hypertable-style continuous aggregate: the DAILY rollup is derived from
+# the HOURLY aggregate (sum of counts / sum of sums), never from raw
+# events — at 100 TB the hourly table is the materialized continuous
+# aggregate and every coarser granularity reads it, turning a 10^12-row
+# scan into a 10^5-row one. avg is recomputed as sum/cnt at the coarse
+# level (averaging averages would be wrong under uneven hours).
+_HYPER_ORACLE = f"""
+WITH hourly AS (
+    SELECT DATE_TRUNC('hour', ts) AS hr, event_type,
+           COUNT(*) AS cnt, {dsum_sql("value")} AS value_sum
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(DATE_TRUNC('day', hr) AS DATE) AS day, event_type,
+       CAST(SUM(cnt) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value_sum AS DECIMAL(18,8))) AS DOUBLE) AS value_sum,
+       ROUND(CAST(SUM(CAST(value_sum AS DECIMAL(18,8))) AS DOUBLE) / SUM(cnt), 6)
+           AS value_avg,
+       CAST(COUNT(*) AS BIGINT) AS hours_present
+FROM hourly
+GROUP BY 1, 2
+"""
+
+
+@query("events_hypertable_rollup", tags=("events", "rollup", "hypertable"), oracle=_HYPER_ORACLE)
+def events_hypertable_rollup(spark, sf_dir):
+    """Multi-granularity time rollup (continuous-aggregate pattern):
+    hour-level agg feeds the day-level agg. Two narrow shuffles, the
+    second over the already-collapsed hourly table."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("value_sum"))
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("hr")).cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum(F.col("value_sum").cast("decimal(18,8)")).cast("double").alias("value_sum"),
+        F.round(
+            F.sum(F.col("value_sum").cast("decimal(18,8)")).cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("value_avg"),
+        F.count(F.lit(1)).cast("bigint").alias("hours_present"),
+    )
+
+
+# Interval owners: every 10th user's first 6 active hours. The oracle is
+# the PLAIN range join (DuckDB plans it as an IEJoin) — the bucketed
+# equi-join + residual formulation in operators/rangejoin.py must be
+# result-identical, which is exactly what the hash check proves.
+_RANGE_JOIN_ORACLE = f"""
+WITH iv AS (
+    SELECT user_id AS owner_id, MIN(ts) AS start_ts,
+           MIN(ts) + INTERVAL 6 HOUR AS end_ts
+    FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+)
+SELECT iv.owner_id,
+       COUNT(*) AS cnt,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       {dsum_sql("e.value")} AS value_sum
+FROM iv JOIN events e ON iv.start_ts <= e.ts AND e.ts < iv.end_ts
+GROUP BY iv.owner_id
+"""
+
+
+@query("join_range_interval", tags=("join", "range", "interval", "extension"), oracle=_RANGE_JOIN_ORACLE)
+def join_range_interval(spark, sf_dir):
+    """Bucketed interval join (operators/rangejoin.py): each sampled
+    user's first-6-hours window joined against ALL events inside it —
+    time-bucket equi-join + residual filter, never the
+    O(|intervals| x |events|) nested loop. Aggregated per interval owner
+    (bounded output)."""
+    from lhbench_spark.operators.rangejoin import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") % 10 == 0)
+        .groupBy(F.col("user_id").alias("owner_id"))
+        .agg(F.min("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 6 HOURS"))
+    )
+    joined = interval_join(iv, ev, bucket_seconds=21600)
+    return joined.groupBy("owner_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum("value").alias("value_sum"),
+    )
