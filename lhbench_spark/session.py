@@ -56,6 +56,17 @@ def get_spark(
         # arrow for the few pandas-UDF paths (multimodal / embeddings)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle/spill files on tmpfs when available: local-mode shuffle
+        # volume at test SFs is a few GB, and memory-backed scratch makes
+        # the measurements immune to host disk-latency windows (the
+        # cluster equivalent is fast local NVMe for yarn.local-dirs).
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+            ),
+        )
         # managed tables without an explicit LOCATION land here, not in
         # a spark-warehouse/ dir polluting the caller's cwd
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="lhbench_wh_"))

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — the scale discipline, asserted.
+
+Correctness tests prove the right ANSWER; these prove the right PLAN.
+Each assertion encodes a property that silently eroding would not change
+any result at sf0.01 but would sink a 100 TB run:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins broadcast (no fact-sized shuffle for small sides);
+- ORDER BY + LIMIT fuses to TakeOrderedAndProject (never a global sort);
+- no Python row-UDF (BatchEvalPython) appears in any registered plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lhbench_spark.catalog import table
+from lhbench_spark.queries import all_queries
+from tests.conftest import SMOKE_SF
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A filtered scan must carry PushedFilters and a pruned ReadSchema."""
+    df = table(spark, SMOKE_SF, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    ).select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderpriority)" in plan or (
+        "PushedFilters" in plan and "o_orderpriority" in plan
+    ), plan
+    # column pruning: the scan schema must not include unprojected cols
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_comment" not in read_schema, read_schema
+
+
+def test_dimension_join_broadcasts(spark):
+    """join_shipping_priority: both dimension sides broadcast — the fact
+    table is never shuffled for them."""
+    q = all_queries()["join_shipping_priority"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    """sort_topk: ORDER BY + LIMIT must plan as TakeOrderedAndProject,
+    not a global Sort."""
+    q = all_queries()["sort_topk"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in all_queries() if n != "multimodal_features")
+)
+def test_no_python_row_udf(spark, name):
+    """No registered query may contain a row-at-a-time Python UDF
+    (BatchEvalPython). multimodal_features is excluded: it uses
+    MapInPandas, the sanctioned Arrow-batched path, which this test
+    verifies by its absence of BatchEvalPython too."""
+    q = all_queries()[name]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+
+
+def test_mapinpandas_is_arrow_batched(spark):
+    """The one Python hot path is MapInPandas (Arrow), not BatchEvalPython."""
+    q = all_queries()["multimodal_features"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
