@@ -83,6 +83,69 @@ def _fake_brightness(payload: bytes) -> float:
     return sum(payload) / len(payload) / 255.0
 
 
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize PLANNING: compute target dimensions (aspect-preserving,
+    bounded by ``max_side``) from the metadata columns — pure JVM
+    arithmetic, no blob access. The pixel resample itself belongs in a
+    ``mapInPandas`` stage exactly like :func:`extract_features` (stubbed
+    here with the decoders, :func:`decode_image`); planning dims
+    metadata-side means the Python stage receives only rows that actually
+    need work (``dst != src`` filter pushes down before any decode).
+
+    NULL source dims (non-image media) get deterministic synthetic dims
+    so the driver testdata exercises the arithmetic end to end."""
+    src_w = F.coalesce(
+        F.col("width"), (F.lit(320) + F.pmod(F.col("media_id") * 7, F.lit(1600))).cast("int")
+    )
+    src_h = F.coalesce(
+        F.col("height"), (F.lit(240) + F.pmod(F.col("media_id") * 13, F.lit(900))).cast("int")
+    )
+    longest = F.greatest(src_w, src_h)
+    # integer arithmetic only (`div` = floor division) — engine-exact,
+    # no float rounding ambiguity between Spark and any oracle.
+    m = media.select(
+        "media_id",
+        src_w.alias("src_w"),
+        src_h.alias("src_h"),
+        longest.alias("_longest"),
+    )
+    dst_w = F.when(F.col("_longest") <= max_side, F.col("src_w")).otherwise(
+        F.expr(f"CAST((src_w * {int(max_side)}) div _longest AS INT)")
+    )
+    dst_h = F.when(F.col("_longest") <= max_side, F.col("src_h")).otherwise(
+        F.expr(f"CAST((src_h * {int(max_side)}) div _longest AS INT)")
+    )
+    return m.select(
+        "media_id",
+        "src_w",
+        "src_h",
+        dst_w.alias("dst_w"),
+        dst_h.alias("dst_h"),
+        (dst_w != F.col("src_w")).alias("needs_resize"),
+    )
+
+
+def sample_frame_offsets(media: DataFrame, stride_ms: int = 2500) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one row per sampled
+    frame offset (``sequence`` + ``explode`` — JVM-side row generation,
+    the shape a real decoder stage consumes). Duration is synthesized
+    from byte_len (10 ms per byte) since the container ships no ffprobe;
+    a production build reads it from metadata. Integer-exact on purpose.
+
+    The downstream frame DECODE is the stubbed part; at scale the
+    exploded (media_id, frame_off_ms) relation is repartitioned to core
+    count and fed to a ``mapInPandas`` decoder exactly like
+    :func:`extract_features`."""
+    duration_ms = (F.length("payload").cast("long") * 10).alias("duration_ms")
+    return media.select(
+        "media_id",
+        duration_ms,
+        F.explode(
+            F.expr(f"sequence(0L, CAST(length(payload) AS BIGINT) * 10, {int(stride_ms)}L)")
+        ).alias("frame_off_ms"),
+    )
+
+
 def extract_features(
     media: DataFrame, batch_rows: int = 1024, parallelism: int | None = None
 ) -> DataFrame:

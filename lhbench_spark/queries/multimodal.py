@@ -45,3 +45,62 @@ def multimodal_features(spark, sf_dir):
     tests against hashlib on the driver side."""
     docs = table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_media(docs))
+
+
+# Resize planning + frame sampling are integer-exact arithmetic over
+# metadata (operators/multimodal.py) — fully oracle-checkable even though
+# the pixel/frame DECODE stage is stubbed (no PIL/ffmpeg in this env).
+_SAMPLE_PLAN_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           encode(text) AS payload,
+           320 + (doc_id * 7) % 1600 AS src_w,
+           240 + (doc_id * 13) % 900 AS src_h
+    FROM documents
+), dims AS (
+    SELECT media_id, src_w, src_h,
+           greatest(src_w, src_h) AS longest
+    FROM media
+), plan AS (
+    SELECT media_id, src_w, src_h,
+           CASE WHEN longest <= 512 THEN src_w
+                ELSE CAST((src_w * 512) // longest AS INT) END AS dst_w,
+           CASE WHEN longest <= 512 THEN src_h
+                ELSE CAST((src_h * 512) // longest AS INT) END AS dst_h
+    FROM dims
+), frames AS (
+    SELECT media_id,
+           octet_length(payload) * 10 AS duration_ms,
+           (octet_length(payload) * 10) // 2500 + 1 AS n_frames
+    FROM media
+)
+SELECT p.media_id,
+       CAST(p.src_w AS INT) AS src_w, CAST(p.src_h AS INT) AS src_h,
+       CAST(p.dst_w AS INT) AS dst_w, CAST(p.dst_h AS INT) AS dst_h,
+       CAST(f.duration_ms AS BIGINT) AS duration_ms,
+       CAST(f.n_frames AS BIGINT) AS n_frames,
+       CAST((f.n_frames - 1) * 2500 AS BIGINT) AS last_off_ms
+FROM plan p JOIN frames f ON p.media_id = f.media_id
+"""
+
+
+@query(
+    "multimodal_sample_plan",
+    tags=("multimodal", "resize", "frames"),
+    oracle=_SAMPLE_PLAN_ORACLE,
+)
+def multimodal_sample_plan(spark, sf_dir):
+    """Resize planning (aspect-preserving, metadata-side) + frame-offset
+    sampling (sequence/explode then re-aggregated) — the two Spark-side
+    stages that bracket a stubbed decoder. n_frames is counted from the
+    EXPLODED offset relation, so the plumbing a real decoder would
+    consume is what the oracle's closed form checks."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    plan = multimodal.resize_plan(media, max_side=512)
+    frames = multimodal.sample_frame_offsets(media, stride_ms=2500)
+    frame_agg = frames.groupBy("media_id").agg(
+        F.max("duration_ms").alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_off_ms").alias("last_off_ms"),
+    )
+    return plan.drop("needs_resize").join(frame_agg, "media_id")
