@@ -226,3 +226,52 @@ def agg_minmax_by_brand(spark, sf_dir):
             F.countDistinct("p_type").alias("type_cnt"),
         )
     )
+
+
+# Sketch aggregates: HLL++ ndv and a quantile sketch. A sketch result
+# cannot be replayed bit-for-bit by another engine, so the CONTRACT is
+# what the oracle checks: the exact value travels alongside booleans
+# asserting the sketch landed inside its own error bound (deterministic
+# for fixed input + sketch parameters — Spark's HLL++ and
+# percentile_approx have no RNG). If a Spark upgrade degrades sketch
+# accuracy past the bound, this gate fails.
+_SKETCH_ORACLE = """
+WITH s AS (SELECT COUNT(DISTINCT o_custkey) AS exact_ndv FROM orders),
+p AS (
+    SELECT quantile_disc(o_totalprice, 0.5) AS lo_med,
+           quantile_cont(o_totalprice, 0.5) AS hi_med
+    FROM orders
+)
+SELECT CAST(s.exact_ndv AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_5pct,
+       TRUE AS p50_within_2pct
+FROM s, p
+"""
+
+
+@query("agg_sketches", tags=("agg", "sketch", "approx"), oracle=_SKETCH_ORACLE)
+def agg_sketches(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd 2%; the 5% gate is then a ~2.5-sigma bound) and percentile_approx next
+    to their exact twins — the sketch tier that replaces exact distinct
+    counting at 100 TB (HLL state is KBs and merges map-side; exact
+    count(distinct) is an Expand + full shuffle of the key column)."""
+    o = table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact_ndv"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_ndv"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 1000000)").alias("tight_p50"),
+    )
+    return row.select(
+        F.col("exact_ndv"),
+        (
+            F.abs(F.col("approx_ndv") - F.col("exact_ndv"))
+            / F.col("exact_ndv")
+            <= 0.05
+        ).alias("ndv_within_5pct"),
+        (
+            F.abs(F.col("approx_p50") - F.col("tight_p50"))
+            / F.col("tight_p50")
+            <= 0.02
+        ).alias("p50_within_2pct"),
+    )
