@@ -204,3 +204,86 @@ def join_range_interval(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dsum("value").alias("value_sum"),
     )
+
+
+# -- Funnel analysis -------------------------------------------------------
+# The classic product-analytics sequence query (Flink CEP / Snowplow
+# funnel shape): users who did view -> click -> purchase in first-touch
+# order. One hash-agg shuffle on user_id, then a single-row global agg of
+# booleans — no self-joins, no window over the raw stream. At 100 TB the
+# per-user state is 3 timestamps regardless of event volume.
+_FUNNEL_ORACLE = """
+WITH s AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_then_click,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM s
+"""
+
+
+@query("events_funnel", tags=("events", "funnel", "extension"), oracle=_FUNNEL_ORACLE)
+def events_funnel(spark, sf_dir):
+    """First-touch funnel view -> click -> purchase. NULL-comparison
+    semantics prune users missing a stage (NULL > NULL is NULL -> 0)."""
+    ev = table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    c2 = F.col("t_click") > F.col("t_view")
+    c3 = c2 & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(c2, 1).otherwise(0)).alias("n_view_then_click"),
+        F.sum(F.when(c3, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+# -- Cohort retention ------------------------------------------------------
+# cohort_day = a user's first active day; n_active = users from that
+# cohort active at day_offset 0..7. The (user, day) distinct and the
+# per-user min reuse the SAME user_id hash partitioning, and the join is
+# user-keyed — one logical shuffle chain, no fact-x-fact re-shuffle.
+_RETENTION_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day
+    FROM events
+), cohort AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS day_offset,
+       COUNT(*) AS n_active
+FROM activity a JOIN cohort c ON a.user_id = c.user_id
+WHERE datediff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention", tags=("events", "retention", "extension"), oracle=_RETENTION_ORACLE)
+def events_retention(spark, sf_dir):
+    """Day-N cohort retention matrix (offset 0..7). Output is bounded by
+    distinct-days x 8 regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff(F.col("day"), F.col("cohort_day")))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -91,3 +91,29 @@ def setop_except(spark, sf_dir):
         F.col("o_custkey").alias("c_custkey")
     )
     return cust.subtract(ordered)  # subtract == EXCEPT (distinct) semantics
+
+
+# -- Unpivot (melt) --------------------------------------------------------
+# Wide -> long reshaping via the `stack` generator (the reference's engines
+# express this as UNION ALL — SURVEY §2.7; Spark fuses stack into the
+# project, ONE scan instead of N). Per-row doubles are IEEE-exact across
+# engines; the % 50 slice bounds output and pushes to the parquet scan.
+_UNPIVOT_ORACLE = """
+SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@query("setop_unpivot", tags=("setop", "unpivot"), oracle=_UNPIVOT_ORACLE)
+def setop_unpivot(spark, sf_dir):
+    """UNPIVOT: one scan + generator, vs the oracle's two-scan UNION ALL —
+    same rows, half the IO at scale."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 50 == 0).selectExpr(
+        "o_orderkey",
+        "stack(2, 'custkey', CAST(o_custkey AS DOUBLE),"
+        " 'totalprice', o_totalprice) AS (metric, value)",
+    )

@@ -216,3 +216,32 @@ def catalog_db_lifecycle(spark, sf_dir):
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# Explicit GROUPING SETS completes the grouping family next to ROLLUP and
+# CUBE — the lattice here is NOT a rollup prefix chain (it includes the
+# (o_orderpriority) set alone), so it exercises the general Expand path.
+_VIEW_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query(
+    "sql_grouping_sets",
+    tags=("sql-path", "grouping-sets", "agg"),
+    oracle=_VIEW_GROUPING_SETS_SQL,
+)
+def sql_grouping_sets(spark, sf_dir):
+    """GROUP BY GROUPING SETS through the spark.sql path — the shared
+    dialect-portable text is its own oracle. Expand multiplies rows by 4
+    BEFORE the shuffle, but map-side partial agg collapses each set to
+    its group cardinality first — shuffle stays tiny at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VIEW_GROUPING_SETS_SQL)

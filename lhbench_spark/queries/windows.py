@@ -309,3 +309,40 @@ def win_frames_ntile(spark, sf_dir):
             F.max("cum_cnt").alias("max_cumcnt"),
         )
     )
+
+
+# percent_rank/cume_dist are single-pass rank divisions — exact-integer
+# numerator/denominator, one IEEE division, so the doubles are
+# bit-identical across engines with no rounding needed. Window computed
+# over the FULL partition, the % 100 slice applied after (bounded output).
+_PCT_RANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice, pct_rank, cume
+FROM (
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           percent_rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS pct_rank,
+           cume_dist() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice) AS cume
+    FROM orders
+) WHERE o_orderkey % 100 = 0
+"""
+
+
+@query("win_percent_rank", tags=("window", "rank"), oracle=_PCT_RANK_ORACLE)
+def win_percent_rank(spark, sf_dir):
+    """percent_rank + cume_dist per order priority — the distribution-
+    position functions (SURVEY §2.5 family). Partition key cardinality is
+    constant (5 priorities) but each partition is processed as a sorted
+    stream, not materialized — scales with shuffle bandwidth."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
