@@ -168,3 +168,191 @@ def text_tfidf_topterms(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     return text_ops.tfidf_top_terms(docs, k=3).filter(F.col("doc_id") % 5 == 0)
+
+
+# -- Repetition / boilerplate metrics (Gopher-style filters) ---------------
+# dup_token_frac and top-2-gram fraction are the standard cheap
+# repetition filters before model-based quality scoring. Computed
+# ARRAY-SIDE (lambda over the token array) — zero shuffle, scan-bound.
+# Trade-off: the top-gram scan is O(uniq x n) per doc, right for bounded
+# per-doc token counts (this corpus: <=99). For unbounded web docs the
+# explode -> two-level groupBy form is the scale path; same semantics.
+_REP_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_REP_GRAMS_DUCK = (
+    "list_transform(generate_series(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i + 1])"
+)
+_REPETITION_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_REP_TOKS} AS toks FROM documents
+), g AS (
+    SELECT doc_id, toks, {_REP_GRAMS_DUCK} AS grams FROM t
+)
+SELECT doc_id,
+       len(grams) AS n_2gram,
+       CASE WHEN len(grams) = 0 THEN 0 ELSE
+           list_max(list_transform(list_distinct(grams),
+                                   x -> len(list_filter(grams, y -> y = x))))
+       END AS top_2gram_cnt,
+       ROUND(CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+           CAST(list_max(list_transform(list_distinct(grams),
+                    x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+           / len(grams) END, 6) AS top_2gram_frac,
+       ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS dup_token_frac
+FROM g
+"""
+
+
+@query("text_repetition_filters", tags=("text", "quality", "documents"), oracle=_REPETITION_ORACLE)
+def text_repetition_filters(spark, sf_dir):
+    """Repetition filters: duplicate-token fraction and most-frequent
+    2-gram fraction per document, entirely in one JVM projection."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    grams = (
+        "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+    )
+    docs = docs.withColumn("grams", F.expr(grams))
+    top_cnt = F.expr(
+        "CASE WHEN size(grams) = 0 THEN 0 ELSE "
+        "array_max(transform(array_distinct(grams),"
+        " x -> size(filter(grams, y -> y = x)))) END"
+    )
+    return docs.select(
+        "doc_id",
+        F.size("grams").alias("n_2gram"),
+        top_cnt.alias("top_2gram_cnt"),
+        F.round(
+            F.when(F.size("grams") == 0, F.lit(0.0)).otherwise(
+                top_cnt.cast("double") / F.size("grams")
+            ),
+            6,
+        ).alias("top_2gram_frac"),
+        F.round(
+            1.0
+            - F.expr("size(array_distinct(toks))").cast("double")
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+
+# -- Deterministic stratified sampling -------------------------------------
+# Hash-based Bernoulli sampling with per-stratum rates (downsample the
+# dominant language, keep the tail) — the reproducible alternative to
+# rand(): keep iff the first 4 hex digits of md5(salt || doc_id) fall
+# below the stratum threshold. Fixed-width lowercase hex compares
+# lexicographically == numerically, so BOTH engines evaluate the
+# identical predicate with zero float math. Stateless per row -> scan-
+# bound; the aggregate output is one row per stratum at any corpus size.
+_STRAT_KEY = "substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+_STRAT_THRESH = "CASE WHEN lang = 'en' THEN '2000' ELSE '8000' END"
+_STRAT_SAMPLE_ORACLE = f"""
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {_STRAT_KEY} < {_STRAT_THRESH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN {_STRAT_KEY} < {_STRAT_THRESH} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS sampled_id_sum
+FROM documents
+GROUP BY lang
+"""
+
+
+@query("sample_stratified_hash", tags=("sample", "documents", "extension"), oracle=_STRAT_SAMPLE_ORACLE)
+def sample_stratified_hash(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling (en at ~12.5%, other
+    langs at 50%) with an exact-integer membership checksum."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))), 1, 4)
+    thresh = F.when(F.col("lang") == "en", F.lit("2000")).otherwise(F.lit("8000"))
+    keep = key < thresh
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(keep, F.col("doc_id")).otherwise(0)).alias("sampled_id_sum"),
+    )
+
+
+# -- Token-window chunking -------------------------------------------------
+# Split each document into fixed-size overlapping token windows (size 20,
+# stride 15) — the training-data chunking step before tokenize/pack. The
+# chunk list is built array-side and exploded: rows out ~= corpus_tokens /
+# stride, linear in input, no shuffle (generator fuses into the scan).
+_CHUNK_ORACLE = """
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents WHERE doc_id % 5 = 0
+), c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, (len(toks) - 1) // 15)) AS chunk_idx
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(toks, chunk_idx * 15 + 1,
+                      least(chunk_idx * 15 + 20, len(toks)))) AS n_tok_chunk,
+       md5(array_to_string(
+           list_slice(toks, chunk_idx * 15 + 1,
+                      least(chunk_idx * 15 + 20, len(toks))), ' ')) AS chunk_md5
+FROM c
+"""
+
+
+@query("text_chunk_windows", tags=("text", "chunking", "documents", "extension"), oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping token-window chunking (size 20 / stride 15) with a
+    per-chunk content fingerprint."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("toks", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .filter(F.expr("size(toks) > 0"))
+    )
+    chunks = F.expr(
+        "transform(sequence(0, (size(toks) - 1) div 15), i -> struct("
+        " i AS chunk_idx,"
+        " size(slice(toks, i * 15 + 1, 20)) AS n_tok_chunk,"
+        " md5(concat_ws(' ', slice(toks, i * 15 + 1, 20))) AS chunk_md5))"
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select("doc_id", "c.*")
+
+
+# -- PII-style redaction (over events.props JSON) --------------------------
+# The documents corpus is digit-free, so the redaction surface is the
+# events property blob: digit runs -> '#'. Count + redact + length, all
+# regexp built-ins; pattern uses only a digit class, which Java regex
+# (Spark) and RE2 (DuckDB) treat identically. Bounded by the % 100 slice
+# (pushed to the scan); stateless per row at any scale.
+_REDACT_ORACLE = """
+SELECT event_id,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+       length(regexp_replace(props, '[0-9]+', '#', 'g')) AS redacted_len
+FROM events WHERE event_id % 100 = 0
+"""
+
+
+@query("text_pii_redact", tags=("text", "redact", "events", "extension"), oracle=_REDACT_ORACLE)
+def text_pii_redact(spark, sf_dir):
+    """Digit-run redaction over the JSON props blob — the shape of a PII
+    scrubbing pass (count, redacted payload, length)."""
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    red = F.regexp_replace(F.col("props"), "[0-9]+", "#")
+    return ev.select(
+        "event_id",
+        F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).alias("n_digit_runs"),
+        red.alias("redacted"),
+        F.length(red).alias("redacted_len"),
+    )
