@@ -275,3 +275,39 @@ def agg_sketches(spark, sf_dir):
             <= 0.02
         ).alias("p50_within_2pct"),
     )
+
+
+# -- Exact percentiles -----------------------------------------------------
+# Exact (sort-based) quartiles complement the approx sketch in
+# agg_sketches. Compare is hash-exact WITHOUT rounding because the inputs
+# are integer-valued and the quantile fractions are dyadic (0.25/0.5/
+# 0.75): lower + frac * (upper - lower) is exact IEEE arithmetic in both
+# engines. Exact percentile materializes the per-group value multiset —
+# the 100 TB path is the approx sketch; this is the bounded-cardinality
+# exact check (grouping key: 3 return flags).
+_PCTL_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       MIN(l_quantity) AS qty_min,
+       MAX(l_quantity) AS qty_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles_exact", tags=("agg", "percentile"), oracle=_PCTL_ORACLE)
+def agg_percentiles_exact(spark, sf_dir):
+    """Exact per-group quartiles of l_quantity (SURVEY §2.4 family,
+    next to the HLL/KLL sketches in agg_sketches)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+    )

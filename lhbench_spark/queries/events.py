@@ -287,3 +287,44 @@ def events_retention(spark, sf_dir):
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# -- JSON -> MAP -> explode ------------------------------------------------
+# The semi-structured flattening path: parse the props blob into a
+# MAP<STRING,STRING>, explode to (key, value) rows, histogram the values
+# per key. Exercises from_json + MapType + the generator path (SURVEY
+# §2.8 JSON family); the generator fuses into the scan, and the agg
+# collapses map-side to keys x buckets rows before the shuffle. Values
+# are non-negative so truncating vs flooring integer division agree.
+_MAP_EXPLODE_ORACLE = """
+WITH kv AS (
+    SELECT unnest(json_keys(props)) AS key,
+           json_extract_string(props, '$.' || unnest(json_keys(props))) AS val
+    FROM events
+)
+SELECT key,
+       TRY_CAST(val AS BIGINT) // 10 AS val_bucket,
+       COUNT(*) AS cnt,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct_vals,
+       CAST(SUM(TRY_CAST(val AS BIGINT)) AS BIGINT) AS val_sum
+FROM kv
+GROUP BY 1, 2
+"""
+
+
+@query("events_map_explode", tags=("events", "json", "map", "extension"), oracle=_MAP_EXPLODE_ORACLE)
+def events_map_explode(spark, sf_dir):
+    """Parse props into a map, explode to key/value rows, bucket-histogram
+    the integer values per key — the flatten step for semi-structured
+    property bags."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val")
+    )
+    return kv.groupBy(
+        "key", F.expr("try_cast(val AS BIGINT) div 10").alias("val_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct_vals"),
+        F.sum(F.expr("try_cast(val AS BIGINT)")).alias("val_sum"),
+    )

@@ -185,3 +185,74 @@ def sim_embedding_quantize(spark, sf_dir):
         F.expr("aggregate(_iq, 0L, (acc, v) -> acc + v)").alias("q_sum"),
         F.array_max("_iq").alias("q_max"),
     )
+
+
+# -- Per-label centroids (exact integer space) -----------------------------
+# Class centroids over the int8-quantized unit vectors: quantization makes
+# the per-dimension sums exact integers, so the cross-engine compare is
+# bit-exact with no float-summation-order hazard. Plan shape: posexplode
+# to (label, dim, q) then hash-agg — map-side partial agg collapses each
+# partition to |labels| x dim rows BEFORE the shuffle, so shuffle volume
+# is partitions x labels x dim regardless of corpus size.
+_CENTROID_ORACLE = """
+WITH v AS (
+    SELECT label, embedding::DOUBLE[] AS ev FROM embeddings
+), n AS (
+    SELECT label, sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS nrm, ev
+    FROM v
+), nv AS (
+    SELECT label,
+           CASE WHEN nrm = 0.0 THEN ev ELSE list_transform(ev, x -> x / nrm) END AS uv
+    FROM n
+), q AS (
+    SELECT label, uv, list_aggregate(list_transform(uv, x -> abs(x)), 'max') AS mx
+    FROM nv
+), qv AS (
+    SELECT label,
+           CASE WHEN mx = 0.0 THEN list_transform(uv, x -> CAST(0 AS INT))
+                ELSE list_transform(uv, x -> CAST(round(x * 127.0 / mx) AS INT))
+           END AS iq
+    FROM q
+), e AS (
+    SELECT label, iq, unnest(generate_series(1, len(iq))) AS dim FROM qv
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(iq[dim]) AS BIGINT) AS q_sum,
+       ROUND(CAST(SUM(iq[dim]) AS DOUBLE) / COUNT(*), 6) AS centroid_q
+FROM e
+GROUP BY label, dim
+"""
+
+
+@query(
+    "sim_label_centroids",
+    tags=("similarity", "embedding", "centroid", "extension"),
+    oracle=_CENTROID_ORACLE,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Per-label centroid of int8-quantized unit embeddings, long format
+    (label, dim) — the k-means update step / class-prototype computation
+    done with exact integer aggregation."""
+    from lhbench_spark.operators import fan_out
+
+    emb = fan_out(table(spark, sf_dir, "embeddings")).select(
+        "label", similarity.as_double("embedding").alias("_v")
+    )
+    unit = emb.select("label", similarity.l2_normalize("_v").alias("_uv"))
+    # The exchange below is a projection-collapse barrier as well as a
+    # rebalance: without it Catalyst inlines the whole normalize+quantize
+    # lambda chain INTO the generator and re-evaluates it once per output
+    # dimension (O(dim^2) lambda work per vector).
+    q = unit.select("label", similarity.quantize_int8("_uv").alias("_iq")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ex = q.select("label", F.posexplode("_iq").alias("pos", "q"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q").alias("q_sum"),
+            F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6).alias("centroid_q"),
+        )
+    )
