@@ -241,3 +241,82 @@ def ctas_readback(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("sum_qty"))
     )
+
+
+_DELETE_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), remaining AS (
+    SELECT * FROM target WHERE NOT (o_totalprice > 150000)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       (SELECT COUNT(*) FROM target WHERE o_totalprice > 150000) AS rows_deleted
+FROM remaining
+GROUP BY o_orderstatus
+"""
+
+
+@query("table_delete_where", tags=("dml", "delete", "managed-table"), oracle=_DELETE_ORACLE)
+def table_delete_where(spark, sf_dir):
+    """DELETE WHERE on the managed table (file-level copy-on-write: only
+    files whose [min,max] actually contain a matching row are rewritten).
+    The read-back aggregation value-checks the remaining rows AND the
+    manifest's footer-derived rows_deleted metric in one result."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+    )
+    metrics = t.delete("o_totalprice > 150000")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("rows_deleted", F.lit(metrics["rows_deleted"]).cast("bigint"))
+    )
+
+
+_UPDATE_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), updated AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM target
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       (SELECT COUNT(*) FROM target WHERE o_orderpriority = '1-URGENT')
+           AS rows_updated
+FROM updated
+GROUP BY o_orderstatus
+"""
+
+
+@query("table_update_where", tags=("dml", "update", "managed-table"), oracle=_UPDATE_ORACLE)
+def table_update_where(spark, sf_dir):
+    """UPDATE SET ... WHERE on the managed table: assignment RHS evaluated
+    against the old row, copy-on-write rewrite of touched files only.
+    Per-row double multiply is IEEE-exact cross-engine; the decimal-exact
+    sum makes the aggregate hash-stable."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+    )
+    metrics = t.update(
+        {"o_totalprice": "o_totalprice * 1.1"}, "o_orderpriority = '1-URGENT'"
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("rows_updated", F.lit(metrics["rows_updated"]).cast("bigint"))
+    )

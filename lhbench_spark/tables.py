@@ -313,6 +313,106 @@ class ManagedTable:
         self.manifests.append(manifest)
         return manifest.metrics
 
+    # ---------- DELETE / UPDATE (file-level copy-on-write DML) ----------
+
+    def _touched_files(self, cond) -> set[str]:
+        """Files containing at least one row where ``cond`` is TRUE."""
+        rows = (
+            self.read()
+            .withColumn("_file", F.input_file_name())
+            .filter(cond)
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        return {_strip_uri(r["_file"]) for r in rows}
+
+    def _commit_rewrite(
+        self, operation: str, untouched, new_data, est_rows: int, metrics_fn
+    ) -> dict[str, int]:
+        """Write ``new_data``, then commit untouched + new files as the
+        next version. ``metrics_fn(new_entries)`` builds the manifest
+        metrics once the footer row counts of the new files are known."""
+        m = self.current
+        version = m.version + 1
+        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        n_files = max(1, math.ceil(est_rows / DEFAULT_TARGET_FILE_ROWS))
+        _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+        ]
+        metrics = dict(metrics_fn(new_entries), files_added=len(new_entries))
+        manifest = Manifest(
+            version=version,
+            operation=operation,
+            timestamp_ms=int(time.time() * 1000),
+            files=untouched + new_entries,
+            cluster_by=m.cluster_by,
+            metrics=metrics,
+        )
+        _write_manifest(self.root, manifest)
+        self.manifests.append(manifest)
+        return metrics
+
+    def delete(self, condition: str) -> dict[str, int]:
+        """DELETE WHERE (Delta `DELETE FROM t WHERE ...` analog): rewrite
+        only the files that contain a matching row, dropping those rows;
+        every other file carries over by reference. SQL semantics: rows
+        where the predicate is TRUE are deleted — FALSE *and* NULL rows
+        are kept (hence the coalesce below, a bare ``~cond`` would also
+        drop NULL-predicate rows). ``rows_deleted`` derives from parquet
+        footer counts — no extra counting job."""
+        m = self.current
+        cond = F.expr(condition)
+        touched = self._touched_files(cond)
+        untouched = [e for e in m.files if self._abs(e) not in touched]
+        rewritten = [e for e in m.files if self._abs(e) in touched]
+        if not rewritten:
+            return {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
+        rewritten_rows = sum(e.rows for e in rewritten)
+        touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
+        kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
+        return self._commit_rewrite(
+            "DELETE", untouched, kept, rewritten_rows,
+            lambda new_entries: {
+                "rows_deleted": rewritten_rows - sum(e.rows for e in new_entries),
+                "files_rewritten": len(rewritten),
+            },
+        )
+
+    def update(self, assignments: dict[str, str], condition: str) -> dict[str, int]:
+        """UPDATE SET ... WHERE ...: copy-on-write rewrite of the touched
+        files with every assignment RHS evaluated against the OLD row (one
+        projection — Delta/ANSI UPDATE semantics, so assignments never see
+        each other's results). ``rows_updated`` needs one counting job
+        over the touched files only (row counts don't change, so footer
+        math can't derive it)."""
+        m = self.current
+        cond = F.expr(condition)
+        touched = self._touched_files(cond)
+        untouched = [e for e in m.files if self._abs(e) not in touched]
+        rewritten = [e for e in m.files if self._abs(e) in touched]
+        if not rewritten:
+            return {"rows_updated": 0, "files_rewritten": 0, "files_added": 0}
+        rewritten_rows = sum(e.rows for e in rewritten)
+        touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
+        rows_updated = touched_df.filter(cond).count()
+        updated = touched_df.select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in touched_df.columns
+            ]
+        )
+        return self._commit_rewrite(
+            "UPDATE", untouched, updated, rewritten_rows,
+            lambda _new: {
+                "rows_updated": rows_updated,
+                "files_rewritten": len(rewritten),
+            },
+        )
+
     # ---------- OPTIMIZE (compaction, IncrementalTPCDSBenchmark.scala:186-204) ----------
 
     def optimize(self, target_file_rows: int = DEFAULT_TARGET_FILE_ROWS) -> dict[str, int]:

@@ -155,3 +155,56 @@ def test_lake_catalog_lifecycle(spark, tdir):
         cat.drop_database("db1")  # non-empty, no cascade
     cat.drop_database("db1", cascade=True)
     assert cat.show_databases() == []
+
+
+def test_delete_where_cow(spark, tdir):
+    df = _base_df(spark)
+    t = ManagedTable.create(spark, f"{tdir}/td", df, cluster_by=("key",), num_files=4)
+    files_before = {e.path for e in t.current.files}
+    # key < 250 lives in the first cluster_by range file(s) only
+    metrics = t.delete("key < 250")
+    assert metrics["rows_deleted"] == 250
+    assert t.current.operation == "DELETE"
+    assert t.read().count() == 750
+    assert t.read().filter(F.col("key") < 250).count() == 0
+    # copy-on-write: some original files must carry over untouched
+    carried = {e.path for e in t.current.files} & files_before
+    assert carried, "expected untouched files to carry over by reference"
+    assert metrics["files_rewritten"] < 4
+    # time travel still sees the pre-delete state
+    assert t.read(version=0).count() == 1000
+
+
+def test_delete_null_predicate_rows_are_kept(spark, tdir):
+    df = _base_df(spark, n=100).withColumn(
+        "maybe", F.when(F.col("key") % 2 == 0, F.col("key"))
+    )
+    t = ManagedTable.create(spark, f"{tdir}/tn", df, num_files=2)
+    # predicate is NULL for odd keys -> those rows must survive (SQL DELETE
+    # removes only predicate-TRUE rows)
+    metrics = t.delete("maybe < 10")
+    assert metrics["rows_deleted"] == 5  # keys 0,2,4,6,8
+    assert t.read().count() == 95
+
+
+def test_delete_no_match_is_noop(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/tz", _base_df(spark, 100), num_files=2)
+    metrics = t.delete("key > 100000")
+    assert metrics == {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
+    assert t.current.version == 0  # no new version for a no-op
+
+
+def test_update_old_row_semantics(spark, tdir):
+    df = _base_df(spark, n=100)
+    t = ManagedTable.create(spark, f"{tdir}/tu", df, num_files=2)
+    # both assignments read the OLD row: value doubles, tag gets OLD value
+    metrics = t.update(
+        {"value": "value * 2", "tag": "concat('was-', CAST(value AS STRING))"},
+        "key < 10",
+    )
+    assert metrics["rows_updated"] == 10
+    row = t.read().filter(F.col("key") == 4).first()
+    assert row["value"] == 4 * 2.5 * 2
+    assert row["tag"] == "was-10.0"  # old value, not the doubled one
+    assert t.read().filter(F.col("key") == 50).first()["value"] == 125.0
+    assert t.read().count() == 100
