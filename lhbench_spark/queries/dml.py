@@ -320,3 +320,53 @@ def table_update_where(spark, sf_dir):
         )
         .withColumn("rows_updated", F.lit(metrics["rows_updated"]).cast("bigint"))
     )
+
+
+_APPEND_EVOLVE_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS batch_tag
+    FROM orders WHERE {_TARGET_PRED}
+), appended AS (
+    SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice, 'b1' AS batch_tag
+    FROM orders WHERE {_SOURCE_PRED}
+), unioned AS (
+    SELECT * FROM base UNION ALL SELECT * FROM appended
+)
+SELECT COALESCE(batch_tag, '-') AS batch_tag,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price
+FROM unioned
+GROUP BY 1
+"""
+
+
+@query(
+    "table_append_evolve",
+    tags=("dml", "append", "schema-evolution", "managed-table"),
+    oracle=_APPEND_EVOLVE_ORACLE,
+)
+def table_append_evolve(spark, sf_dir):
+    """Append-mode write with additive schema evolution: the appended
+    batch carries a NEW column (batch_tag); pre-evolution rows surface it
+    as NULL via parquet schema merging. Nothing is rewritten — append is
+    O(new data) regardless of table size."""
+    base = _target(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    t = ManagedTable.create(spark, _tmp(), base, num_files=2)
+    batch = (
+        table(spark, sf_dir, "orders")
+        .filter(F.expr(_SOURCE_PRED))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+            F.lit("b1").alias("batch_tag"),
+        )
+    )
+    t.append(batch, merge_schema=True)
+    return (
+        t.read()
+        .groupBy(F.coalesce("batch_tag", F.lit("-")).alias("batch_tag"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

@@ -245,3 +245,64 @@ def sql_grouping_sets(spark, sf_dir):
     its group cardinality first — shuffle stays tiny at any scale."""
     register_views(spark, sf_dir)
     return spark.sql(_VIEW_GROUPING_SETS_SQL)
+
+
+# Multi-level CTE chain (agg -> re-agg -> window over join) — the
+# analytical report shape that dominates the reference's TPC-DS texts:
+# two stacked aggregations then a ranked dimension join. Decimal-exact
+# sums keep every double bit-identical, so RANK over them is stable.
+_VIEW_CTE_CHAIN_SQL = """
+WITH cust_rev AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS rev
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_nationkey
+), nation_stats AS (
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(rev AS DECIMAL(18,8))) AS DOUBLE) AS nation_rev
+    FROM cust_rev GROUP BY c_nationkey
+)
+SELECT n_name, n_cust, nation_rev,
+       RANK() OVER (ORDER BY nation_rev DESC) AS rev_rank
+FROM nation_stats JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@query("sql_cte_chain", tags=("sql-path", "cte", "window"), oracle=_VIEW_CTE_CHAIN_SQL)
+def sql_cte_chain(spark, sf_dir):
+    """Stacked-CTE report through spark.sql: per-customer revenue,
+    re-aggregated per nation, ranked. The second agg rides the first's
+    partitioning; the nation join broadcasts (25 rows); the global RANK
+    sorts 25 rows — one real shuffle total."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VIEW_CTE_CHAIN_SQL)
+
+
+# Latest-row-per-key (ROW_NUMBER = 1 over a descending sort) — the
+# dedup-to-latest idiom every CDC/refresh pipeline runs, aggregated to
+# monthly cardinalities. Fully tie-broken by (date, key).
+_VIEW_LATEST_SQL = """
+WITH latest AS (
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) ranked
+    WHERE rn = 1
+)
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_customers
+FROM latest
+GROUP BY 1
+"""
+
+
+@query("sql_latest_per_key", tags=("sql-path", "window", "dedup-latest"), oracle=_VIEW_LATEST_SQL)
+def sql_latest_per_key(spark, sf_dir):
+    """Latest-order-per-customer via ROW_NUMBER()=1 (WindowGroupLimit
+    pushes the limit into the sort — no full-partition materialization),
+    then a monthly rollup."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VIEW_LATEST_SQL)

@@ -224,7 +224,13 @@ class ManagedTable:
         if not files:
             empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
             return empty
-        return self.spark.read.parquet(*[self._abs(e) for e in files])
+        # mergeSchema: versions appended with evolved (wider) schemas
+        # reconcile deterministically — pre-evolution files surface the
+        # new columns as NULL, and the result schema is the union, not
+        # whichever file's footer Spark happened to sample first.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[self._abs(e) for e in files]
+        )
 
     # ---------- MERGE INTO (IncrementalTPCDSBenchmark.scala:276-281) ----------
 
@@ -312,6 +318,56 @@ class ManagedTable:
         _write_manifest(self.root, manifest)
         self.manifests.append(manifest)
         return manifest.metrics
+
+    # ---------- APPEND (writer append mode + schema evolution) ----------
+
+    def append(
+        self, df: DataFrame, num_files: int = 1, merge_schema: bool = False
+    ) -> dict[str, int]:
+        """Append-only commit: new files land next to the existing ones,
+        nothing is rewritten (the cheapest write path — the Delta
+        ``.mode("append")`` analog). With ``merge_schema`` the incoming
+        frame may carry NEW columns (Delta ``mergeSchema`` semantics:
+        additive only); existing rows surface them as NULL at read time
+        via parquet schema merging. Without it, a schema mismatch is an
+        error — silent widening is how tables rot."""
+        m = self.current
+        existing = set(self.read().columns)
+        extra = [c for c in df.columns if c not in existing]
+        missing = [c for c in existing if c not in df.columns]
+        if (extra or missing) and not merge_schema:
+            raise ValueError(
+                f"append schema mismatch (new: {extra}, absent: {missing}); "
+                "pass merge_schema=True for additive evolution"
+            )
+        if missing:
+            # Additive evolution only: absent columns are filled with NULL
+            # typed from the current schema (Delta does the same).
+            cur_schema = {f.name: f.dataType for f in self.read().schema.fields}
+            for c in missing:
+                df = df.withColumn(c, F.lit(None).cast(cur_schema[c]))
+        version = m.version + 1
+        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        _shape_for_write(df, tuple(m.cluster_by), num_files).write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+        ]
+        metrics = {
+            "rows_appended": sum(e.rows for e in new_entries),
+            "files_added": len(new_entries),
+            "columns_added": len(extra),
+        }
+        manifest = Manifest(
+            version=version,
+            operation="APPEND",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + new_entries,
+            cluster_by=m.cluster_by,
+            metrics=metrics,
+        )
+        _write_manifest(self.root, manifest)
+        self.manifests.append(manifest)
+        return metrics
 
     # ---------- DELETE / UPDATE (file-level copy-on-write DML) ----------
 

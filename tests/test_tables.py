@@ -208,3 +208,29 @@ def test_update_old_row_semantics(spark, tdir):
     assert row["tag"] == "was-10.0"  # old value, not the doubled one
     assert t.read().filter(F.col("key") == 50).first()["value"] == 125.0
     assert t.read().count() == 100
+
+
+def test_append_requires_merge_schema_for_new_columns(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/ta", _base_df(spark, 100), num_files=2)
+    evolved = _base_df(spark, 10).withColumn("extra", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(evolved)
+    metrics = t.append(evolved, merge_schema=True)
+    assert metrics == {"rows_appended": 10, "files_added": 1, "columns_added": 1}
+    got = t.read()
+    assert got.count() == 110
+    # pre-evolution rows surface the new column as NULL
+    assert got.filter(F.col("extra").isNull()).count() == 100
+    # append never rewrites: version 0 files all carried over
+    assert t.read(version=0).count() == 100
+
+
+def test_append_missing_column_null_filled(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/tm", _base_df(spark, 50), num_files=1)
+    narrow = _base_df(spark, 5).drop("tag")
+    with pytest.raises(ValueError):
+        t.append(narrow)
+    t.append(narrow, merge_schema=True)
+    got = t.read()
+    assert got.count() == 55
+    assert got.filter(F.col("tag").isNull()).count() == 5
