@@ -169,3 +169,32 @@ def drain_to_table(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static dimension (stand-in for any slowly-changing dim table):
+    deterministic tier per user. Derived from the batch table so the
+    stream-static join has a concrete, reproducible right side."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join. The static side is broadcast into
+    every microbatch — stateless (no streaming state at all), so it
+    composes freely with downstream stateful ops. At 100 TB the static
+    side is the bounded one (a dim table), never the stream."""
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def dedup_replay(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exactly-once replay dedup: drop duplicate event_ids. State holds
+    one entry per key seen within the watermark horizon; late duplicates
+    beyond it would re-emit — the documented at-least-once boundary every
+    streaming dedup carries. Source replays/overlapping backfills become
+    idempotent."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])

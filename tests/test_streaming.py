@@ -104,3 +104,45 @@ def test_bounded_microbatches(spark):
         .collect()[0]["n"]
     )
     assert total == batch_total
+
+
+def test_stream_static_join_equals_batch(spark):
+    dim = streaming.user_tier_dim(spark, SMOKE_SF)
+    stream = streaming.stream_events(spark, SMOKE_SF)
+    got = streaming.drain_to_table(
+        streaming.enrich_stream_with_dim(stream, dim), "t_enrich",
+        output_mode="append",
+    )
+    agg = lambda df: _canon_rows(
+        df.groupBy("tier").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    batch = spark.read.parquet(f"{SMOKE_SF}/events.parquet")
+    expected = batch.join(F.broadcast(dim), "user_id", "left")
+    assert agg(got) == agg(expected)
+    # every stream row found its dim row (left join left no nulls)
+    assert got.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_dedup_replay_makes_duplicated_source_idempotent(spark, tmp_path):
+    import pyspark.sql.functions as SF
+
+    base = spark.range(200).select(
+        SF.col("id").alias("event_id"),
+        SF.timestamp_micros((SF.lit(1700000000) + SF.col("id")) * 1000000).alias("ts"),
+        (SF.col("id") % 4).cast("string").alias("event_type"),
+    )
+    src = str(tmp_path / "replayed")
+    # simulate an overlapping backfill: the same batch lands twice
+    base.write.parquet(src)
+    base.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    got = streaming.drain_to_table(
+        streaming.dedup_replay(stream), "t_dedup_replay", output_mode="append"
+    )
+    assert got.count() == 200
+    assert _canon_rows(got.select("event_id", "event_type")) == _canon_rows(
+        base.select("event_id", "event_type")
+    )
