@@ -11,7 +11,8 @@ provides the same capability surface natively in PySpark:
 - ``queries``    — the operator-inventory query set (SURVEY.md §2), each
                    query paired with a DuckDB oracle SQL string.
 - ``tables``     — a parquet-native managed table (versioned manifests)
-                   providing MERGE INTO / OPTIMIZE / DESCRIBE HISTORY
+                   providing MERGE INTO / DELETE / UPDATE / APPEND (with
+                   additive schema evolution) / OPTIMIZE / DESCRIBE HISTORY
                    semantics (reference: IncrementalTPCDSBenchmark.scala:186-283).
 - ``operators``  — large-scale data-pipeline operators: dedup (exact,
                    MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),

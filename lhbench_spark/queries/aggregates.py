@@ -255,12 +255,20 @@ def agg_sketches(spark, sf_dir):
     to their exact twins — the sketch tier that replaces exact distinct
     counting at 100 TB (HLL state is KBs and merges map-side; exact
     count(distinct) is an Expand + full shuffle of the key column)."""
-    o = table(spark, sf_dir, "orders")
+    from lhbench_spark.operators import fan_out
+
+    # Sketch building is CPU-bound (HLL register updates + GK summary
+    # inserts per row); parquet byte-sizing gives this table only a few
+    # partitions, so rebalance to cluster parallelism first.
+    o = fan_out(table(spark, sf_dir, "orders"))
     row = o.agg(
         F.countDistinct("o_custkey").alias("exact_ndv"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_ndv"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
-        F.expr("percentile_approx(o_totalprice, 0.5, 1000000)").alias("tight_p50"),
+        # Reference value for the tolerance check: the EXACT median. A
+        # near-exact approx sketch (accuracy 1e6) was 20x more expensive
+        # here — GK-summary merge cost grows with accuracy — and weaker.
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
     )
     return row.select(
         F.col("exact_ndv"),
@@ -270,8 +278,8 @@ def agg_sketches(spark, sf_dir):
             <= 0.05
         ).alias("ndv_within_5pct"),
         (
-            F.abs(F.col("approx_p50") - F.col("tight_p50"))
-            / F.col("tight_p50")
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.col("exact_p50")
             <= 0.02
         ).alias("p50_within_2pct"),
     )
