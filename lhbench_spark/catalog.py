@@ -34,19 +34,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and predicate pushdown for free; callers must not ``.cache()`` by
     default (the reference never caches, Benchmark.scala:146-147).
 
-    `events.ts` is written as TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; the session sets ``spark.sql.legacy.parquet.nanosAsLong``
-    once at build time (session.get_spark) so it reads as a long, and we
-    convert with integer ns→µs division — matching DuckDB's truncation
-    exactly. No per-call session-conf mutation here: reads must be pure."""
+    `events.ts` has shipped as both TIMESTAMP(MICROS) (reads as a
+    timestamp directly) and TIMESTAMP(NANOS) (with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it reads as a long of epoch
+    nanos). Dispatch on the *actual* read dtype rather than assuming one
+    encoding — a session we don't control (the driver's) may configure the
+    reader differently. The long path converts with integer ns→µs
+    division, matching DuckDB's truncation exactly. No per-call
+    session-conf mutation here: reads must be pure."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

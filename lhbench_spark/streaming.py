@@ -31,8 +31,9 @@ def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over the events table (schema declared from the
-    batch reader — streaming sources never infer). The nanos→micros ts
-    conversion matches lhbench_spark.catalog.table exactly."""
+    batch reader — streaming sources never infer). The ts dtype dispatch
+    (micros-native vs legacy nanos-as-long) matches
+    lhbench_spark.catalog.table exactly."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source monitors a DIRECTORY; events.parquet is a
     # single file, so stream the parent dir with a glob filter.
@@ -42,7 +43,16 @@ def stream_events(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        # withWatermark requires TIMESTAMP (LTZ); the session timezone is
+        # pinned to UTC so this cast changes the type, not the wall time.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_window_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -54,14 +54,15 @@ def test_stateful_user_activity_equals_batch(spark):
         "t_stateful",
         output_mode="update",
     )
+    from lhbench_spark.catalog import table
+
     batch = (
-        spark.read.parquet(f"{SMOKE_SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        table(spark, SMOKE_SF, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("event_cnt"),
             F.sum(F.col("value").cast("double")).alias("total_value"),
-            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("last_ts_us"),
             F.array_sort(
                 F.collect_list(
                     F.struct("ts", "event_id", F.col("value").cast("double").alias("value"))
