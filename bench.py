@@ -105,18 +105,43 @@ def main() -> int:
         for name, msg in errors.items():
             print(f"  {name}: {msg}", file=sys.stderr)
 
-    line = {
-        "metric": "suite-median-sum",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in sorted(medians.items())},
-        "sf": sf,
-        "iterations": iters_done,
-        "n_queries": len(suite),
-        "n_errored": len(errors),
-        "wall_clock_sec": round(wall, 1),
-    }
-    print(json.dumps(line))
+    # The driver captures only the last ~2000 chars of stdout and parses
+    # the final line as JSON — a longer line gets head-truncated and is
+    # unparseable (this is exactly what nulled BENCH_r02). Emit compact
+    # JSON and, if the full per-query map still doesn't fit, keep the
+    # slowest queries (the ones that matter for perf judging) and say how
+    # many were omitted; bench_report.json always has the full map.
+    MAX_LINE = 1900
+
+    def render(qmap: dict[str, float], omitted: int) -> str:
+        line = {
+            "metric": "suite-median-sum",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in sorted(qmap.items())},
+            "sf": sf,
+            "iterations": iters_done,
+            "n_queries": len(suite),
+            "n_errored": len(errors),
+            "wall_clock_sec": round(wall, 1),
+        }
+        if omitted:
+            line["queries_omitted"] = omitted
+        return json.dumps(line, separators=(",", ":"))
+
+    by_cost = sorted(medians, key=medians.get, reverse=True)
+    keep = len(by_cost)
+    out = render(medians, 0)
+    while len(out) > MAX_LINE and keep > 1:
+        keep -= 1
+        out = render({k: medians[k] for k in by_cost[:keep]}, len(by_cost) - keep)
+    if keep < len(by_cost):
+        print(
+            f"bench: per-query map trimmed to the {keep} slowest queries to fit "
+            f"the driver's line buffer; dropped (fastest): {sorted(by_cost[keep:])}",
+            file=sys.stderr,
+        )
+    print(out)
     return 0
 
 
