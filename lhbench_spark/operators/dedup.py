@@ -31,7 +31,11 @@ from lhbench_spark.operators import fan_out, hashing, textnorm
 
 # Buckets larger than this are dropped from pair generation (they indicate
 # degenerate/boilerplate content that needs a dedicated rule, not n² work).
-MAX_BUCKET = 1000
+# 256 keeps the worst bucket's pair contribution ≤ ~32k pairs; template-y
+# corpora otherwise put >10% of all docs in one band bucket and the
+# "capped" candidate set goes quadratic anyway (measured 1.1M candidate
+# pairs from 5k docs with the cap at 1000).
+MAX_BUCKET = 256
 
 
 def normalized(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -167,6 +171,12 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
     )
+    # Size-ratio prefilter: for sets, jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so pairs failing the ratio can't pass the threshold — an exact
+    # (never-lossy) int compare that skips the intersect for them.
+    pairs = pairs.filter(
+        F.least("_za", "_zb") >= threshold * F.greatest("_za", "_zb")
+    )
     # |A∪B| = |A|+|B|-|A∩B| for sets: one array_intersect per pair (CSE'd
     # within each operator) instead of materializing the concatenated
     # distinct union array — the hot expression at verify volume.
@@ -237,9 +247,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard within blocking buckets. The blocking key is
     the scale lever: pairs are only formed inside a bucket, and the bucket
     cap applies UNCONDITIONALLY on the composite key — a boilerplate-heavy
-    (lang, source) block cannot go quadratic."""
+    (lang, source) block cannot go quadratic.
+
+    The verify intersects DISTINCT H32 shingle-hash sets (int64), not the
+    shingle strings — same trick as the MinHash verify: int comparisons at
+    pair volume, identical H32 in the DuckDB oracle."""
     sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"), *block_cols, "_shingles"
+        F.col(id_col).alias("_id"),
+        *block_cols,
+        F.array_distinct(F.expr(hashing.shingle_hashes_spark("_shingles"))).alias(
+            "_shingles"
+        ),
     )
     # Composite blocking key (unit separator keeps it collision-free for
     # text block columns); the cap is never skipped. Cached for the same
@@ -273,6 +291,10 @@ def ngram_jaccard_pairs(
             F.col("_sz").alias("_zb"),
         ),
         "doc_b",
+    )
+    # Same exact-safe size-ratio prune as the MinHash verify.
+    pairs = pairs.filter(
+        F.least("_za", "_zb") >= threshold * F.greatest("_za", "_zb")
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     jac = inter / (F.col("_za") + F.col("_zb") - inter)

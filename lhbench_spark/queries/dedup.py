@@ -209,26 +209,36 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-_NGRAM_ORACLE = f"""
-WITH norm AS (
+def _ngram_pairs_cte_body(threshold: float) -> str:
+    """Shared DuckDB CTE chain for n-gram-Jaccard pairs inside
+    (lang, source) blocks — Jaccard over DISTINCT H32 shingle-hash sets,
+    mirroring operators.dedup.ngram_jaccard_pairs exactly (same H32, same
+    bucket cap)."""
+    return f"""norm AS (
     SELECT doc_id, lang, source, {_NORM} AS t FROM documents
 ), sh_raw AS (
-    SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM norm
+    SELECT doc_id, lang, source,
+           list_distinct({hashing.shingle_hashes_duck(_SHINGLES)}) AS hset
+    FROM norm
 ), sh AS (
     SELECT * FROM sh_raw
     QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
 ), raw_pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))) AS jac
+           CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
+           / (len(a.hset) + len(b.hset)
+              - len(list_intersect(a.hset, b.hset))) AS jac
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 ), pairs AS (
     -- filter on the UNROUNDED value, round afterwards (operator order)
     SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
-    FROM raw_pairs WHERE jac >= 0.2
-)
+    FROM raw_pairs WHERE jac >= {threshold}
+)"""
+
+
+_NGRAM_ORACLE = f"""
+WITH {_ngram_pairs_cte_body(0.2)}
 SELECT COUNT(*) AS pair_cnt,
        CAST(SUM(CAST(jaccard AS DECIMAL(18,8))) AS DOUBLE) AS jac_sum,
        MAX(jaccard) AS jac_max
@@ -259,23 +269,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # the symmetrized edge set, cluster label = MIN(reachable id) — identical
 # semantics to the min-label-propagation fixpoint in operators/cluster.py.
 _CLUSTER_ORACLE = f"""
-WITH RECURSIVE norm AS (
-    SELECT doc_id, lang, source, {_NORM} AS t FROM documents
-), sh_raw AS (
-    SELECT doc_id, lang, source, {_SHINGLES} AS shingles FROM norm
-), sh AS (
-    SELECT * FROM sh_raw
-    QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
-), raw_pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))) AS jac
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-), pairs AS (
-    SELECT doc_a, doc_b FROM raw_pairs WHERE jac >= 0.5
-), sym AS (
+WITH RECURSIVE {_ngram_pairs_cte_body(0.5)}, sym AS (
     SELECT doc_a AS s, doc_b AS d FROM pairs
     UNION
     SELECT doc_b, doc_a FROM pairs
