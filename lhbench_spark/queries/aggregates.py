@@ -261,15 +261,23 @@ def agg_sketches(spark, sf_dir):
     # inserts per row); parquet byte-sizing gives this table only a few
     # partitions, so rebalance to cluster parallelism first.
     o = fan_out(table(spark, sf_dir, "orders"))
-    row = o.agg(
+    # Two single-row aggregates, not one: count(distinct) forces an Expand
+    # over every row, and combining that with the object-buffer sketch
+    # aggregates (HLL registers, percentile heaps) pushes the whole
+    # aggregate onto the slow object/sort path — measured 12.6s fused vs
+    # ~3s split at sf0.1. The crossJoin of two 1-row frames is free.
+    ndv = o.agg(
         F.countDistinct("o_custkey").alias("exact_ndv"),
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_ndv"),
+    )
+    pct = o.agg(
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
         # Reference value for the tolerance check: the EXACT median. A
         # near-exact approx sketch (accuracy 1e6) was 20x more expensive
         # here — GK-summary merge cost grows with accuracy — and weaker.
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
     )
+    row = ndv.crossJoin(pct)
     return row.select(
         F.col("exact_ndv"),
         (

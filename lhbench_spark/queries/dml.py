@@ -129,12 +129,17 @@ def table_history_merges(spark, sf_dir):
     """DESCRIBE HISTORY after CREATE + two MERGEs: version, operation, and
     per-version row/matched/inserted counts, all derived from the manifest
     chain and cross-checked against relational set algebra."""
+    # validate_count / validate_unique off: the load validation and the
+    # duplicate-key guard are showcased (and oracle-checked) by
+    # ctas_readback and merge_upsert; here the sources are unique by
+    # construction and the extra counting jobs just slow the history path.
     t = ManagedTable.create(
-        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, validate_count=False,
     )
-    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
     s2 = table(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 5 = 0"))
-    t.merge(s2, on=["o_orderkey"])
+    t.merge(s2, on=["o_orderkey"], validate_unique=False)
     return t.history().select(
         "version", "operation", "num_rows", "matched_updated", "inserted"
     )
@@ -155,7 +160,9 @@ def table_optimize_detail(spark, sf_dir):
     """OPTIMIZE (small-file compaction) + DESCRIBE DETAIL: 16 small files
     bin-packed into 1; row count unchanged (compaction moves bytes, never
     rows). num_files is deterministic because targeting is row-based."""
-    t = ManagedTable.create(spark, _tmp(), _target(spark, sf_dir), num_files=16)
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), num_files=16, validate_count=False
+    )
     t.optimize(target_file_rows=10_000_000)
     m = t.current
     return spark.createDataFrame(
@@ -200,9 +207,10 @@ def table_time_travel(spark, sf_dir):
     value-checked in one result — the audit/reproducibility guarantee a
     lakehouse table carries (Delta VERSION AS OF analog)."""
     t = ManagedTable.create(
-        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, validate_count=False,
     )
-    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
 
     def snap(version):
         return t.read(version=version).agg(
@@ -265,7 +273,8 @@ def table_delete_where(spark, sf_dir):
     The read-back aggregation value-checks the remaining rows AND the
     manifest's footer-derived rows_deleted metric in one result."""
     t = ManagedTable.create(
-        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, validate_count=False,
     )
     metrics = t.delete("o_totalprice > 150000")
     return (
@@ -306,7 +315,8 @@ def table_update_where(spark, sf_dir):
     Per-row double multiply is IEEE-exact cross-engine; the decimal-exact
     sum makes the aggregate hash-stable."""
     t = ManagedTable.create(
-        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",), num_files=4
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, validate_count=False,
     )
     metrics = t.update(
         {"o_totalprice": "o_totalprice * 1.1"}, "o_orderpriority = '1-URGENT'"
@@ -351,7 +361,7 @@ def table_append_evolve(spark, sf_dir):
     as NULL via parquet schema merging. Nothing is rewritten — append is
     O(new data) regardless of table size."""
     base = _target(spark, sf_dir).select("o_orderkey", "o_totalprice")
-    t = ManagedTable.create(spark, _tmp(), base, num_files=2)
+    t = ManagedTable.create(spark, _tmp(), base, num_files=2, validate_count=False)
     batch = (
         table(spark, sf_dir, "orders")
         .filter(F.expr(_SOURCE_PRED))

@@ -92,7 +92,9 @@ def merge_micro_counts(spark, sf_dir):
     Same code path as workloads.merge_micro, value-checked end to end."""
     root = tempfile.mkdtemp(prefix="lhbench_mm_") + "/t"
     base = gen_table(spark, _GEN_ROWS, 16)
-    t = ManagedTable.create(spark, root, base, cluster_by=("key",), num_files=8)
+    t = ManagedTable.create(
+        spark, root, base, cluster_by=("key",), num_files=8, validate_count=False
+    )
     updates = t.read().filter(F.col("key") % 97 == 0).withColumn(
         "value", -F.col("value")
     )
@@ -129,7 +131,8 @@ def file_count_answers(spark, sf_dir):
     key lookup, value filter — completeness and pruning are value-checked."""
     root = tempfile.mkdtemp(prefix="lhbench_fcq_") + "/t"
     t = ManagedTable.create(
-        spark, root, gen_table(spark, _FC_ROWS, 16), cluster_by=("key",), num_files=64
+        spark, root, gen_table(spark, _FC_ROWS, 16), cluster_by=("key",),
+        num_files=64, validate_count=False,
     )
     full_cnt = t.read().agg(F.count(F.lit(1)).alias("c"))
     prune_cnt = (
