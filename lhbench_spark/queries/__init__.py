@@ -18,6 +18,7 @@ from lhbench_spark.queries import (  # noqa: F401
     similarity,
     text,
     multimodal,
+    streamq,
 )
 
 __all__ = ["QueryDef", "all_queries", "get_query"]

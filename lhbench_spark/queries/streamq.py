@@ -1,0 +1,206 @@
+"""Structured Streaming queries, registered as oracle-checked entries.
+
+The reference is batch-only (SURVEY.md §2.10); this module makes the
+streaming surface a first-class, value-checked part of the inventory.
+Each entry builds a streaming pipeline from ``lhbench_spark.streaming``,
+drains it with ``trigger(availableNow=True)`` (process everything
+currently available, then stop — the backfill/replay semantics), and
+returns the drained result as a plain DataFrame. Because availableNow
+over a static source is batch-equivalent, the DuckDB oracles can verify
+VALUES, not just row counts — including the ``applyInPandasWithState``
+custom stateful operator, whose order-dependent EMA fold is replayed in
+DuckDB with ``list_reduce`` over the identically-ordered value list
+(same IEEE double ops in the same order ⇒ bit-identical).
+
+At 100 TB these exact pipelines run unbounded: swap the file source for
+Kafka, keep the watermarks; state stays bounded (per-window, per-session,
+or per-user scalars) regardless of stream length.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lhbench_spark import streaming
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+# Memory-sink table names must be unique per drain (bench iterations and
+# correctness runs share a session).
+_SINK_SEQ = itertools.count()
+
+
+def _sink(prefix: str) -> str:
+    return f"{prefix}_{next(_SINK_SEQ)}"
+
+
+@query(
+    "stream_tumbling_window",
+    tags=("streaming", "window-agg", "events"),
+    oracle=f"""
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Streaming tumbling-window aggregation (window() + watermark),
+    drained with availableNow — value-identical to the batch twin
+    (events_tumbling_window) because nothing is late relative to a full
+    replay. State = one row per (day, event_type) in the horizon."""
+    stream = streaming.stream_events(spark, sf_dir)
+    return streaming.drain_to_table(
+        streaming.tumbling_window_counts(stream), _sink("t_stream_tumbling")
+    )
+
+
+@query(
+    "stream_sessionize",
+    tags=("streaming", "session-window", "events"),
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+), sess AS (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM gaps
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS session_cnt,
+       COUNT(*) AS event_cnt
+FROM sess
+GROUP BY user_id
+""",
+)
+def stream_sessionize(spark, sf_dir):
+    """session_window (30-min gap) streaming sessionization + per-user
+    rollup of the drained session stream. The oracle recomputes sessions
+    relationally (lag + running sum of session starts) — gap-merge
+    semantics are value-checked, not assumed."""
+    stream = streaming.stream_events(spark, sf_dir)
+    sessions = streaming.drain_to_table(
+        streaming.session_counts(stream), _sink("t_stream_sessions")
+    )
+    return streaming.sessionize_per_user(sessions)
+
+
+# The stateful fold replayed in DuckDB: identical alpha constants
+# (rendered from the SAME Python floats the pandas fold uses), identical
+# (ts, event_id) order, identical left-fold structure. list_reduce seeds
+# the accumulator with the first element — exactly the fold's
+# "first value initializes the EMA" rule.
+_EMA_ALPHA = 0.3
+_EMA_BETA = 1.0 - _EMA_ALPHA
+
+_STATEFUL_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vals,
+           COUNT(*) AS event_cnt,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id, event_cnt,
+       list_reduce(vals, (acc, x) -> acc + x) AS total_value,
+       last_ts_us,
+       list_reduce(vals, (acc, x) ->
+           CAST({_EMA_ALPHA!r} AS DOUBLE) * x
+           + CAST({_EMA_BETA!r} AS DOUBLE) * acc) AS ema_value
+FROM ordered
+"""
+
+
+@query(
+    "stream_stateful_ema",
+    tags=("streaming", "stateful", "applyInPandasWithState", "events"),
+    oracle=_STATEFUL_ORACLE,
+)
+def stream_stateful_ema(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user count,
+    sequential value sum, last-seen micros, and an order-dependent EMA —
+    state no built-in streaming aggregate can express. The oracle replays
+    the same left fold in DuckDB over the identically-ordered list, so
+    the Arrow/pandas state path is value-checked bit-for-bit."""
+    stream = streaming.stream_events(spark, sf_dir)
+    return streaming.drain_to_table(
+        streaming.user_activity_stateful(stream, alpha=_EMA_ALPHA),
+        _sink("t_stream_stateful"),
+        output_mode="update",
+    )
+
+
+@query(
+    "stream_dedup_replay",
+    tags=("streaming", "dedup", "exactly-once", "events"),
+    oracle=f"""
+SELECT COUNT(DISTINCT event_id) AS n_ids,
+       COUNT(DISTINCT event_id) AS cnt,
+       {dsum_sql("value")} AS value_sum
+FROM events
+""",
+)
+def stream_dedup_replay(spark, sf_dir):
+    """Exactly-once replay dedup: the SAME source batch lands twice (an
+    overlapping backfill), the stream drops duplicate event_ids, and the
+    drained result aggregates to exactly one copy of every event — the
+    oracle aggregates the pristine source once. State: one entry per
+    event_id inside the watermark horizon."""
+    src = tempfile.mkdtemp(prefix="lhbench_replay_") + "/events"
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base.write.parquet(src)
+    base.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    ts_type = base.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = streaming.drain_to_table(
+        streaming.dedup_replay(stream), _sink("t_stream_replay"), output_mode="append"
+    )
+    return got.agg(
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("value").alias("value_sum"),
+    )
+
+
+@query(
+    "stream_enrich_static",
+    tags=("streaming", "stream-static-join", "events"),
+    oracle="""
+SELECT CAST(user_id % 3 AS INT) AS tier,
+       COUNT(*) AS cnt,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def stream_enrich_static(spark, sf_dir):
+    """Stream-static enrichment join (static dim broadcast into every
+    microbatch, stateless) + rollup of the enriched stream by tier. The
+    oracle recomputes the tier from the join key directly, so a dropped
+    or duplicated stream row fails the value check."""
+    dim = streaming.user_tier_dim(spark, sf_dir)
+    stream = streaming.stream_events(spark, sf_dir)
+    enriched = streaming.drain_to_table(
+        streaming.enrich_stream_with_dim(stream, dim),
+        _sink("t_stream_enrich"),
+        output_mode="append",
+    )
+    return enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
