@@ -215,3 +215,46 @@ def csv_refresh_view(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         dsum("revenue").alias("revenue_sum"),
     )
+
+
+_WRITER_SINK_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS price_sum
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "writer_partitioned_readback",
+    tags=("sink", "partitioned-write", "partition-pruning"),
+    oracle=_WRITER_SINK_ORACLE,
+)
+def writer_partitioned_readback(spark, sf_dir):
+    """DataFrameWriter sink (IncrementalTPCDSBenchmark.scala:363-374,
+    FileCountBenchmark.scala:230-237): Hive-style partitionBy write with
+    bounded files-per-partition and sortWithinPartitions, read back with a
+    partition-key filter — partition pruning applies at the scan (only the
+    two matching key=value directories are read), and the oracle
+    recomputes from the source, so write->read fidelity is value-checked."""
+    from lhbench_spark import sinks
+
+    out = tempfile.mkdtemp(prefix="lhbench_wsink_") + "/orders_by_prio"
+    sinks.write_partitioned(
+        table(spark, sf_dir, "orders"),
+        out,
+        partition_by=("o_orderpriority",),
+        files_per_partition=2,
+        sort_within=("o_orderkey",),
+    )
+    back = sinks.read_partitioned(spark, out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+        .cast("double")
+        .alias("price_sum"),
+    )
