@@ -50,8 +50,17 @@ def connected_components(
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).localCheckpoint(
         eager=True
     )
+    # Right-size the round partitioning to the graph, not the session
+    # default: each propagation round schedules its joins over this many
+    # partitions, and a near-dup graph is orders of magnitude smaller than
+    # the corpus that produced it (32-way task scheduling on a few
+    # thousand edges costs more than the joins themselves). ~1M edges per
+    # partition; grows with the graph at cluster scale.
+    n_edges = e.count()
+    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     sym = (
         e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .repartition(parts, "_s")
         .dropDuplicates(["_s", "_d"])
         .localCheckpoint(eager=True)
     )
