@@ -145,10 +145,16 @@ def simhash_from_hashes_duck(hashes: str) -> str:
 
 
 def simhash_band_keys_spark(fp: str) -> str:
-    """array<string> of 15-bit band keys over a 60-bit fingerprint column."""
+    """array<string> of 15-bit band keys over a 60-bit fingerprint column.
+
+    The fingerprint is cast to BIGINT before shifting: Java's shift uses
+    only the low 5 bits of the amount on INT operands, so a 32-bit-typed
+    fp would silently wrap ``>> 45`` into ``>> 13`` (hypothesis parity
+    test finding) — the cast makes the width explicit."""
     mask = (1 << SIMHASH_BAND_BITS) - 1
     keys = [
-        f"concat('{b}:', CAST(SHIFTRIGHT({fp}, {b * SIMHASH_BAND_BITS}) & {mask} AS STRING))"
+        f"concat('{b}:', CAST(SHIFTRIGHT(CAST({fp} AS BIGINT), "
+        f"{b * SIMHASH_BAND_BITS}) & {mask} AS STRING))"
         for b in range(SIMHASH_BANDS)
     ]
     return "array(" + ", ".join(keys) + ")"
@@ -157,7 +163,8 @@ def simhash_band_keys_spark(fp: str) -> str:
 def simhash_band_keys_duck(fp: str) -> str:
     mask = (1 << SIMHASH_BAND_BITS) - 1
     keys = [
-        f"concat('{b}:', CAST(({fp} >> {b * SIMHASH_BAND_BITS}) & {mask} AS VARCHAR))"
+        f"concat('{b}:', CAST((CAST({fp} AS BIGINT) >> {b * SIMHASH_BAND_BITS})"
+        f" & {mask} AS VARCHAR))"
         for b in range(SIMHASH_BANDS)
     ]
     return "[" + ", ".join(keys) + "]"

@@ -18,12 +18,28 @@ STOPWORDS = {
 }
 
 
+# Explicit ASCII whitespace class {space, \t, \n, \r, \f, \v} and explicit
+# space-only trim, semantically identical in both dialects. Three
+# cross-engine traps here, all found by the hypothesis parity test
+# (tests/test_dialect_parity.py):
+# - a bare ``\s`` diverges (Java regex is ASCII-only; DuckDB's RE2 also
+#   matches U+00A0);
+# - DuckDB's bare trim() strips unicode spaces, Spark's only ' ';
+# - the literal ESCAPING differs: Spark's SQL parser processes escapes in
+#   the string literal itself (``\x0B`` is not a recognized parser escape
+#   and silently becomes the chars ``x0B`` — making '0' whitespace!), so
+#   the Spark class spells control chars as parser-level ``\uXXXX``;
+#   DuckDB passes backslashes through to RE2, which wants ``\t``-style.
+_WS_SPARK = "[ \\u0009\\u000A\\u000D\\u000C\\u000B]+"
+_WS_DUCK = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def norm_spark(expr: str) -> str:
-    return f"trim(regexp_replace(lower({expr}), '\\\\s+', ' '))"
+    return f"trim(BOTH ' ' FROM regexp_replace(lower({expr}), '{_WS_SPARK}', ' '))"
 
 
 def norm_duck(expr: str) -> str:
-    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace(lower({expr}), '{_WS_DUCK}', ' ', 'g'), ' ')"
 
 
 def tokens_spark(expr: str) -> str:
