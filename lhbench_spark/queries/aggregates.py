@@ -327,3 +327,45 @@ def agg_percentiles_exact(spark, sf_dir):
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
     )
+
+
+# -- Multi-distinct in one aggregate (q28 shape) ---------------------------
+# TPC-DS q28 computes several COUNT(DISTINCT) over different predicate
+# buckets of the same table in ONE query (TPCDSBenchmarkQueries.scala:
+# 1529-1580). Catalyst plans this with a single Expand (one row copy per
+# distinct group) feeding a shared hash aggregate — one scan, not one
+# scan per bucket; the oracle computes the same conditional distincts.
+_MULTI_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT CASE WHEN l_quantity <= 10 THEN l_extendedprice END) AS ndv_low,
+       COUNT(DISTINCT CASE WHEN l_quantity > 10 AND l_quantity <= 30
+                           THEN l_extendedprice END) AS ndv_mid,
+       COUNT(DISTINCT CASE WHEN l_quantity > 30 THEN l_extendedprice END) AS ndv_high,
+       COUNT(DISTINCT l_suppkey) AS ndv_supp,
+       COUNT(*) AS cnt
+FROM lineitem
+"""
+
+
+@query(
+    "agg_multi_distinct_buckets",
+    tags=("agg", "count-distinct", "expand"),
+    oracle=_MULTI_DISTINCT_ORACLE,
+)
+def agg_multi_distinct_buckets(spark, sf_dir):
+    """Several count(distinct) over different predicate buckets in one
+    aggregate (the q28 idiom): Catalyst's Expand-based multi-distinct —
+    one scan feeding all four distinct groups plus the plain count."""
+    li = table(spark, sf_dir, "lineitem")
+    low = F.when(F.col("l_quantity") <= 10, F.col("l_extendedprice"))
+    mid = F.when(
+        (F.col("l_quantity") > 10) & (F.col("l_quantity") <= 30),
+        F.col("l_extendedprice"),
+    )
+    high = F.when(F.col("l_quantity") > 30, F.col("l_extendedprice"))
+    return li.agg(
+        F.countDistinct(low).alias("ndv_low"),
+        F.countDistinct(mid).alias("ndv_mid"),
+        F.countDistinct(high).alias("ndv_high"),
+        F.countDistinct("l_suppkey").alias("ndv_supp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
