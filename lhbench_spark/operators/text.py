@@ -116,3 +116,69 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "tfidf", "rnk")
     )
+
+
+def _word_grams_spark(tok_array_col: str, n: int) -> str:
+    """Spark expr: distinct H32 hashes of word n-grams over a PRE-COMPUTED
+    token-array column (tokens materialized once — the regex must not be
+    re-evaluated per window). Guarded for < n tokens: an unguarded
+    sequence(1, size-n+1) DESCENDS when size < n in Spark (DuckDB's
+    range() returns empty), so the guard is a dialect-parity requirement
+    as well as a semantic one."""
+    from lhbench_spark.operators import hashing
+
+    gram = hashing.h32_spark(f"concat_ws(' ', slice({tok_array_col}, i, {n}))")
+    return (
+        f"CASE WHEN size({tok_array_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tok_array_col}) - {n - 1}), "
+        f"i -> {gram})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def _word_grams_duck(tok_list_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`_word_grams_spark` (same H32, same windows)."""
+    from lhbench_spark.operators import hashing
+
+    gram = hashing.h32_duck(
+        f"array_to_string(list_slice({tok_list_expr}, i, i + {n - 1}), ' ')"
+    )
+    return (
+        f"CASE WHEN len({tok_list_expr}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({tok_list_expr}) - {n - 2}), "
+        f"i -> {gram})) "
+        f"ELSE []::BIGINT[] END"
+    )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per train doc, the number of DISTINCT
+    word n-grams it shares with ANY eval-set document.
+
+    The standard guard against eval leakage in a training corpus
+    (n-gram-overlap decontamination). Plan shape for 100 TB: the eval
+    side is a benchmark suite — thousands of docs, not billions — so its
+    distinct gram-hash set broadcasts; the train side explodes to
+    (doc, gram) and the join + count is one shuffle on the train side
+    only. Output: (doc_id, hits), only docs with >= 1 hit."""
+    toks = textnorm.tokens_spark(text_col)
+
+    def grams(df: DataFrame) -> DataFrame:
+        tokenized = df.select(F.col(id_col).alias("_id"), F.expr(toks).alias("_t"))
+        return tokenized.select(
+            "_id", F.explode(F.expr(_word_grams_spark("_t", n))).alias("_g")
+        )
+
+    eval_grams = grams(eval_df).select("_g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(eval_grams), "_g")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )

@@ -356,3 +356,62 @@ def text_pii_redact(spark, sf_dir):
         red.alias("redacted"),
         F.length(red).alias("redacted_len"),
     )
+
+
+# -- Benchmark decontamination --------------------------------------------
+# Eval set = doc_id % 29 == 0 (a deterministic stand-in for a benchmark
+# suite); train = the rest. A train doc is contaminated when it shares
+# >= 1 distinct word 5-gram with any eval doc. The oracle recomputes the
+# same gram hashes (same H32, same windows) relationally.
+_DECON_N = 5
+_DECON_EVAL_PRED = "doc_id % 29 = 0"
+
+
+def _decon_oracle() -> str:
+    from lhbench_spark.operators.text import _word_grams_duck
+
+    grams = _word_grams_duck("t", _DECON_N)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+    SELECT doc_id, {grams} AS gs FROM tok
+), ev AS (
+    SELECT DISTINCT unnest(gs) AS _g FROM g WHERE {_DECON_EVAL_PRED}
+), tg AS (
+    SELECT doc_id, unnest(gs) AS _g FROM g WHERE NOT ({_DECON_EVAL_PRED})
+), hits AS (
+    SELECT tg.doc_id, COUNT(*) AS hits
+    FROM tg JOIN ev USING (_g)
+    GROUP BY tg.doc_id
+)
+SELECT COUNT(*) AS n_flagged,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
+       CAST(MAX(hits) AS BIGINT) AS max_hits,
+       CAST(MIN(doc_id) AS BIGINT) AS first_flagged
+FROM hits
+"""
+
+
+@query(
+    "text_decontaminate",
+    tags=("text", "decontamination", "ngram", "documents"),
+    oracle=_decon_oracle(),
+)
+def text_decontaminate(spark, sf_dir):
+    """Training-corpus decontamination: flag train docs sharing distinct
+    word 5-grams with the (broadcast) eval set — the standard
+    n-gram-overlap guard against benchmark leakage. Returns the bounded
+    aggregate fingerprint of the flagged set."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.expr(_DECON_EVAL_PRED))
+    train = docs.filter(~F.expr(_DECON_EVAL_PRED))
+    hits = text_ops.contamination_hits(train, eval_df, n=_DECON_N)
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        F.max("hits").cast("bigint").alias("max_hits"),
+        F.min("doc_id").cast("bigint").alias("first_flagged"),
+    )
