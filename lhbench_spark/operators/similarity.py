@@ -136,16 +136,36 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = LSH_PLANES,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the query's
-    LSH bucket. ``planes`` is the scale knob — per-query candidate count
-    ≈ corpus / 2^planes, so grow planes with the corpus
+    LSH bucket(s). ``planes`` is the scale knob — per-query candidate
+    count ≈ corpus / 2^planes, so grow planes with the corpus
     (planes ≈ log2(corpus / target_bucket)); fewer planes → bigger
-    buckets → higher recall and cost."""
+    buckets → higher recall and cost. ``probe_hamming`` adds multi-probe:
+    also search buckets within that hamming distance of the query's
+    (probe count = sum of C(planes, j) for j ≤ r). Hyperplane buckets
+    only catch HIGH-cosine neighbors (collision prob per plane is
+    1 − θ/π); when the true neighbors sit at modest cosine, prefer the
+    IVF tier — sim_ann_recall measures exactly this tradeoff."""
+    probe_cols = [F.lit(0)]
+    if probe_hamming >= 1:
+        probe_cols += [F.lit(1 << i) for i in range(planes)]
+    if probe_hamming >= 2:
+        probe_cols += [
+            F.lit((1 << i) | (1 << j))
+            for i in range(planes)
+            for j in range(i + 1, planes)
+        ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("_qv"),
-        lsh_bucket(vec_col, dim, planes).alias("_bucket"),
+        F.explode(F.array(*probe_cols)).alias("_flip"),
+        lsh_bucket(vec_col, dim, planes).alias("_qbucket"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.col("_qbucket").bitwiseXOR(F.col("_flip")).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -157,6 +177,10 @@ def ann_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
     )
+    if probe_hamming > 0:
+        # A neighbor reachable through several probed buckets scores once;
+        # single-probe needs no dedupe (and skips the extra shuffle).
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

