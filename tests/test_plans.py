@@ -72,3 +72,14 @@ def test_mapinpandas_is_arrow_batched(spark):
     plan = plan_of(q.spark_fn(spark, SMOKE_SF))
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unbroadcast_cartesian(spark, name):
+    """No registered query may plan a CartesianProduct: an intentional
+    cross join of bounded frames plans as BroadcastNestedLoopJoin (tiny
+    side broadcast); a CartesianProduct means a full n×m shuffle product
+    slipped in — fine at sf0.01, fatal at 100 TB."""
+    q = all_queries()[name]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
