@@ -258,3 +258,49 @@ def writer_partitioned_readback(spark, sf_dir):
         .cast("double")
         .alias("price_sum"),
     )
+
+
+_REFRESH_PARTS_ORACLE = """
+WITH li_delta AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+           (l_extendedprice * 1.01) AS l_extendedprice, l_discount
+    FROM lineitem WHERE l_orderkey % 7 = 1
+), rv AS (
+    SELECT COALESCE(p.p_brand, 'UNKNOWN') AS brand,
+           (l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           l.l_quantity AS quantity
+    FROM li_delta l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+)
+SELECT brand, COUNT(*) AS cnt, {rev} AS revenue_sum, {qty} AS qty_sum
+FROM rv GROUP BY brand
+""".format(rev=dsum_sql("revenue"), qty=dsum_sql("quantity"))
+
+
+@query(
+    "csv_refresh_parts_view",
+    tags=("csv", "refresh", "staging", "compound-dim"),
+    oracle=_REFRESH_PARTS_ORACLE,
+)
+def csv_refresh_parts_view(spark, sf_dir):
+    """Second refresh-view shape: the CSV-staged delta joined through the
+    part and supplier dimension chain (TPCDSRefreshSchema.scala:614-845
+    family) — same staging fidelity gate as csv_refresh_view, different
+    dimension topology (two broadcast dims keyed from different delta
+    columns)."""
+    import tempfile as _tf
+
+    from lhbench_spark.workloads import refresh as rw
+
+    work = _tf.mkdtemp(prefix="lhbench_csvrv2_")
+    rw.write_staging_csv(rw.stage_lineitem_delta(spark, sf_dir, 1), f"{work}/li")
+    li_delta = rw.read_staging_csv(spark, f"{work}/li", rw.LINEITEM_STAGING_SCHEMA)
+    rv = rw.refresh_view_parts(
+        li_delta, table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier")
+    )
+    return rv.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("revenue").alias("revenue_sum"),
+        dsum("quantity").alias("qty_sum"),
+    )

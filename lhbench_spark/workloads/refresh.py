@@ -229,3 +229,31 @@ if __name__ == "__main__":
 
     rep = run(get_spark("refresh"), os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     print(rep.to_json())
+
+
+def refresh_view_parts(
+    li_delta: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Second refresh-view shape (the csv/cpv analog,
+    TPCDSRefreshSchema.scala:614-845): the staged fact delta joined
+    through the part AND supplier dimensions simultaneously — the
+    compound-dimension chain whose join keys come from different delta
+    columns. Both dimensions broadcast; the delta never shuffles."""
+    return (
+        li_delta.join(F.broadcast(part), li_delta.l_partkey == part.p_partkey, "left")
+        .join(
+            F.broadcast(supplier),
+            li_delta.l_suppkey == supplier.s_suppkey,
+            "left",
+        )
+        .select(
+            li_delta.l_orderkey.alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.coalesce(F.col("p_brand"), F.lit("UNKNOWN")).alias("brand"),
+            F.coalesce(F.col("s_name"), F.lit("UNKNOWN")).alias("supp_name"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.col("l_quantity").alias("quantity"),
+        )
+    )
