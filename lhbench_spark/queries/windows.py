@@ -346,3 +346,70 @@ def win_percent_rank(spark, sf_dir):
         )
         .filter(F.col("o_orderkey") % 100 == 0)
     )
+
+
+# -- Rank over ROLLUP output (q70 shape) -----------------------------------
+# TPC-DS q70 ranks states within each rollup grouping LEVEL: the window
+# PARTITION BY contains grouping()-derived expressions computed by the
+# aggregate below it (TPCDSBenchmarkQueries.scala:3582-3618). Spark
+# supports grouping() in all three positions (select list, window
+# partition, order) — this entry exercises the window-partition one.
+_RANK_ROLLUP_ORACLE = f"""
+WITH agg AS (
+    SELECT r_name, n_name,
+           {dsum_sql("c_acctbal")} AS total_bal,
+           CAST(GROUPING(r_name) AS INT) + CAST(GROUPING(n_name) AS INT)
+               AS lochierarchy
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+)
+SELECT lochierarchy, r_name, n_name, total_bal,
+       CAST(RANK() OVER (
+           PARTITION BY lochierarchy,
+                        CASE WHEN lochierarchy = 0 THEN r_name END
+           ORDER BY total_bal DESC, n_name NULLS FIRST, r_name NULLS FIRST
+       ) AS INT) AS rank_within_parent
+FROM agg
+"""
+
+
+@query(
+    "win_rank_over_rollup",
+    tags=("window", "rollup", "grouping"),
+    oracle=_RANK_ROLLUP_ORACLE,
+)
+def win_rank_over_rollup(spark, sf_dir):
+    """rank() over the output of a ROLLUP aggregate, with the grouping
+    level (and a level-conditional parent key) in the window PARTITION BY
+    — the q70 idiom. The rollup's Expand feeds one hash aggregate; the
+    window then shuffles only the aggregated (tiny) output. Fully
+    tie-broken ordering keeps ranks deterministic cross-engine."""
+    cust = table(spark, sf_dir, "customer")
+    nat = F.broadcast(table(spark, sf_dir, "nation"))
+    reg = F.broadcast(table(spark, sf_dir, "region"))
+    joined = cust.join(nat, cust.c_nationkey == nat.n_nationkey).join(
+        reg, nat.n_regionkey == reg.r_regionkey
+    )
+    agg = joined.rollup("r_name", "n_name").agg(
+        dsum("c_acctbal").alias("total_bal"),
+        (
+            F.grouping("r_name").cast("int") + F.grouping("n_name").cast("int")
+        ).alias("lochierarchy"),
+    )
+    w = Window.partitionBy(
+        F.col("lochierarchy"),
+        F.when(F.col("lochierarchy") == 0, F.col("r_name")),
+    ).orderBy(
+        F.desc("total_bal"),
+        F.asc_nulls_first("n_name"),
+        F.asc_nulls_first("r_name"),
+    )
+    return agg.select(
+        "lochierarchy",
+        "r_name",
+        "n_name",
+        "total_bal",
+        F.rank().over(w).cast("int").alias("rank_within_parent"),
+    )
