@@ -380,3 +380,60 @@ def table_append_evolve(spark, sf_dir):
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+_ZORDER_ORACLE = """
+SELECT (SELECT COUNT(*) FROM orders WHERE o_custkey = 42) AS cust_cnt,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey = 1024) AS key_cnt,
+       TRUE AS cust_pruned,
+       TRUE AS key_pruned
+"""
+
+
+@query(
+    "table_zorder_skipping",
+    tags=("ddl", "zorder", "data-skipping", "managed-table"),
+    oracle=_ZORDER_ORACLE,
+)
+def table_zorder_skipping(spark, sf_dir):
+    """Z-order clustering (Delta OPTIMIZE ZORDER BY analog): the table is
+    written sorted by the bit-interleaved Z-value of (o_custkey,
+    o_orderkey), giving every file tight min/max stats on BOTH columns —
+    manifest skipping then prunes files for predicates on EITHER column.
+    The result value-checks the pruned reads' counts against the raw
+    source (skipping must never lose rows) and pins that both prunes
+    actually skipped files (linear clustering can only serve its leading
+    column — the booleans would flip FALSE)."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        table(spark, sf_dir, "orders"),
+        num_files=16,
+        zorder_by=("o_custkey", "o_orderkey"),
+        validate_count=False,
+    )
+    total = len(t.current.files)
+
+    def scanned(col, value):
+        return sum(
+            1
+            for e in t.current.files
+            if col not in e.stats or e.stats[col][0] <= value <= e.stats[col][1]
+        )
+
+    cust_cnt = (
+        t.read(prune={"o_custkey": 42})
+        .filter(F.col("o_custkey") == 42)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    key_cnt = (
+        t.read(prune={"o_orderkey": 1024})
+        .filter(F.col("o_orderkey") == 1024)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cust_cnt.select(F.col("c").alias("cust_cnt"))
+        .crossJoin(key_cnt.select(F.col("c").alias("key_cnt")))
+        .withColumn("cust_pruned", F.lit(scanned("o_custkey", 42) < total))
+        .withColumn("key_pruned", F.lit(scanned("o_orderkey", 1024) < total))
+    )

@@ -154,6 +154,7 @@ class ManagedTable:
         num_files: int | None = None,
         mode: str = "error",
         validate_count: bool = True,
+        zorder_by: tuple[str, str] | None = None,
     ) -> "ManagedTable":
         """CTAS: write ``df`` as version 0.
 
@@ -161,6 +162,10 @@ class ManagedTable:
         per-file min/max ranges are tight (the sorted-write sink,
         FileCountBenchmark.scala:230-237); ``num_files`` pins the exact
         output file count (the repartition-to-N sink, :177).
+        ``zorder_by`` instead clusters on the bit-interleaved Z-value of
+        TWO integer columns (Delta ``OPTIMIZE ZORDER BY`` analog): files
+        get tight min/max stats on BOTH columns, so ``read(prune=…)``
+        skips files for predicates on either one.
         ``validate_count`` re-counts the source and asserts it equals the
         manifest total (TPCDSDataLoad.scala:124-128)."""
         if os.path.exists(root):
@@ -169,17 +174,44 @@ class ManagedTable:
             else:
                 raise FileExistsError(root)
         data_dir = os.path.join(root, "data", "v00000")
-        shaped = _shape_for_write(df, cluster_by, num_files)
+        if zorder_by:
+            if cluster_by:
+                raise ValueError("cluster_by and zorder_by are exclusive")
+            # Clustering analysis pass: per-column min/max to scale both
+            # dimensions to a common bit width (one metadata-sized agg —
+            # Delta's ZORDER does an equivalent range analysis).
+            ca, cb = zorder_by
+            ranges = df.agg(
+                F.min(ca).cast("long"),
+                F.max(ca).cast("long"),
+                F.min(cb).cast("long"),
+                F.max(cb).cast("long"),
+            ).collect()[0]
+            # Range-partition + sort on the Z-value, then project it away
+            # (the projection is narrow — file-internal order survives).
+            z = zorder_value(
+                ca, cb, (ranges[0], ranges[1]), (ranges[2], ranges[3])
+            )
+            shaped = (
+                df.withColumn("_z", z)
+                .repartitionByRange(num_files or 8, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            stat_cols = list(zorder_by)
+        else:
+            shaped = _shape_for_write(df, cluster_by, num_files)
+            stat_cols = list(cluster_by)
         shaped.write.parquet(data_dir)
         entries = [
-            _file_entry(root, p, list(cluster_by)) for p in _list_parquet(data_dir)
+            _file_entry(root, p, stat_cols) for p in _list_parquet(data_dir)
         ]
         manifest = Manifest(
             version=0,
             operation="CREATE",
             timestamp_ms=int(time.time() * 1000),
             files=entries,
-            cluster_by=list(cluster_by),
+            cluster_by=stat_cols,
             metrics={"num_output_rows": sum(e.rows for e in entries)},
         )
         _write_manifest(root, manifest)
@@ -540,6 +572,40 @@ def _strip_uri(p: str) -> str:
 
 def _cheap_count(df: DataFrame) -> int:
     return df.count()
+
+
+def zorder_value(
+    col_a: str,
+    col_b: str,
+    range_a: tuple[int, int],
+    range_b: tuple[int, int],
+    bits: int = 10,
+) -> F.Column:
+    """Bit-interleaved Z-value over two integer columns — the Delta
+    ``OPTIMIZE ZORDER BY (a, b)`` analog. Sorting by the Z-value gives
+    every file a tight min/max range on BOTH columns, so manifest
+    skipping prunes on either predicate (linear clustering can only
+    serve its leading column).
+
+    Both columns are min/max-scaled to ``bits`` bits BEFORE interleaving
+    — raw interleaving is silently dominated by whichever column has the
+    wider magnitude (its high bits sit above the other column's zeros and
+    the "z-order" degenerates to a linear sort on that column; observed
+    exactly that on (custkey, orderkey)). The ranges come from the
+    clustering analysis pass in :meth:`ManagedTable.create`."""
+
+    def scaled(col: str, lo: int, hi: int) -> str:
+        span = max(hi - lo, 1)
+        return (
+            f"(((CAST({col} AS BIGINT) - {lo}) * {(1 << bits) - 1}) div {span})"
+        )
+
+    a, b = scaled(col_a, *range_a), scaled(col_b, *range_b)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def _shape_for_write(
