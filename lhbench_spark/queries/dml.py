@@ -437,3 +437,58 @@ def table_zorder_skipping(spark, sf_dir):
         .withColumn("cust_pruned", F.lit(scanned("o_custkey", 42) < total))
         .withColumn("key_pruned", F.lit(scanned("o_orderkey", 1024) < total))
     )
+
+
+_VACUUM_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT (SELECT COUNT(*) FROM merged) AS cnt,
+       (SELECT {dsum_sql("o_totalprice")} FROM merged) AS total_price,
+       TRUE AS files_removed_some,
+       TRUE AS time_travel_expired
+"""
+
+
+@query(
+    "table_vacuum_retention",
+    tags=("dml", "vacuum", "managed-table"),
+    oracle=_VACUUM_ORACLE,
+)
+def table_vacuum_retention(spark, sf_dir):
+    """VACUUM (retention cleanup, Delta analog): after CREATE + MERGE,
+    vacuuming to the current version deletes exactly the data files that
+    only the pre-merge version referenced and drops its manifest — while
+    the current version's data stays byte-identical (value-checked
+    against the relational upsert). Time travel to the vacuumed version
+    must now fail: retention trades history for storage, and the query
+    pins that the trade actually happened."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, validate_count=False,
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
+    metrics = t.vacuum(retain_versions=1)
+    expired = False
+    try:
+        t.read(version=0)
+    except KeyError:
+        expired = True
+    return (
+        t.read()
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("files_removed_some", F.lit(metrics["files_removed"] > 0))
+        .withColumn("time_travel_expired", F.lit(expired))
+    )

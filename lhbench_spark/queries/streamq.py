@@ -204,3 +204,55 @@ def stream_enrich_static(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "stream_sink_managed_table",
+    tags=("streaming", "foreachBatch", "managed-table", "events"),
+    oracle=f"""
+SELECT COUNT(*) AS cnt,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       {dsum_sql("value")} AS value_sum
+FROM events
+""",
+)
+def stream_sink_managed_table(spark, sf_dir):
+    """Streaming sink into the versioned managed table via foreachBatch
+    (the Delta streaming-sink analog): each microbatch lands as an APPEND
+    commit, so the stream inherits the table's versioned manifests,
+    history, and time travel. The drained table must hold exactly the
+    source's rows — value-checked against the raw events table."""
+    import tempfile as _tf
+
+    from lhbench_spark.tables import ManagedTable
+
+    root = _tf.mkdtemp(prefix="lhbench_ssink_") + "/t"
+    stream = streaming.stream_events(spark, sf_dir)
+
+    def sink(batch_df, batch_id):
+        import os
+
+        if os.path.isdir(f"{root}/_manifests"):
+            ManagedTable(batch_df.sparkSession, root).append(batch_df, num_files=1)
+        else:
+            ManagedTable.create(
+                batch_df.sparkSession, root, batch_df, num_files=1,
+                validate_count=False,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="lhbench_sschk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    t = ManagedTable(spark, root)
+    return t.read().agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        dsum("value").alias("value_sum"),
+    )

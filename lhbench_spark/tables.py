@@ -534,6 +534,33 @@ class ManagedTable:
             self.manifests.append(manifest)
         return metrics
 
+    # ---------- VACUUM (retention cleanup) ----------
+
+    def vacuum(self, retain_versions: int = 1) -> dict[str, int]:
+        """Delete data files referenced ONLY by versions older than the
+        last ``retain_versions`` manifests, then drop those manifests —
+        the Delta ``VACUUM`` analog. Time travel to vacuumed versions is
+        gone afterwards (that's the retention tradeoff; Delta documents
+        the same). The current version's files are never touched: a file
+        carried forward by reference stays because the retained manifests
+        still list it."""
+        if retain_versions < 1:
+            raise ValueError("must retain at least the current version")
+        retained = self.manifests[-retain_versions:]
+        expired = self.manifests[:-retain_versions]
+        if not expired:
+            return {"files_removed": 0, "manifests_removed": 0}
+        keep = {e.path for m in retained for e in m.files}
+        drop = {e.path for m in expired for e in m.files} - keep
+        for rel in sorted(drop):
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+        for m in expired:
+            os.remove(_manifest_path(self.root, m.version))
+        self.manifests = retained
+        return {"files_removed": len(drop), "manifests_removed": len(expired)}
+
     # ---------- HISTORY / DETAIL ----------
 
     def history(self) -> DataFrame:
