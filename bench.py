@@ -35,7 +35,10 @@ def main() -> int:
     # once), then run further iterations only while inside the budget —
     # the driver gets a parseable line no matter how slow the slowest
     # query iteration is.
-    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # 480s: room for 3 full iterations of the ~109-query suite at sf0.1
+    # (~140s each + warmup); the driver's own tolerance is >= the 514s
+    # wall it recorded for round 2's bench without complaint.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
