@@ -67,12 +67,21 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
     return fan_out(df).withColumn("_shingles", F.expr(textnorm.shingles_spark(norm, n)))
 
 
+def with_word_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingles (Broder w-shingling) — the MinHash unit.
+    ~6x fewer shingles per doc than char 3-grams, so the md5-per-shingle
+    leaf and the verify-stage intersects shrink proportionally."""
+    return fan_out(df).withColumn(
+        "_shingles", F.expr(textnorm.word_shingles_spark(text_col, n))
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingles, sig: array<bigint>[k]) per document. Shingle hashes
     are materialized in their own projection (md5 once per shingle, not
     once per hash function; CollapseProject keeps multi-referenced
     non-cheap expressions un-inlined)."""
-    hashed = with_shingles(df, text_col).select(
+    hashed = with_word_shingles(df, text_col).select(
         F.col(id_col),
         F.col("_shingles"),
         F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
@@ -123,7 +132,7 @@ def minhash_lsh_pairs(
     # comparisons, not 1M× string-array intersections. Both engines use
     # the same H32, so hash-set Jaccard is engine-identical (and the
     # standard approach at corpus scale).
-    hashed = with_shingles(df, text_col).select(
+    hashed = with_word_shingles(df, text_col).select(
         F.col(id_col).alias("_id"),
         F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
     )

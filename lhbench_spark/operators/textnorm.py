@@ -78,3 +78,31 @@ def stopword_hits_spark(tokens: str, lang: str) -> str:
 def stopword_hits_duck(tokens: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter({tokens}, t -> t IN ({words})))"
+
+def word_shingles_spark(text: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles (space-joined token windows) — the
+    classic Broder w-shingling unit for document near-dup. ~6x fewer
+    shingles per document than character 3-grams at equal text length,
+    which cuts both the per-shingle hash cost and the verify-stage
+    intersect width. Guarded for < n tokens (whole token list as one
+    shingle): Spark's sequence() DESCENDS when the stop is below the
+    start, so the guard is dialect-load-bearing too."""
+    t = tokens_spark(text)
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))) "
+        f"ELSE array(concat_ws(' ', {t})) END"
+    )
+
+
+def word_shingles_duck(text: str, n: int = 3) -> str:
+    t = tokens_duck(text)
+    # COALESCE: array_to_string of an EMPTY list is NULL in DuckDB while
+    # Spark's concat_ws yields '' — found by the parity property test.
+    return (
+        f"CASE WHEN len({t}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({t}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))) "
+        f"ELSE [COALESCE(array_to_string({t}, ' '), '')] END"
+    )

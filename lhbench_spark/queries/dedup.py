@@ -40,11 +40,11 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+_WORD_SHINGLES = textnorm.word_shingles_duck("text")
+
 _MINHASH_PAIRS_CTE = f"""
-WITH norm AS (
-    SELECT doc_id, {_NORM} AS t FROM documents
-), sh AS (
-    SELECT doc_id, {_SHINGLES} AS shingles FROM norm
+WITH sh AS (
+    SELECT doc_id, {_WORD_SHINGLES} AS shingles FROM documents
 ), hs AS (
     SELECT doc_id, {hashing.shingle_hashes_duck('shingles')} AS hashes FROM sh
 ), hset AS (

@@ -138,3 +138,13 @@ def test_lsh_bucket_parity(spark, dim):
         ).collect()[0]["b"]
         got_d = _duck_eval(sim.lsh_bucket_duck(arr_d, dim))
         assert got_s == got_d
+
+
+@_SETTINGS
+@given(_TEXT, st.integers(min_value=2, max_value=4))
+def test_word_shingles_parity(spark, s, n):
+    """Word n-gram shingles (the MinHash unit) — set equality, same
+    rationale as test_shingles_parity."""
+    got_s = _spark_eval(spark, textnorm.word_shingles_spark(_lit(s), n))
+    got_d = _duck_eval(textnorm.word_shingles_duck(_lit(s), n))
+    assert sorted(got_s or []) == sorted(got_d or [])
