@@ -157,10 +157,18 @@ def stream_dedup_replay(spark, sf_dir):
     drained result aggregates to exactly one copy of every event — the
     oracle aggregates the pristine source once. State: one entry per
     event_id inside the watermark horizon."""
+    import shutil
+
+    # Duplicate the source by copying the parquet file twice — byte-level
+    # file copies, not Spark write jobs (the duplication IS the scenario;
+    # re-encoding it through the engine would just bill two writes).
     src = tempfile.mkdtemp(prefix="lhbench_replay_") + "/events"
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/batch_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/batch_b.parquet")
     base = spark.read.parquet(f"{sf_dir}/events.parquet")
-    base.write.parquet(src)
-    base.write.mode("append").parquet(src)
     stream = spark.readStream.schema(base.schema).parquet(src)
     ts_type = base.schema["ts"].dataType.typeName()
     if ts_type == "long":
