@@ -219,10 +219,18 @@ def text_repetition_filters(spark, sf_dir):
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
     )
     docs = docs.withColumn("grams", F.expr(grams))
+    # Max 2-gram frequency via a sorted-run fold — O(n log n) per row.
+    # The distinct×filter formulation is O(n²) per document and was the
+    # whole cost of this query (the result, a max frequency, is
+    # algorithm-independent, so the oracle is untouched).
     top_cnt = F.expr(
         "CASE WHEN size(grams) = 0 THEN 0 ELSE "
-        "array_max(transform(array_distinct(grams),"
-        " x -> size(filter(grams, y -> y = x)))) END"
+        "aggregate(array_sort(grams), "
+        "struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best), "
+        "(acc, x) -> struct(x AS prev, "
+        "CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END AS run, "
+        "greatest(acc.best, CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END) AS best), "
+        "acc -> acc.best) END"
     )
     return docs.select(
         "doc_id",
