@@ -147,7 +147,7 @@ def ann_topk(
     (probe count = sum of C(planes, j) for j ≤ r). Hyperplane buckets
     only catch HIGH-cosine neighbors (collision prob per plane is
     1 − θ/π); when the true neighbors sit at modest cosine, prefer the
-    IVF tier — sim_ann_recall measures exactly this tradeoff."""
+    IVF tier — ann_recall measures exactly this tradeoff."""
     probe_cols = [F.lit(0)]
     if probe_hamming >= 1:
         probe_cols += [F.lit(1 << i) for i in range(planes)]

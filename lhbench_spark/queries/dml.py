@@ -121,11 +121,11 @@ SELECT 0, 'CREATE', (SELECT COUNT(*) FROM target), 0, 0
 
 
 @query(
-    "table_history_merges",
+    "acid_history_merges",
     tags=("dml", "history", "managed-table"),
     oracle=_HISTORY_ORACLE,
 )
-def table_history_merges(spark, sf_dir):
+def acid_history_merges(spark, sf_dir):
     """DESCRIBE HISTORY after CREATE + two MERGEs: version, operation, and
     per-version row/matched/inserted counts, all derived from the manifest
     chain and cross-checked against relational set algebra."""
@@ -152,11 +152,11 @@ SELECT 1 AS version, 'OPTIMIZE' AS operation, 1 AS num_files,
 
 
 @query(
-    "table_optimize_detail",
+    "acid_optimize_detail",
     tags=("dml", "optimize", "managed-table"),
     oracle=_DETAIL_ORACLE,
 )
-def table_optimize_detail(spark, sf_dir):
+def acid_optimize_detail(spark, sf_dir):
     """OPTIMIZE (small-file compaction) + DESCRIBE DETAIL: 16 small files
     bin-packed into 1; row count unchanged (compaction moves bytes, never
     rows). num_files is deterministic because targeting is row-based."""
@@ -196,11 +196,11 @@ SELECT 1,
 
 
 @query(
-    "table_time_travel",
+    "acid_time_travel",
     tags=("dml", "time-travel", "managed-table"),
     oracle=_TIME_TRAVEL_ORACLE,
 )
-def table_time_travel(spark, sf_dir):
+def acid_time_travel(spark, sf_dir):
     """Time travel: after a MERGE, version 0 still reads the exact
     pre-merge state (immutable data files + versioned manifests), while
     the current version reads the merged state. Both snapshots are
@@ -266,8 +266,8 @@ GROUP BY o_orderstatus
 """
 
 
-@query("table_delete_where", tags=("dml", "delete", "managed-table"), oracle=_DELETE_ORACLE)
-def table_delete_where(spark, sf_dir):
+@query("acid_delete_where", tags=("dml", "delete", "managed-table"), oracle=_DELETE_ORACLE)
+def acid_delete_where(spark, sf_dir):
     """DELETE WHERE on the managed table (file-level copy-on-write: only
     files whose [min,max] actually contain a matching row are rewritten).
     The read-back aggregation value-checks the remaining rows AND the
@@ -308,8 +308,8 @@ GROUP BY o_orderstatus
 """
 
 
-@query("table_update_where", tags=("dml", "update", "managed-table"), oracle=_UPDATE_ORACLE)
-def table_update_where(spark, sf_dir):
+@query("acid_update_where", tags=("dml", "update", "managed-table"), oracle=_UPDATE_ORACLE)
+def acid_update_where(spark, sf_dir):
     """UPDATE SET ... WHERE on the managed table: assignment RHS evaluated
     against the old row, copy-on-write rewrite of touched files only.
     Per-row double multiply is IEEE-exact cross-engine; the decimal-exact
@@ -351,11 +351,11 @@ GROUP BY 1
 
 
 @query(
-    "table_append_evolve",
+    "acid_append_evolve",
     tags=("dml", "append", "schema-evolution", "managed-table"),
     oracle=_APPEND_EVOLVE_ORACLE,
 )
-def table_append_evolve(spark, sf_dir):
+def acid_append_evolve(spark, sf_dir):
     """Append-mode write with additive schema evolution: the appended
     batch carries a NEW column (batch_tag); pre-evolution rows surface it
     as NULL via parquet schema merging. Nothing is rewritten — append is
@@ -391,11 +391,11 @@ SELECT (SELECT COUNT(*) FROM orders WHERE o_custkey = 42) AS cust_cnt,
 
 
 @query(
-    "table_zorder_skipping",
+    "acid_zorder_skipping",
     tags=("ddl", "zorder", "data-skipping", "managed-table"),
     oracle=_ZORDER_ORACLE,
 )
-def table_zorder_skipping(spark, sf_dir):
+def acid_zorder_skipping(spark, sf_dir):
     """Z-order clustering (Delta OPTIMIZE ZORDER BY analog): the table is
     written sorted by the bit-interleaved Z-value of (o_custkey,
     o_orderkey), giving every file tight min/max stats on BOTH columns —
@@ -460,11 +460,11 @@ SELECT (SELECT COUNT(*) FROM merged) AS cnt,
 
 
 @query(
-    "table_vacuum_retention",
+    "acid_vacuum_retention",
     tags=("dml", "vacuum", "managed-table"),
     oracle=_VACUUM_ORACLE,
 )
-def table_vacuum_retention(spark, sf_dir):
+def acid_vacuum_retention(spark, sf_dir):
     """VACUUM (retention cleanup, Delta analog): after CREATE + MERGE,
     vacuuming to the current version deletes exactly the data files that
     only the pre-merge version referenced and drops its manifest — while

@@ -161,7 +161,7 @@ def sort_topk(spark, sf_dir):
 
 
 @query(
-    "scalar_time_decode",
+    "cast_time_decode",
     tags=("scalar", "time"),
     oracle="""
 SELECT event_type,
@@ -179,7 +179,7 @@ FROM events
 GROUP BY event_type
 """,
 )
-def scalar_time_decode(spark, sf_dir):
+def cast_time_decode(spark, sf_dir):
     """HH:MM:SS → seconds-since-midnight decode (the refresh schema's time
     decode, reference TPCDSRefreshSchema.scala:641-643) — exercised by
     round-tripping event timestamps through a formatted time string."""

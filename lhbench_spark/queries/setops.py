@@ -107,8 +107,8 @@ FROM orders WHERE o_orderkey % 50 = 0
 """
 
 
-@query("setop_unpivot", tags=("setop", "unpivot"), oracle=_UNPIVOT_ORACLE)
-def setop_unpivot(spark, sf_dir):
+@query("columnar_unpivot", tags=("setop", "unpivot"), oracle=_UNPIVOT_ORACLE)
+def columnar_unpivot(spark, sf_dir):
     """UNPIVOT: one scan + generator, vs the oracle's two-scan UNION ALL —
     same rows, half the IO at scale."""
     orders = table(spark, sf_dir, "orders")

@@ -112,8 +112,8 @@ FROM ranked WHERE rnk <= {_TOPK}
 """
 
 
-@query("sim_ivf_topk", tags=("similarity", "embedding", "ann", "ivf"), oracle=_IVF_ORACLE)
-def sim_ivf_topk(spark, sf_dir):
+@query("ann_ivf_topk", tags=("similarity", "embedding", "ann", "ivf"), oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: coarse cells + multi-probe + exact re-rank — the
     trained-quantizer scale path next to the LSH tier (at 100 TB the
     corpus is stored partitioned by cell, so a probe reads probes/cells
@@ -156,11 +156,11 @@ FROM qv
 
 
 @query(
-    "sim_embedding_quantize",
+    "ann_embedding_quantize",
     tags=("similarity", "embedding", "quantize"),
     oracle=_QUANT_ORACLE,
 )
-def sim_embedding_quantize(spark, sf_dir):
+def ann_embedding_quantize(spark, sf_dir):
     """Embedding maintenance: L2-normalize then symmetric int8 quantize
     (operators/similarity.py) — the compression pass before ANN indexing
     (4x smaller than float32). Pure higher-order-function projection:
@@ -226,11 +226,11 @@ GROUP BY label, dim
 
 
 @query(
-    "sim_label_centroids",
+    "ann_label_centroids",
     tags=("similarity", "embedding", "centroid", "extension"),
     oracle=_CENTROID_ORACLE,
 )
-def sim_label_centroids(spark, sf_dir):
+def ann_label_centroids(spark, sf_dir):
     """Per-label centroid of int8-quantized unit embeddings, long format
     (label, dim) — the k-means update step / class-prototype computation
     done with exact integer aggregation."""
@@ -285,11 +285,11 @@ FROM per_q
 
 
 @query(
-    "sim_ann_recall",
+    "ann_recall",
     tags=("similarity", "embedding", "ann", "recall"),
     oracle=_RECALL_ORACLE,
 )
-def sim_ann_recall(spark, sf_dir):
+def ann_recall(spark, sf_dir):
     """Measured ANN quality: recall@k of the IVF and LSH tiers against
     the exact brute-force top-k — the measurement that picks the tier for
     a given corpus. On this corpus (true neighbors at cosine ≈ 0.35, i.e.

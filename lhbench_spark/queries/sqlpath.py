@@ -37,8 +37,8 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@query("sql_temp_view_join", tags=("sql-path", "temp-view", "join"), oracle=_VIEW_JOIN_SQL)
-def sql_temp_view_join(spark, sf_dir):
+@query("adhoc_temp_view_join", tags=("sql-path", "temp-view", "join"), oracle=_VIEW_JOIN_SQL)
+def adhoc_temp_view_join(spark, sf_dir):
     """4-way join + agg through the spark.sql path over temp views —
     the reference's execution shape verbatim, with the identical text
     running as its own oracle."""
@@ -46,8 +46,8 @@ def sql_temp_view_join(spark, sf_dir):
     return spark.sql(_VIEW_JOIN_SQL)
 
 
-@query("sql_temp_view_rollup", tags=("sql-path", "temp-view", "rollup"), oracle=_VIEW_ROLLUP_SQL)
-def sql_temp_view_rollup(spark, sf_dir):
+@query("adhoc_temp_view_rollup", tags=("sql-path", "temp-view", "rollup"), oracle=_VIEW_ROLLUP_SQL)
+def adhoc_temp_view_rollup(spark, sf_dir):
     """GROUP BY ROLLUP through the spark.sql path — same shared text."""
     register_views(spark, sf_dir)
     return spark.sql(_VIEW_ROLLUP_SQL)
@@ -68,8 +68,8 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
-@query("sql_temp_view_cube", tags=("sql-path", "temp-view", "cube"), oracle=_VIEW_CUBE_SQL)
-def sql_temp_view_cube(spark, sf_dir):
+@query("adhoc_temp_view_cube", tags=("sql-path", "temp-view", "cube"), oracle=_VIEW_CUBE_SQL)
+def adhoc_temp_view_cube(spark, sf_dir):
     """GROUP BY CUBE + grouping() through the spark.sql path — same shared
     text on both engines. Cube is an Expand (4 grouping sets) over one
     hash-agg shuffle, not 4 scans."""
@@ -88,11 +88,11 @@ GROUP BY c_custkey, c_name
 
 
 @query(
-    "bucketed_colocated_join",
+    "join_bucketed_colocated",
     tags=("ddl", "bucketing", "join", "physical"),
     oracle=_BUCKETED_ORACLE,
 )
-def bucketed_colocated_join(spark, sf_dir):
+def join_bucketed_colocated(spark, sf_dir):
     """Shuffle-free co-located join via bucketed tables — the technique
     that removes the fact-fact exchange at 100 TB: write both sides
     ``bucketBy(N, join_key).sortBy(join_key)`` (one-time shuffle at write,
@@ -164,8 +164,8 @@ SELECT 'supplier', (SELECT COUNT(*) FROM supplier), 1
 """
 
 
-@query("catalog_db_lifecycle", tags=("ddl", "catalog", "database"), oracle=_DB_ORACLE)
-def catalog_db_lifecycle(spark, sf_dir):
+@query("warehouse_db_lifecycle", tags=("ddl", "catalog", "database"), oracle=_DB_ORACLE)
+def warehouse_db_lifecycle(spark, sf_dir):
     """CREATE DATABASE … LOCATION → per-table CTAS via saveAsTable (orders
     partitioned, mirroring the partitioned loads) → DROP TABLE IF EXISTS +
     re-create (the loader's idempotent path) → SHOW TABLES existence probe
@@ -234,11 +234,11 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
 
 
 @query(
-    "sql_grouping_sets",
+    "adhoc_grouping_sets",
     tags=("sql-path", "grouping-sets", "agg"),
     oracle=_VIEW_GROUPING_SETS_SQL,
 )
-def sql_grouping_sets(spark, sf_dir):
+def adhoc_grouping_sets(spark, sf_dir):
     """GROUP BY GROUPING SETS through the spark.sql path — the shared
     dialect-portable text is its own oracle. Expand multiplies rows by 4
     BEFORE the shuffle, but map-side partial agg collapses each set to
@@ -268,8 +268,8 @@ FROM nation_stats JOIN nation ON c_nationkey = n_nationkey
 """
 
 
-@query("sql_cte_chain", tags=("sql-path", "cte", "window"), oracle=_VIEW_CTE_CHAIN_SQL)
-def sql_cte_chain(spark, sf_dir):
+@query("adhoc_cte_chain", tags=("sql-path", "cte", "window"), oracle=_VIEW_CTE_CHAIN_SQL)
+def adhoc_cte_chain(spark, sf_dir):
     """Stacked-CTE report through spark.sql: per-customer revenue,
     re-aggregated per nation, ranked. The second agg rides the first's
     partitioning; the nation join broadcasts (25 rows); the global RANK
@@ -299,8 +299,8 @@ GROUP BY 1
 """
 
 
-@query("sql_latest_per_key", tags=("sql-path", "window", "dedup-latest"), oracle=_VIEW_LATEST_SQL)
-def sql_latest_per_key(spark, sf_dir):
+@query("adhoc_latest_per_key", tags=("sql-path", "window", "dedup-latest"), oracle=_VIEW_LATEST_SQL)
+def adhoc_latest_per_key(spark, sf_dir):
     """Latest-order-per-customer via ROW_NUMBER()=1 (WindowGroupLimit
     pushes the limit into the sort — no full-partition materialization),
     then a monthly rollup."""

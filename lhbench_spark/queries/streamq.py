@@ -38,7 +38,7 @@ def _sink(prefix: str) -> str:
 
 
 @query(
-    "stream_tumbling_window",
+    "continuous_tumbling_window",
     tags=("streaming", "window-agg", "events"),
     oracle=f"""
 SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
@@ -48,7 +48,7 @@ FROM events
 GROUP BY 1, 2
 """,
 )
-def stream_tumbling_window(spark, sf_dir):
+def continuous_tumbling_window(spark, sf_dir):
     """Streaming tumbling-window aggregation (window() + watermark),
     drained with availableNow — value-identical to the batch twin
     (events_tumbling_window) because nothing is late relative to a full
@@ -60,7 +60,7 @@ def stream_tumbling_window(spark, sf_dir):
 
 
 @query(
-    "stream_sessionize",
+    "continuous_sessionize",
     tags=("streaming", "session-window", "events"),
     oracle="""
 WITH gaps AS (
@@ -83,7 +83,7 @@ FROM sess
 GROUP BY user_id
 """,
 )
-def stream_sessionize(spark, sf_dir):
+def continuous_sessionize(spark, sf_dir):
     """session_window (30-min gap) streaming sessionization + per-user
     rollup of the drained session stream. The oracle recomputes sessions
     relationally (lag + running sum of session starts) — gap-merge
@@ -123,11 +123,11 @@ FROM ordered
 
 
 @query(
-    "stream_stateful_ema",
+    "continuous_stateful_ema",
     tags=("streaming", "stateful", "applyInPandasWithState", "events"),
     oracle=_STATEFUL_ORACLE,
 )
-def stream_stateful_ema(spark, sf_dir):
+def continuous_stateful_ema(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user count,
     sequential value sum, last-seen micros, and an order-dependent EMA —
     state no built-in streaming aggregate can express. The oracle replays
@@ -142,7 +142,7 @@ def stream_stateful_ema(spark, sf_dir):
 
 
 @query(
-    "stream_dedup_replay",
+    "continuous_dedup_replay",
     tags=("streaming", "dedup", "exactly-once", "events"),
     oracle=f"""
 SELECT COUNT(DISTINCT event_id) AS n_ids,
@@ -151,7 +151,7 @@ SELECT COUNT(DISTINCT event_id) AS n_ids,
 FROM events
 """,
 )
-def stream_dedup_replay(spark, sf_dir):
+def continuous_dedup_replay(spark, sf_dir):
     """Exactly-once replay dedup: the SAME source batch lands twice (an
     overlapping backfill), the stream drops duplicate event_ids, and the
     drained result aggregates to exactly one copy of every event — the
@@ -186,7 +186,7 @@ def stream_dedup_replay(spark, sf_dir):
 
 
 @query(
-    "stream_enrich_static",
+    "continuous_enrich_static",
     tags=("streaming", "stream-static-join", "events"),
     oracle="""
 SELECT CAST(user_id % 3 AS INT) AS tier,
@@ -196,7 +196,7 @@ FROM events
 GROUP BY 1
 """,
 )
-def stream_enrich_static(spark, sf_dir):
+def continuous_enrich_static(spark, sf_dir):
     """Stream-static enrichment join (static dim broadcast into every
     microbatch, stateless) + rollup of the enriched stream by tier. The
     oracle recomputes the tier from the join key directly, so a dropped
@@ -215,7 +215,7 @@ def stream_enrich_static(spark, sf_dir):
 
 
 @query(
-    "stream_sink_managed_table",
+    "continuous_sink_table",
     tags=("streaming", "foreachBatch", "managed-table", "events"),
     oracle=f"""
 SELECT COUNT(*) AS cnt,
@@ -224,7 +224,7 @@ SELECT COUNT(*) AS cnt,
 FROM events
 """,
 )
-def stream_sink_managed_table(spark, sf_dir):
+def continuous_sink_table(spark, sf_dir):
     """Streaming sink into the versioned managed table via foreachBatch
     (the Delta streaming-sink analog): each microbatch lands as an APPEND
     commit, so the stream inherits the table's versioned manifests,

@@ -51,8 +51,8 @@ FROM documents
 """
 
 
-@query("text_bpe_tokens", tags=("text", "tokens", "documents"), oracle=_BPE_ORACLE)
-def text_bpe_tokens(spark, sf_dir):
+@query("corpus_bpe_tokens", tags=("text", "tokens", "documents"), oracle=_BPE_ORACLE)
+def corpus_bpe_tokens(spark, sf_dir):
     """BPE-ish subword token counting next to whitespace word counting —
     the LLM-token-budget estimate per document. Pure regexp projection
     (scan-bandwidth bound, no shuffle); identical regex semantics on both
@@ -157,8 +157,8 @@ FROM ranked WHERE rnk <= 3 AND doc_id % 5 = 0
 """
 
 
-@query("text_tfidf_topterms", tags=("text", "tfidf", "documents"), oracle=_TFIDF_ORACLE)
-def text_tfidf_topterms(spark, sf_dir):
+@query("corpus_tfidf_topterms", tags=("text", "tfidf", "documents"), oracle=_TFIDF_ORACLE)
+def corpus_tfidf_topterms(spark, sf_dir):
     """Per-document top-3 terms by TF-IDF: one corpus shuffle for term
     frequencies, document frequencies broadcast back (the term dictionary
     is tiny relative to the corpus), window top-k per doc. Emitted for a
@@ -204,8 +204,8 @@ FROM g
 """
 
 
-@query("text_repetition_filters", tags=("text", "quality", "documents"), oracle=_REPETITION_ORACLE)
-def text_repetition_filters(spark, sf_dir):
+@query("corpus_repetition_filters", tags=("text", "quality", "documents"), oracle=_REPETITION_ORACLE)
+def corpus_repetition_filters(spark, sf_dir):
     """Repetition filters: duplicate-token fraction and most-frequent
     2-gram fraction per document, entirely in one JVM projection."""
     from pyspark.sql import functions as F
@@ -314,8 +314,8 @@ FROM c
 """
 
 
-@query("text_chunk_windows", tags=("text", "chunking", "documents", "extension"), oracle=_CHUNK_ORACLE)
-def text_chunk_windows(spark, sf_dir):
+@query("corpus_chunk_windows", tags=("text", "chunking", "documents", "extension"), oracle=_CHUNK_ORACLE)
+def corpus_chunk_windows(spark, sf_dir):
     """Overlapping token-window chunking (size 20 / stride 15) with a
     per-chunk content fingerprint."""
     from pyspark.sql import functions as F
@@ -350,8 +350,8 @@ FROM events WHERE event_id % 100 = 0
 """
 
 
-@query("text_pii_redact", tags=("text", "redact", "events", "extension"), oracle=_REDACT_ORACLE)
-def text_pii_redact(spark, sf_dir):
+@query("corpus_pii_redact", tags=("text", "redact", "events", "extension"), oracle=_REDACT_ORACLE)
+def corpus_pii_redact(spark, sf_dir):
     """Digit-run redaction over the JSON props blob — the shape of a PII
     scrubbing pass (count, redacted payload, length)."""
     from pyspark.sql import functions as F
@@ -402,11 +402,11 @@ FROM hits
 
 
 @query(
-    "text_decontaminate",
+    "corpus_decontaminate",
     tags=("text", "decontamination", "ngram", "documents"),
     oracle=_decon_oracle(),
 )
-def text_decontaminate(spark, sf_dir):
+def corpus_decontaminate(spark, sf_dir):
     """Training-corpus decontamination: flag train docs sharing distinct
     word 5-grams with the (broadcast) eval set — the standard
     n-gram-overlap guard against benchmark leakage. Returns the bounded

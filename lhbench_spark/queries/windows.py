@@ -251,7 +251,7 @@ def win_numbering(spark, sf_dir):
 
 
 @query(
-    "win_frames_ntile",
+    "analytic_frames_ntile",
     tags=("window", "ntile", "frames"),
     oracle="""
 SELECT o_orderpriority, tile,
@@ -277,7 +277,7 @@ FROM (
 GROUP BY o_orderpriority, tile
 """,
 )
-def win_frames_ntile(spark, sf_dir):
+def analytic_frames_ntile(spark, sf_dir):
     """The window variants SURVEY §2.5 lists as unused-but-available:
     ntile, dense_rank, first_value, and a RANGE frame (peers-inclusive
     running count). ntile/first_value use a fully tie-broken ordering
@@ -328,8 +328,8 @@ FROM (
 """
 
 
-@query("win_percent_rank", tags=("window", "rank"), oracle=_PCT_RANK_ORACLE)
-def win_percent_rank(spark, sf_dir):
+@query("analytic_percent_rank", tags=("window", "rank"), oracle=_PCT_RANK_ORACLE)
+def analytic_percent_rank(spark, sf_dir):
     """percent_rank + cume_dist per order priority — the distribution-
     position functions (SURVEY §2.5 family). Partition key cardinality is
     constant (5 priorities) but each partition is processed as a sorted
@@ -376,11 +376,11 @@ FROM agg
 
 
 @query(
-    "win_rank_over_rollup",
+    "analytic_rank_over_rollup",
     tags=("window", "rollup", "grouping"),
     oracle=_RANK_ROLLUP_ORACLE,
 )
-def win_rank_over_rollup(spark, sf_dir):
+def analytic_rank_over_rollup(spark, sf_dir):
     """rank() over the output of a ROLLUP aggregate, with the grouping
     level (and a level-conditional parent key) in the window PARTITION BY
     — the q70 idiom. The rollup's Expand feeds one hash aggregate; the

@@ -228,11 +228,11 @@ GROUP BY o_orderpriority
 
 
 @query(
-    "writer_partitioned_readback",
+    "catalog_writer_partitioned",
     tags=("sink", "partitioned-write", "partition-pruning"),
     oracle=_WRITER_SINK_ORACLE,
 )
-def writer_partitioned_readback(spark, sf_dir):
+def catalog_writer_partitioned(spark, sf_dir):
     """DataFrameWriter sink (IncrementalTPCDSBenchmark.scala:363-374,
     FileCountBenchmark.scala:230-237): Hive-style partitionBy write with
     bounded files-per-partition and sortWithinPartitions, read back with a
