@@ -15,7 +15,15 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     so a small-on-disk table lands in one or two partitions and every
     downstream per-row computation runs on one core. Compute-bound stages
     must be partitioned for CPU, not bytes — one cheap narrow shuffle of
-    the input buys full parallelism for everything after it. At 100 TB the
-    scan is already wide and this becomes a no-op-cost rebalance."""
+    the input buys full parallelism for everything after it.
+
+    CONDITIONAL: when the scan already has >= target partitions (every
+    100 TB scan does), return the input unchanged — repartition() always
+    shuffles, so an unconditional call would be a pure pessimization at
+    exactly the scale this module is designed for. The partition-count
+    probe compiles the plan but runs no job."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * multiplier)
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

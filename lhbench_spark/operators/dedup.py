@@ -93,10 +93,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _capped_buckets(banded: DataFrame, key: str) -> DataFrame:
+def _capped_buckets(banded: DataFrame, key: str, cap: int = MAX_BUCKET) -> DataFrame:
     w = Window.partitionBy(key)
     return banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bsz") <= MAX_BUCKET
+        F.col("_bsz") <= cap
     )
 
 
@@ -180,11 +180,14 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
     )
-    # Size-ratio prefilter: for sets, jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so pairs failing the ratio can't pass the threshold — an exact
-    # (never-lossy) int compare that skips the intersect for them.
+    # Size-ratio prefilter: for sets, jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|).
+    # Division form: |A∩B| ≤ min and |A∪B| ≥ max exactly (small ints are
+    # exact doubles) and fl() is monotone, so fl(min/max) ≥ fl(jac) — the
+    # prune can never be stricter than the final jac ≥ threshold filter,
+    # for ANY threshold (the multiply form depended on how
+    # threshold×greatest happened to round).
     pairs = pairs.filter(
-        F.least("_za", "_zb") >= threshold * F.greatest("_za", "_zb")
+        F.least("_za", "_zb") / F.greatest("_za", "_zb") >= threshold
     )
     # |A∪B| = |A|+|B|-|A∩B| for sets: one array_intersect per pair (CSE'd
     # within each operator) instead of materializing the concatenated
@@ -245,6 +248,11 @@ def simhash_near_pairs(
     )
 
 
+#: Separator for composite candidate keys (unit separator — collision-free
+#: for text block columns; identical literal in the DuckDB oracles).
+BLOCK_SEP = "\x1f"
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     block_cols: tuple[str, ...] = ("lang", "source"),
@@ -252,58 +260,97 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.2,
     n: int = 3,
+    cap: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Exact n-gram Jaccard within blocking buckets. The blocking key is
-    the scale lever: pairs are only formed inside a bucket, and the bucket
-    cap applies UNCONDITIONALLY on the composite key — a boilerplate-heavy
-    (lang, source) block cannot go quadratic.
+    """Exact word-n-gram Jaccard pairs with ADAPTIVE candidate blocking.
+
+    Natural blocks ((lang, source)) grow O(corpus), so a fixed choice is
+    wrong at some scale: all-pairs inside blocks goes quadratic, while
+    dropping over-cap blocks degenerates to "dedup only small blocks".
+    Adaptive rule, decided per block from its size:
+
+    - block ≤ cap  → ONE candidate key per doc ('S' + block): exact
+      all-pairs inside the block, bounded by cap².
+    - block > cap  → MinHash-LSH band keys composed WITH the block key
+      ('L' + block + band): candidates stay near-linear however large the
+      block, recall follows the LSH s-curve (operators/hashing.py tuning),
+      and every candidate is still exact-Jaccard verified. The bucket cap
+      then applies to the composed band buckets, so a degenerate
+      boilerplate bucket inside a huge block still cannot go quadratic.
 
     The verify intersects DISTINCT H32 shingle-hash sets (int64), not the
     shingle strings — same trick as the MinHash verify: int comparisons at
-    pair volume, identical H32 in the DuckDB oracle."""
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_id"),
-        *block_cols,
-        F.array_distinct(F.expr(hashing.shingle_hashes_spark("_shingles"))).alias(
-            "_shingles"
-        ),
+    pair volume, identical H32 in the DuckDB oracle. Word shingles
+    (Broder w-shingling) rather than char 3-grams: ~6x fewer md5 leaf
+    hashes and proportionally narrower verify intersects."""
+    sh = (
+        with_word_shingles(df, text_col, n)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.concat_ws(BLOCK_SEP, *block_cols).alias("_blk"),
+            F.array_distinct(
+                F.expr(hashing.shingle_hashes_spark("_shingles"))
+            ).alias("_hset"),
+        )
+        .withColumn("_sz", F.size("_hset"))
+        # Cached: three consumers (candidate keys, both verify-join sides)
+        # would otherwise re-shingle the corpus each. At cluster scale this
+        # is a written shingle-hash table, computed once per corpus ingest.
+        .cache()
     )
-    # Composite blocking key (unit separator keeps it collision-free for
-    # text block columns); the cap is never skipped. Cached for the same
-    # reason as the MinHash hash sets: three consumers (candidate ids,
-    # both verify-join sides) would otherwise re-shingle the corpus each.
-    sh = _capped_buckets(
-        sh.withColumn("_blk", F.concat_ws("\x1f", *block_cols)), "_blk"
-    ).cache()
-    # Candidates carry (id, block) only — the shingle arrays do not ride
-    # the block self-join (same shuffle-width discipline as the MinHash
-    # band join); each pair occurs in exactly one block, so no dedupe.
-    ids = sh.select("_id", "_blk")
+    big = F.col("_bsz") > cap
+    keyed = (
+        sh.withColumn("_bsz", F.count(F.lit(1)).over(Window.partitionBy("_blk")))
+        # CASE short-circuits per row: the 16-fold signature is only
+        # evaluated for rows of over-cap blocks.
+        .withColumn(
+            "_sig", F.when(big, F.expr(hashing.minhash_sig_spark("_hset")))
+        )
+        .withColumn(
+            "_keys",
+            F.when(
+                ~big, F.array(F.concat_ws(BLOCK_SEP, F.lit("S"), F.col("_blk")))
+            ).otherwise(
+                F.expr(
+                    f"transform({hashing.band_keys_spark('_sig')}, "
+                    f"k -> concat('L{BLOCK_SEP}', _blk, '{BLOCK_SEP}', k))"
+                )
+            ),
+        )
+    )
+    banded = _capped_buckets(
+        keyed.select("_id", F.explode("_keys").alias("_bkey")), "_bkey", cap
+    )
+    # Candidates carry (id, key) only — the shingle-hash arrays do not ride
+    # the self-join (same shuffle-width discipline as the MinHash band
+    # join). Banded pairs can collide in up to MINHASH_BANDS buckets, so
+    # dedupe before the verify join.
     cand = (
-        ids.select(F.col("_id").alias("doc_a"), "_blk")
-        .join(ids.select(F.col("_id").alias("doc_b"), "_blk"), "_blk")
+        banded.select(F.col("_id").alias("doc_a"), "_bkey")
+        .join(banded.select(F.col("_id").alias("doc_b"), "_bkey"), "_bkey")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    sz = sh.withColumn("_sz", F.size("_shingles"))
     pairs = cand.join(
-        sz.select(
+        sh.select(
             F.col("_id").alias("doc_a"),
-            F.col("_shingles").alias("_sa"),
+            F.col("_hset").alias("_sa"),
             F.col("_sz").alias("_za"),
         ),
         "doc_a",
     ).join(
-        sz.select(
+        sh.select(
             F.col("_id").alias("doc_b"),
-            F.col("_shingles").alias("_sb"),
+            F.col("_hset").alias("_sb"),
             F.col("_sz").alias("_zb"),
         ),
         "doc_b",
     )
-    # Same exact-safe size-ratio prune as the MinHash verify.
+    # Same provably-never-stricter division-form size-ratio prune as the
+    # MinHash verify.
     pairs = pairs.filter(
-        F.least("_za", "_zb") >= threshold * F.greatest("_za", "_zb")
+        F.least("_za", "_zb") / F.greatest("_za", "_zb") >= threshold
     )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     jac = inter / (F.col("_za") + F.col("_zb") - inter)

@@ -302,6 +302,69 @@ def quantize_int8(vec: str) -> Column:
     )
 
 
+def _nearest_cells_expr(cents: list[tuple[int, list[float]]], vec: str, n: int) -> str:
+    """SQL expression: the ``n`` nearest centroid ids (ascending distance,
+    ties by ascending cid) for an array<double> column ``vec``, as
+    array<bigint>. The centroid list is embedded as a literal — a pure
+    per-row projection: no join, no window, no Exchange. Distance is the
+    same sqrt-L2 the DuckDB oracle's list_distance computes; struct sort
+    on (d, cid) reproduces the oracle's ORDER BY distance, cid."""
+    lits = ", ".join(
+        f"named_struct('cid', CAST({cid} AS BIGINT), "
+        f"'ce', array({', '.join(repr(x) for x in ce)}))"
+        for cid, ce in cents
+    )
+    dist = (
+        f"sqrt(aggregate(zip_with({vec}, c.ce, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
+    )
+    ranked = f"array_sort(transform(array({lits}), c -> named_struct('d', {dist}, 'cid', c.cid)))"
+    return f"transform(slice({ranked}, 1, {n}), s -> s.cid)"
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    centroid_stride: int = 125,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic stand-in for a trained k-means codebook: every
+    ``centroid_stride``-th corpus vector by id, collected to the driver.
+    The codebook is metadata-sized (cells × dim, e.g. 100 × 64 doubles at
+    1e9 rows) — collecting it is the 'load the trained quantizer' step,
+    not a data-sized collect; a production build swaps in trained
+    centroids without changing any downstream plan."""
+    rows = (
+        corpus.filter(F.col(id_col) % centroid_stride == 0)
+        .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("ce"))
+        .orderBy("cid")
+        .collect()
+    )
+    return [(r.cid, list(r.ce)) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    n_cells: int,
+    id_out: str,
+    vec_out: str,
+) -> DataFrame:
+    """(id, vec, _cell) with one row per probed cell. The argmin over
+    centroids is evaluated INLINE per row (centroid literal + transform +
+    array_sort + slice) — the plan is scan → project with no Exchange,
+    instead of the corpus × centroids crossJoin + per-id window that
+    shuffles |corpus|·|cells| rows (a 1e11-row shuffle at 1e9 × 100)."""
+    cells = F.expr(_nearest_cells_expr(cents, vec_out, n_cells))
+    if n_cells == 1:
+        return df.select(
+            id_out, vec_out, F.element_at(cells, 1).alias("_cell")
+        )
+    return df.select(
+        id_out, vec_out, F.explode(cells).alias("_cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -315,44 +378,23 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into cells, probe the
     query's nearest cells, exact-rerank inside them.
 
-    The coarse quantizer here is a deterministic stand-in for trained
-    k-means (centroids = every ``centroid_stride``-th corpus vector by
-    id), which keeps both engines bit-identical; a production build swaps
-    in trained centroids without changing the plan. Scale shape: cell
-    assignment is one broadcast-join pass over the corpus (centroid list
-    is tiny); at 100 TB the assignment is computed once at ingest and the
-    corpus is stored PARTITIONED BY cell, so a probe reads only
-    ``probes/num_cells`` of the data — this operator models the read
+    Scale shape: the codebook loads once (ivf_centroids); cell assignment
+    is a pure projection over the corpus (ivf_assign — no join, no
+    window, no shuffle); at 100 TB the assignment is computed once at
+    ingest and the corpus is stored PARTITIONED BY cell, so a probe reads
+    only ``probes/num_cells`` of the data — this operator models the read
     path: candidates = cells nearest the query, never the full corpus."""
     from lhbench_spark.operators import fan_out
 
+    cents = ivf_centroids(corpus, centroid_stride, id_col, vec_col)
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     )
-    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("_cid"), as_double(vec_col).alias("_ce")
-    )
-    l2 = F.sqrt(
-        F.expr(
-            "aggregate(zip_with(_v, _ce, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
-        )
-    )
-
-    def assign(df: DataFrame, id_out: str, vec_out: str, n_cells: int) -> DataFrame:
-        scored = df.withColumnRenamed(vec_out, "_v").crossJoin(F.broadcast(cents))
-        w = Window.partitionBy(id_out).orderBy(l2.asc(), F.asc("_cid"))
-        return (
-            scored.withColumn("_crnk", F.row_number().over(w))
-            .filter(F.col("_crnk") <= n_cells)
-            .select(id_out, F.col("_v").alias(vec_out), F.col("_cid").alias("_cell"))
-        )
-
-    corpus_cells = assign(c, "neighbor_id", "_cv", 1)
+    corpus_cells = ivf_assign(c, cents, 1, "neighbor_id", "_cv")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     )
-    query_probes = assign(q, "query_id", "_qv", probes)
+    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv")
 
     cand = corpus_cells.join(F.broadcast(query_probes), "_cell").filter(
         F.col("neighbor_id") != F.col("query_id")

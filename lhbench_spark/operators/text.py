@@ -166,7 +166,10 @@ def contamination_hits(
     side is a benchmark suite — thousands of docs, not billions — so its
     distinct gram-hash set broadcasts; the train side explodes to
     (doc, gram) and the join + count is one shuffle on the train side
-    only. Output: (doc_id, hits), only docs with >= 1 hit."""
+    only. The broadcast hint is a CONTRACT on the caller: eval_df must be
+    bounded independently of corpus size (a fixed id range / an actual
+    benchmark table), never a fixed *fraction* of the corpus. Output:
+    (doc_id, hits), only docs with >= 1 hit."""
     toks = textnorm.tokens_spark(text_col)
 
     def grams(df: DataFrame) -> DataFrame:

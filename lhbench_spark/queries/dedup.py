@@ -19,7 +19,6 @@ from lhbench_spark.operators import dedup, hashing, textnorm
 from lhbench_spark.queries.registry import query
 
 _NORM = textnorm.norm_duck("text")
-_SHINGLES = textnorm.shingles_duck("t")
 
 
 @query(
@@ -209,27 +208,47 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-def _ngram_pairs_cte_body(threshold: float) -> str:
-    """Shared DuckDB CTE chain for n-gram-Jaccard pairs inside
-    (lang, source) blocks — Jaccard over DISTINCT H32 shingle-hash sets,
-    mirroring operators.dedup.ngram_jaccard_pairs exactly (same H32, same
-    bucket cap)."""
-    return f"""norm AS (
-    SELECT doc_id, lang, source, {_NORM} AS t FROM documents
-), sh_raw AS (
-    SELECT doc_id, lang, source,
-           list_distinct({hashing.shingle_hashes_duck(_SHINGLES)}) AS hset
-    FROM norm
-), sh AS (
-    SELECT * FROM sh_raw
-    QUALIFY COUNT(*) OVER (PARTITION BY lang, source) <= {dedup.MAX_BUCKET}
+def _ngram_pairs_cte_body(threshold: float, cap: int = dedup.MAX_BUCKET) -> str:
+    """Shared DuckDB CTE chain for word-n-gram-Jaccard pairs with the
+    ADAPTIVE blocking of operators.dedup.ngram_jaccard_pairs: blocks
+    ≤ cap pair exactly (one 'S' key per doc), over-cap blocks switch to
+    MinHash-LSH band keys composed with the block key ('L' keys) — same
+    H32, same signature constants, same bucket cap, byte-identical key
+    strings."""
+    sep = dedup.BLOCK_SEP
+    return f"""sh AS (
+    SELECT doc_id, lang || '{sep}' || source AS blk,
+           list_distinct({hashing.shingle_hashes_duck(_WORD_SHINGLES)}) AS hset
+    FROM documents
+), sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY blk) AS bsz FROM sh
+), sigd AS (
+    SELECT *, CASE WHEN bsz > {cap}
+                   THEN {hashing.minhash_sig_duck('hset')} END AS sig
+    FROM sized
+), keyed AS (
+    SELECT doc_id, hset,
+           CASE WHEN bsz <= {cap} THEN ['S{sep}' || blk]
+                ELSE list_transform({hashing.band_keys_duck('sig')},
+                                    k -> 'L{sep}' || blk || '{sep}' || k)
+           END AS keys
+    FROM sigd
+), banded_raw AS (
+    SELECT doc_id, unnest(keys) AS bkey FROM keyed
+), banded AS (
+    SELECT * FROM banded_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {cap}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
 ), raw_pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE)
-           / (len(a.hset) + len(b.hset)
-              - len(list_intersect(a.hset, b.hset))) AS jac
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+           / (len(sa.hset) + len(sb.hset)
+              - len(list_intersect(sa.hset, sb.hset))) AS jac
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
 ), pairs AS (
     -- filter on the UNROUNDED value, round afterwards (operator order)
     SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
@@ -248,10 +267,11 @@ FROM pairs
 
 @query("dedup_ngram_jaccard", tags=("dedup", "jaccard", "documents"), oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard within (lang, source) blocking buckets —
-    the blocking key bounds pair counts; at scale swap in an LSH band key
-    when no natural blocking column exists. Returns the exact aggregate
-    fingerprint of the pair set (bounded output at any corpus size)."""
+    """Exact word-3-gram Jaccard with adaptive blocking: (lang, source)
+    blocks pair exactly while small, and switch to MinHash-LSH banding
+    INSIDE the block once they exceed the bucket cap — candidates stay
+    near-linear at any corpus size instead of going quadratic-or-dropped.
+    Returns the exact aggregate fingerprint of the pair set."""
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
     return pairs.agg(
@@ -298,7 +318,7 @@ FROM clusters
     oracle=_CLUSTER_ORACLE,
 )
 def dedup_cluster_keepers(spark, sf_dir):
-    """Near-dup CLUSTER formation: 3-gram-Jaccard pairs (>= 0.5) →
+    """Near-dup CLUSTER formation: word-3-gram-Jaccard pairs (>= 0.5) →
     connected components by iterative min-label propagation with pointer
     jumping (operators/cluster.py) → one keeper (min doc_id) per
     component. The iterative fixpoint is value-checked against a

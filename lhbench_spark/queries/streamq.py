@@ -255,7 +255,11 @@ def continuous_sink_table(spark, sf_dir):
         .start()
     )
     try:
-        q.awaitTermination(120)
+        # False = timeout: the table would be partially written — raise
+        # rather than return a silently-truncated result (same contract
+        # as streaming.drain_to_table).
+        if not q.awaitTermination(120):
+            raise TimeoutError("managed-table stream sink did not finish in 120s")
     finally:
         q.stop()
     t = ManagedTable(spark, root)

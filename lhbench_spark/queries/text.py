@@ -367,12 +367,18 @@ def corpus_pii_redact(spark, sf_dir):
 
 
 # -- Benchmark decontamination --------------------------------------------
-# Eval set = doc_id % 29 == 0 (a deterministic stand-in for a benchmark
-# suite); train = the rest. A train doc is contaminated when it shares
-# >= 1 distinct word 5-gram with any eval doc. The oracle recomputes the
-# same gram hashes (same H32, same windows) relationally.
+# Eval set = doc_id % 29 == 0 within a FIXED id range (a deterministic
+# stand-in for a benchmark suite); train = the rest. The range bound is
+# what makes the operator's broadcast claim true at scale: a benchmark
+# suite has a fixed size, so the eval set must not grow with the corpus
+# (a bare % predicate selects a constant ~3.4% FRACTION — a broadcast
+# that grows linearly with corpus size). At the test SFs (doc_id < 100k)
+# the bound is inactive, so the selected set is unchanged. A train doc is
+# contaminated when it shares >= 1 distinct word 5-gram with any eval
+# doc. The oracle recomputes the same gram hashes (same H32, same
+# windows) relationally.
 _DECON_N = 5
-_DECON_EVAL_PRED = "doc_id % 29 = 0"
+_DECON_EVAL_PRED = "doc_id % 29 = 0 AND doc_id < 100000"
 
 
 def _decon_oracle() -> str:

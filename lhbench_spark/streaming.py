@@ -81,9 +81,11 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     session_window (gap-based merging). One state row per open session;
     sessions close when the watermark passes their end.
 
-    Boundary semantics: session_window's windows are half-open, so an
-    event at EXACTLY start+gap begins a new session — identical to the
-    batch twin's strict ``ts - lag(ts) > gap`` test."""
+    Boundary semantics (verified empirically on Spark 4.1): an event at
+    EXACTLY start+gap MERGES into the running session — session_window
+    extends a session while ``ts - prev <= gap`` — which is identical to
+    the batch twin's strict ``ts - lag(ts) > gap`` new-session test, so
+    second-aligned streams agree at the gap boundary too."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
@@ -175,7 +177,14 @@ def drain_to_table(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        # awaitTermination returns False on timeout — in that case the
+        # finally-stop() would kill a still-running drain and silently
+        # return a PARTIAL table, surfacing later as a baffling oracle
+        # mismatch. Fail loudly instead.
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"stream drain '{name}' did not finish within {timeout_sec}s"
+            )
     finally:
         q.stop()
     return spark.table(name)

@@ -187,6 +187,15 @@ class ManagedTable:
                 F.min(cb).cast("long"),
                 F.max(cb).cast("long"),
             ).collect()[0]
+            if any(v is None for v in ranges):
+                # An empty frame (or all-NULL zorder column) yields NULL
+                # min/max; interpolating None into the Z-value SQL would
+                # fail later with an opaque parse error.
+                raise ValueError(
+                    f"zorder_by{tuple(zorder_by)}: empty input or all-NULL "
+                    f"column — cannot derive clustering ranges (min/max = "
+                    f"{tuple(ranges)})"
+                )
             # Range-partition + sort on the Z-value, then project it away
             # (the projection is narrow — file-internal order survives).
             z = zorder_value(

@@ -35,3 +35,20 @@ def test_rows_only_executes(spark, name):
     sdf = qd.spark_fn(spark, SMOKE_SF)
     assert sdf.count() >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
+    """Force the over-cap branch of ngram_jaccard_pairs (at test SFs no
+    natural (lang, source) block exceeds MAX_BUCKET): with cap=8 the
+    sf0.01 blocks (max 16) switch to in-block MinHash-LSH banding, and the
+    pair set must still match the DuckDB oracle built with the same cap."""
+    from lhbench_spark.catalog import table
+    from lhbench_spark.operators import dedup
+    from lhbench_spark.queries.dedup import _ngram_pairs_cte_body
+
+    pairs = dedup.ngram_jaccard_pairs(
+        table(spark, ORACLE_SF, "documents"), threshold=0.2, cap=8
+    )
+    sql = f"WITH {_ngram_pairs_cte_body(0.2, cap=8)} SELECT doc_a, doc_b, jaccard FROM pairs"
+    ok, msg = compare(pairs, oracle(ORACLE_SF).sql(sql))
+    assert ok, msg

@@ -83,3 +83,34 @@ def test_no_unbroadcast_cartesian(spark, name):
     q = all_queries()[name]
     plan = plan_of(q.spark_fn(spark, SMOKE_SF))
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_fan_out_is_conditional(spark):
+    """fan_out must repartition a narrow input but leave an
+    already-parallel input untouched (no Exchange node) — at 100 TB every
+    scan is wide and an unconditional repartition is a full-corpus
+    shuffle for nothing."""
+    from lhbench_spark.operators import fan_out
+
+    narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    assert "Exchange" in plan_of(fan_out(narrow)), plan_of(fan_out(narrow))
+    wide = spark.range(0, 1000, 1, 64).toDF("id")
+    assert "Exchange" not in plan_of(fan_out(wide)), plan_of(fan_out(wide))
+
+
+def test_ivf_assignment_has_no_exchange(spark):
+    """IVF cell assignment is an inline per-row argmin over the centroid
+    literal — scan → project, no join/window: an Exchange here meant the
+    old corpus × centroids shuffle (1e11 rows at 1e9 × 100) crept back."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.operators import similarity as sim
+
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cents = sim.ivf_centroids(emb)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        sim.as_double("embedding").alias("_cv"),
+    )
+    assigned = sim.ivf_assign(c, cents, 1, "neighbor_id", "_cv")
+    assert "Exchange" not in plan_of(assigned), plan_of(assigned)
