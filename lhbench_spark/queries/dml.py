@@ -93,6 +93,63 @@ def merge_upsert(spark, sf_dir):
     )
 
 
+_MOR_MERGE_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       0 AS files_rewritten
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_mor_merge",
+    tags=("dml", "merge", "mor", "managed-table"),
+    oracle=_MOR_MERGE_ORACLE,
+)
+def acid_mor_merge(spark, sf_dir):
+    """MERGE on a merge-on-read table (the reference's CoW/MoR table-mode
+    enum, IncrementalTPCDSBenchmark.scala:108,229-237): the merge APPENDS
+    delta files and rewrites nothing — files_rewritten comes from the
+    commit metrics and must be 0 — while the read-side latest-per-key
+    resolve reproduces byte-identical state to the CoW upsert (same
+    relational oracle as merge_upsert)."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        table_mode="mor",
+        primary_keys=("o_orderkey",),
+    )
+    metrics = t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn(
+            "files_rewritten", F.lit(int(metrics["files_rewritten"])).cast("int")
+        )
+    )
+
+
 _HISTORY_ORACLE = f"""
 WITH target AS (
     SELECT o_orderkey FROM orders WHERE {_TARGET_PRED}

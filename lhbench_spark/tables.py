@@ -26,9 +26,17 @@ Layout (Iceberg-style, not Hive-style):
   key are rewritten; untouched files carry over by reference. The
   only driver-side collect is the matched FILE list (metadata-sized,
   same as Delta's own implementation).
-- Local-FS enumeration (os.scandir) happens only in the writer, for the
-  files it just wrote; an object-store deployment swaps _list_parquet /
-  _file_entry for the Hadoop FileSystem API without touching table logic.
+- All manifest/metadata IO goes through the :class:`TableFS` seam
+  (enumeration happens only in the writer, for the files it just wrote);
+  an object-store deployment implements TableFS over the S3/GCS SDK (or
+  pyarrow.fs) without touching any table logic — at 100 TB this IO layer
+  is the first thing swapped, so it is an interface, not a claim.
+- Table mode is a first-class enum like the reference's
+  (IncrementalTPCDSBenchmark.scala:108,229-237): ``cow`` (default)
+  rewrites touched files on MERGE; ``mor`` (merge-on-read) appends the
+  merge source as DELTA files and resolves latest-row-per-key at read
+  time — writes are cheap, reads pay the resolve, OPTIMIZE folds the
+  deltas back into base files (the Hudi ``run_compaction`` analog).
 """
 
 from __future__ import annotations
@@ -41,10 +49,55 @@ import time
 from dataclasses import asdict, dataclass, field
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_TARGET_FILE_ROWS = 1_000_000
+
+
+class TableFS:
+    """Filesystem seam for all manifest/data-file IO of ManagedTable /
+    LakeCatalog. The local implementation is os/shutil; an object-store
+    deployment subclasses this once (list → LIST, read_text/write_text →
+    GET/PUT, parquet_metadata → footer range-read) and every table
+    operation works unchanged. Only metadata-sized payloads cross this
+    interface — bulk data moves through Spark's own parquet IO."""
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def write_text(self, path: str, text: str) -> None:
+        with open(path, "w") as f:
+            f.write(text)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.listdir(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def parquet_metadata(self, path: str):
+        """Parquet footer metadata (row counts + column min/max stats)."""
+        return pq.ParquetFile(path).metadata
+
+
+LOCAL_FS = TableFS()
 
 
 @dataclass
@@ -54,6 +107,9 @@ class FileEntry:
     bytes: int
     # per-file min/max of the cluster columns (stringified), for skipping
     stats: dict[str, list] = field(default_factory=dict)
+    # "data" = base file; "delta" = MoR merge delta (latest-per-key wins
+    # at read time until OPTIMIZE folds it in)
+    kind: str = "data"
 
 
 @dataclass
@@ -64,6 +120,9 @@ class Manifest:
     files: list[FileEntry]
     cluster_by: list[str] = field(default_factory=list)
     metrics: dict[str, int] = field(default_factory=dict)
+    # table-level properties carried forward on every commit:
+    # table_mode ("cow"|"mor"), primary_keys (list, required for mor)
+    properties: dict = field(default_factory=dict)
 
     @property
     def num_rows(self) -> int:
@@ -78,29 +137,29 @@ def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, "_manifests", f"v{version:05d}.json")
 
 
-def _write_manifest(root: str, m: Manifest) -> None:
-    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
-    with open(_manifest_path(root, m.version), "w") as f:
-        json.dump(asdict(m), f, indent=1)
+def _write_manifest(root: str, m: Manifest, fs: TableFS) -> None:
+    fs.makedirs(os.path.join(root, "_manifests"))
+    fs.write_text(_manifest_path(root, m.version), json.dumps(asdict(m), indent=1))
 
 
-def _load_manifests(root: str) -> list[Manifest]:
+def _load_manifests(root: str, fs: TableFS) -> list[Manifest]:
     mdir = os.path.join(root, "_manifests")
-    if not os.path.isdir(mdir):
+    if not fs.isdir(mdir):
         return []
     out = []
-    for name in sorted(os.listdir(mdir)):
+    for name in fs.listdir(mdir):
         if not name.endswith(".json"):
             continue
-        with open(os.path.join(mdir, name)) as f:
-            raw = json.load(f)
+        raw = json.loads(fs.read_text(os.path.join(mdir, name)))
         raw["files"] = [FileEntry(**fe) for fe in raw["files"]]
         out.append(Manifest(**raw))
     return out
 
 
-def _file_entry(root: str, abs_path: str, stat_cols: list[str]) -> FileEntry:
-    meta = pq.ParquetFile(abs_path).metadata
+def _file_entry(
+    root: str, abs_path: str, stat_cols: list[str], fs: TableFS, kind: str = "data"
+) -> FileEntry:
+    meta = fs.parquet_metadata(abs_path)
     stats: dict[str, list] = {}
     if stat_cols:
         idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
@@ -120,27 +179,41 @@ def _file_entry(root: str, abs_path: str, stat_cols: list[str]) -> FileEntry:
     return FileEntry(
         path=os.path.relpath(abs_path, root),
         rows=meta.num_rows,
-        bytes=os.path.getsize(abs_path),
+        bytes=fs.size(abs_path),
         stats=stats,
+        kind=kind,
     )
 
 
-def _list_parquet(d: str) -> list[str]:
-    return sorted(
-        os.path.join(d, n) for n in os.listdir(d) if n.endswith(".parquet")
-    )
+def _list_parquet(d: str, fs: TableFS) -> list[str]:
+    return [os.path.join(d, n) for n in fs.listdir(d) if n.endswith(".parquet")]
+
+
+def _entry_version(e: FileEntry) -> int:
+    """Commit version a file was written at, parsed from its
+    data/vNNNNN/ path segment — the MoR precedence order."""
+    return int(e.path.split(os.sep)[1][1:])
 
 
 class ManagedTable:
     """A versioned parquet table: CTAS / MERGE / OPTIMIZE / HISTORY /
     DETAIL / time travel."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs: TableFS = LOCAL_FS):
         self.spark = spark
         self.root = root
-        self.manifests = _load_manifests(root)
+        self.fs = fs
+        self.manifests = _load_manifests(root, fs)
         if not self.manifests:
             raise FileNotFoundError(f"not a managed table (no manifests): {root}")
+
+    @property
+    def table_mode(self) -> str:
+        return self.current.properties.get("table_mode", "cow")
+
+    @property
+    def primary_keys(self) -> list[str]:
+        return list(self.current.properties.get("primary_keys", []))
 
     # ---------- creation (CTAS analog, TPCDSDataLoad.scala:117-129) ----------
 
@@ -155,6 +228,9 @@ class ManagedTable:
         mode: str = "error",
         validate_count: bool = True,
         zorder_by: tuple[str, str] | None = None,
+        table_mode: str = "cow",
+        primary_keys: tuple[str, ...] = (),
+        fs: TableFS = LOCAL_FS,
     ) -> "ManagedTable":
         """CTAS: write ``df`` as version 0.
 
@@ -167,10 +243,18 @@ class ManagedTable:
         get tight min/max stats on BOTH columns, so ``read(prune=…)``
         skips files for predicates on either one.
         ``validate_count`` re-counts the source and asserts it equals the
-        manifest total (TPCDSDataLoad.scala:124-128)."""
-        if os.path.exists(root):
+        manifest total (TPCDSDataLoad.scala:124-128).
+        ``table_mode="mor"`` declares merge-on-read (requires
+        ``primary_keys``, like Hudi's PK options,
+        TPCDSDataLoad.scala:110-114): MERGE appends delta files instead
+        of rewriting, reads resolve latest-row-per-key."""
+        if table_mode not in ("cow", "mor"):
+            raise ValueError(f"table_mode must be cow|mor, got {table_mode!r}")
+        if table_mode == "mor" and not primary_keys:
+            raise ValueError("mor tables require primary_keys (the merge/resolve key)")
+        if fs.exists(root):
             if mode == "overwrite":
-                shutil.rmtree(root)
+                fs.rmtree(root)
             else:
                 raise FileExistsError(root)
         data_dir = os.path.join(root, "data", "v00000")
@@ -213,7 +297,7 @@ class ManagedTable:
             stat_cols = list(cluster_by)
         shaped.write.parquet(data_dir)
         entries = [
-            _file_entry(root, p, stat_cols) for p in _list_parquet(data_dir)
+            _file_entry(root, p, stat_cols, fs) for p in _list_parquet(data_dir, fs)
         ]
         manifest = Manifest(
             version=0,
@@ -222,9 +306,13 @@ class ManagedTable:
             files=entries,
             cluster_by=stat_cols,
             metrics={"num_output_rows": sum(e.rows for e in entries)},
+            properties={
+                "table_mode": table_mode,
+                "primary_keys": list(primary_keys),
+            },
         )
-        _write_manifest(root, manifest)
-        table = cls(spark, root)
+        _write_manifest(root, manifest, fs)
+        table = cls(spark, root, fs)
         if validate_count:
             src_rows = df.count()
             if src_rows != manifest.num_rows:
@@ -252,7 +340,13 @@ class ManagedTable:
     def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame:
         """Scan a table version. ``prune={col: value}`` drops files whose
         manifest [min, max] range for ``col`` excludes ``value`` BEFORE the
-        scan — planning-side file skipping; Spark never opens the file."""
+        scan — planning-side file skipping; Spark never opens the file.
+
+        MoR tables with outstanding delta files resolve latest-row-per-key
+        here (one window over the pk — the documented MoR read penalty;
+        the reference measures it at ~3.2x, README.md:33-36). File-skip
+        pruning still applies to base files; delta files always read (a
+        pruned-away base row may be superseded by a delta)."""
         m = self.current if version is None else self.version_manifest(version)
         files = m.files
         if prune:
@@ -260,17 +354,50 @@ class ManagedTable:
                 files = [
                     e
                     for e in files
-                    if col not in e.stats or e.stats[col][0] <= value <= e.stats[col][1]
+                    if e.kind == "delta"
+                    or col not in e.stats
+                    or e.stats[col][0] <= value <= e.stats[col][1]
                 ]
         if not files:
             empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
             return empty
+        if any(e.kind == "delta" for e in files):
+            return self._resolve_mor(m, files)
         # mergeSchema: versions appended with evolved (wider) schemas
         # reconcile deterministically — pre-evolution files surface the
         # new columns as NULL, and the result schema is the union, not
         # whichever file's footer Spark happened to sample first.
         return self.spark.read.option("mergeSchema", "true").parquet(
             *[self._abs(e) for e in files]
+        )
+
+    def _resolve_mor(self, m: Manifest, files: list[FileEntry]) -> DataFrame:
+        """Latest-row-per-key over base + delta files: each file carries
+        its commit version; per primary key the row from the highest
+        version wins (delta commits are pk-unique — validated at merge —
+        so there are no ties). One scan + one pk-shuffle window: this is
+        the read-side cost MoR trades for its cheap writes."""
+        keys = self.primary_keys
+        if not keys:
+            raise ValueError(f"mor resolve needs primary_keys ({self.root})")
+        by_version: dict[int, list[FileEntry]] = {}
+        for e in files:
+            by_version.setdefault(_entry_version(e), []).append(e)
+        parts = []
+        for v, entries in sorted(by_version.items()):
+            parts.append(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[self._abs(e) for e in entries])
+                .withColumn("_cv", F.lit(v))
+            )
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_cv"))
+        return (
+            union.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_cv")
         )
 
     # ---------- MERGE INTO (IncrementalTPCDSBenchmark.scala:276-281) ----------
@@ -287,7 +414,13 @@ class ManagedTable:
         already guarantees uniqueness (one small extra job). The
         matched/inserted metrics are derived from parquet footer counts
         (no extra counting jobs) and are exact when keys are unique on
-        both sides — the same precondition Delta's UPDATE SET * carries."""
+        both sides — the same precondition Delta's UPDATE SET * carries.
+
+        On a ``mor`` table the merge instead APPENDS the source as delta
+        files — no data file is rewritten (files_rewritten=0 in history);
+        reads resolve latest-per-key until OPTIMIZE compacts. ``on`` must
+        equal the declared primary key (Hudi semantics: the record key IS
+        the upsert key)."""
         m = self.current
         target = self.read()
         if validate_unique:
@@ -303,6 +436,8 @@ class ManagedTable:
                     f"merge source has duplicate keys on {on} "
                     "(would produce duplicate rows; Delta raises here too)"
                 )
+        if self.table_mode == "mor":
+            return self._merge_mor(m, target, source, on)
         skeys = source.select(*on).dropDuplicates()
 
         touched_rows = (
@@ -338,7 +473,8 @@ class ManagedTable:
         shaped = _shape_for_write(new_data, tuple(m.cluster_by), n_files)
         shaped.write.parquet(data_dir)
         new_entries = [
-            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
         ]
         new_rows = sum(e.rows for e in new_entries)
         matched = rewritten_rows + source_rows - new_rows
@@ -355,8 +491,55 @@ class ManagedTable:
                 "files_rewritten": len(rewritten),
                 "files_added": len(new_entries),
             },
+            properties=m.properties,
         )
-        _write_manifest(self.root, manifest)
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
+    def _merge_mor(
+        self, m: Manifest, target: DataFrame, source: DataFrame, on: list[str]
+    ) -> dict[str, int]:
+        """Merge-on-read commit: write the source as DELTA files and
+        reference every existing file unchanged — write cost is O(source),
+        independent of which/how many target files hold matched keys (the
+        whole point of MoR; the reference measures Hudi/Iceberg MoR merges
+        1.3-1.4x faster than CoW, README.md:33-36). One metadata-sized
+        counting job derives the matched count for history parity with
+        the CoW path."""
+        pk = self.primary_keys
+        if list(on) != pk:
+            raise ValueError(
+                f"mor merge key {on} must equal the declared primary key {pk}"
+            )
+        skeys = source.select(*on).dropDuplicates()
+        matched = target.join(F.broadcast(skeys), on, "left_semi").count()
+        version = m.version + 1
+        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        source_rows = _cheap_count(source)
+        n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
+        _shape_for_write(
+            source.select(*target.columns), tuple(m.cluster_by), n_files
+        ).write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs, kind="delta")
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        manifest = Manifest(
+            version=version,
+            operation="MERGE",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "matched_updated": matched,
+                "inserted": source_rows - matched,
+                "files_rewritten": 0,
+                "files_added": len(new_entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
         self.manifests.append(manifest)
         return manifest.metrics
 
@@ -391,7 +574,8 @@ class ManagedTable:
         data_dir = os.path.join(self.root, "data", f"v{version:05d}")
         _shape_for_write(df, tuple(m.cluster_by), num_files).write.parquet(data_dir)
         new_entries = [
-            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
         ]
         metrics = {
             "rows_appended": sum(e.rows for e in new_entries),
@@ -405,8 +589,9 @@ class ManagedTable:
             files=m.files + new_entries,
             cluster_by=m.cluster_by,
             metrics=metrics,
+            properties=m.properties,
         )
-        _write_manifest(self.root, manifest)
+        _write_manifest(self.root, manifest, self.fs)
         self.manifests.append(manifest)
         return metrics
 
@@ -436,7 +621,8 @@ class ManagedTable:
         n_files = max(1, math.ceil(est_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(data_dir)
         new_entries = [
-            _file_entry(self.root, p, m.cluster_by) for p in _list_parquet(data_dir)
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
         ]
         metrics = dict(metrics_fn(new_entries), files_added=len(new_entries))
         manifest = Manifest(
@@ -446,8 +632,9 @@ class ManagedTable:
             files=untouched + new_entries,
             cluster_by=m.cluster_by,
             metrics=metrics,
+            properties=m.properties,
         )
-        _write_manifest(self.root, manifest)
+        _write_manifest(self.root, manifest, self.fs)
         self.manifests.append(manifest)
         return metrics
 
@@ -459,6 +646,7 @@ class ManagedTable:
         are kept (hence the coalesce below, a bare ``~cond`` would also
         drop NULL-predicate rows). ``rows_deleted`` derives from parquet
         footer counts — no extra counting job."""
+        self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
         touched = self._touched_files(cond)
@@ -484,6 +672,7 @@ class ManagedTable:
         each other's results). ``rows_updated`` needs one counting job
         over the touched files only (row counts don't change, so footer
         math can't derive it)."""
+        self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
         touched = self._touched_files(cond)
@@ -512,11 +701,25 @@ class ManagedTable:
 
     # ---------- OPTIMIZE (compaction, IncrementalTPCDSBenchmark.scala:186-204) ----------
 
+    def _fold_deltas_if_any(self) -> None:
+        """CoW DML (DELETE/UPDATE) on a MoR table first folds outstanding
+        deltas — file-level touch detection is only meaningful over base
+        files that each own their rows."""
+        if any(e.kind == "delta" for e in self.current.files):
+            self.optimize()
+
     def optimize(self, target_file_rows: int = DEFAULT_TARGET_FILE_ROWS) -> dict[str, int]:
         """Bin-pack small files into ~``target_file_rows`` files. Row-based
         (not byte-based) targeting keeps the resulting file count
-        deterministic for a given table state."""
+        deterministic for a given table state.
+
+        On a MoR table with outstanding deltas this is COMPACTION (the
+        Hudi ``run_compaction`` analog, IncrementalTPCDSBenchmark.scala:
+        200): materialize the latest-per-key resolve once, rewrite as
+        base files, drop every delta — reads are plain scans again."""
         m = self.current
+        if any(e.kind == "delta" for e in m.files):
+            return self._compact_mor(m, target_file_rows)
         small = [e for e in m.files if e.rows < target_file_rows]
         big = [e for e in m.files if e.rows >= target_file_rows]
         metrics = {"files_removed": 0, "files_added": 0}
@@ -527,8 +730,8 @@ class ManagedTable:
             data_dir = os.path.join(self.root, "data", f"v{version:05d}")
             _shape_for_write(df, tuple(m.cluster_by), n).write.parquet(data_dir)
             new_entries = [
-                _file_entry(self.root, p, m.cluster_by)
-                for p in _list_parquet(data_dir)
+                _file_entry(self.root, p, m.cluster_by, self.fs)
+                for p in _list_parquet(data_dir, self.fs)
             ]
             metrics = {"files_removed": len(small), "files_added": len(new_entries)}
             manifest = Manifest(
@@ -538,9 +741,44 @@ class ManagedTable:
                 files=big + new_entries,
                 cluster_by=m.cluster_by,
                 metrics=metrics,
+                properties=m.properties,
             )
-            _write_manifest(self.root, manifest)
+            _write_manifest(self.root, manifest, self.fs)
             self.manifests.append(manifest)
+        return metrics
+
+    def _compact_mor(
+        self, m: Manifest, target_file_rows: int
+    ) -> dict[str, int]:
+        n_deltas = sum(1 for e in m.files if e.kind == "delta")
+        resolved = self._resolve_mor(m, m.files)
+        # Physical base+delta row total over-counts the resolved rows by
+        # exactly the superseded ones — an upper bound, so the file count
+        # never undersizes (no counting job needed before the write).
+        n = max(1, math.ceil(m.num_rows / target_file_rows))
+        version = m.version + 1
+        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        _shape_for_write(resolved, tuple(m.cluster_by), n).write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        metrics = {
+            "files_removed": len(m.files),
+            "files_added": len(new_entries),
+            "deltas_folded": n_deltas,
+        }
+        manifest = Manifest(
+            version=version,
+            operation="OPTIMIZE",
+            timestamp_ms=int(time.time() * 1000),
+            files=new_entries,
+            cluster_by=m.cluster_by,
+            metrics=metrics,
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
         return metrics
 
     # ---------- VACUUM (retention cleanup) ----------
@@ -563,10 +801,10 @@ class ManagedTable:
         drop = {e.path for m in expired for e in m.files} - keep
         for rel in sorted(drop):
             p = os.path.join(self.root, rel)
-            if os.path.exists(p):
-                os.remove(p)
+            if self.fs.exists(p):
+                self.fs.remove(p)
         for m in expired:
-            os.remove(_manifest_path(self.root, m.version))
+            self.fs.remove(_manifest_path(self.root, m.version))
         self.manifests = retained
         return {"files_removed": len(drop), "manifests_removed": len(expired)}
 
@@ -673,27 +911,28 @@ class LakeCatalog:
     surface (CREATE/DROP DATABASE, SHOW TABLES/DATABASES, USE, DROP TABLE;
     TPCDSDataLoad.scala:91-92,115,132-133)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fs: TableFS = LOCAL_FS):
         self.spark = spark
         self.root = root
+        self.fs = fs
         self._db: str | None = None
-        os.makedirs(root, exist_ok=True)
+        fs.makedirs(root)
 
     def create_database(self, name: str) -> None:
-        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        self.fs.makedirs(os.path.join(self.root, name))
 
     def drop_database(self, name: str, cascade: bool = False) -> None:
         d = os.path.join(self.root, name)
-        if not os.path.isdir(d):
+        if not self.fs.isdir(d):
             return
-        if os.listdir(d) and not cascade:
+        if self.fs.listdir(d) and not cascade:
             raise ValueError(f"database {name} not empty (use cascade)")
-        shutil.rmtree(d)
+        self.fs.rmtree(d)
 
     def show_databases(self) -> list[str]:
         return sorted(
-            n for n in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, n))
+            n for n in self.fs.listdir(self.root)
+            if self.fs.isdir(os.path.join(self.root, n))
         )
 
     def use(self, name: str) -> None:
@@ -708,25 +947,27 @@ class LakeCatalog:
         return os.path.join(self.root, db, name)
 
     def create_table(self, name: str, df: DataFrame, **kwargs) -> ManagedTable:
-        return ManagedTable.create(self.spark, self._table_root(name), df, **kwargs)
+        return ManagedTable.create(
+            self.spark, self._table_root(name), df, fs=self.fs, **kwargs
+        )
 
     def table(self, name: str) -> ManagedTable:
-        return ManagedTable(self.spark, self._table_root(name))
+        return ManagedTable(self.spark, self._table_root(name), self.fs)
 
     def show_tables(self) -> list[str]:
         db_dir = os.path.join(self.root, self._db) if self._db else None
-        if not db_dir or not os.path.isdir(db_dir):
+        if not db_dir or not self.fs.isdir(db_dir):
             return []
         return sorted(
             n
-            for n in os.listdir(db_dir)
-            if os.path.isdir(os.path.join(db_dir, n, "_manifests"))
+            for n in self.fs.listdir(db_dir)
+            if self.fs.isdir(os.path.join(db_dir, n, "_manifests"))
         )
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
         d = self._table_root(name)
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        if self.fs.isdir(d):
+            self.fs.rmtree(d)
         elif not if_exists:
             raise KeyError(f"no table {name}")
 

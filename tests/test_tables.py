@@ -234,3 +234,58 @@ def test_append_missing_column_null_filled(spark, tdir):
     got = t.read()
     assert got.count() == 55
     assert got.filter(F.col("tag").isNull()).count() == 5
+
+
+def test_mor_merge_lifecycle(spark, tmp_path):
+    """MoR table mode: merge appends deltas (no rewrite), read resolves
+    latest-per-key to exactly the CoW result, optimize folds deltas back
+    to base files, and the pre-merge version still time-travels."""
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    src = spark.range(150, 260).selectExpr("id AS k", "CAST(id * -1 AS DOUBLE) AS v")
+
+    cow = ManagedTable.create(spark, str(tmp_path / "cow"), base, num_files=4)
+    cow.merge(src, on=["k"])
+    mor = ManagedTable.create(
+        spark, str(tmp_path / "mor"), base, num_files=4,
+        table_mode="mor", primary_keys=("k",),
+    )
+    m = mor.merge(src, on=["k"])
+    assert m["files_rewritten"] == 0 and m["matched_updated"] == 50
+    assert m["inserted"] == 60
+    assert any(e.kind == "delta" for e in mor.current.files)
+
+    def state(t):
+        return sorted((r.k, r.v) for r in t.read().collect())
+
+    assert state(mor) == state(cow)
+    # time travel to the pre-merge version is unaffected by the deltas
+    assert mor.read(version=0).count() == 200
+
+    opt = mor.optimize()
+    assert opt["deltas_folded"] >= 1
+    assert all(e.kind == "data" for e in mor.current.files)
+    assert state(mor) == state(cow)
+
+    # CoW DML on a MoR table with outstanding deltas folds them first,
+    # then rewrites cleanly
+    mor.merge(
+        spark.range(240, 260).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"),
+        on=["k"],
+    )
+    assert any(e.kind == "delta" for e in mor.current.files)
+    d = mor.delete("k >= 250")
+    assert d["rows_deleted"] == 10
+    assert all(e.kind == "data" for e in mor.current.files)
+    assert mor.read().count() == 250
+
+
+def test_mor_requires_primary_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from lhbench_spark.tables import ManagedTable
+
+    df = spark.range(5).selectExpr("id AS k")
+    with _pytest.raises(ValueError, match="primary_keys"):
+        ManagedTable.create(spark, str(tmp_path / "x"), df, table_mode="mor")
