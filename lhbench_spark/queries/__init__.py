@@ -12,6 +12,7 @@ from lhbench_spark.queries import (  # noqa: F401
     subqueries,
     events,
     dml,
+    complex,
     workloads,
     sqlpath,
     dedup,

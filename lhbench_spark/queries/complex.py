@@ -1,0 +1,196 @@
+"""Optimizer-stress queries at the reference's hardest TPC-DS shapes.
+
+Operator coverage alone does not stress Catalyst the way the reference's
+giants do; these two reproduce their structure on the TPC-H-ish testdata:
+
+- ``complex_q64_bigjoin`` — the q64 shape
+  (TPCDSBenchmarkQueries.scala:3085-3204): a join-dense CTE (fact +
+  7 dimensions) consumed TWICE — two passes over the fact at different
+  parameter values — then self-joined on the item key, ~16 joins total.
+- ``complex_q14_intersect_rollup`` — the q14a shape (:788-998): a 3-way
+  INTERSECT defines the qualifying item set, which gates a fact
+  aggregation under GROUP BY ROLLUP with grouping()-derived columns.
+
+Scale shape: every dimension side is broadcast (the fact is never
+shuffled for a dimension), each fact pass is one shuffle (the group-by),
+and the CTE self-join / semi-join operate on aggregated, item-sized
+frames — the plans a 1000-executor run needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.functions.numeric import dsum, dsum_sql
+from lhbench_spark.queries.registry import query
+
+# Shared CTE semantics (Spark + DuckDB must agree exactly):
+# per (partkey, brand, order-year), the ASIA-customer revenue of small
+# parts — an 8-relation join tree before aggregation.
+_CS_SQL = f"""
+    SELECT p.p_partkey, p.p_brand, year(o.o_orderdate) AS yr,
+           {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS rev,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr   ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    WHERE cr.r_name = 'ASIA' AND p.p_size <= 20
+    GROUP BY p.p_partkey, p.p_brand, year(o.o_orderdate)
+"""
+
+_Q64_ORACLE = f"""
+WITH cs AS ({_CS_SQL})
+SELECT a.p_partkey, a.p_brand,
+       a.rev AS rev_y1, b.rev AS rev_y2,
+       a.cnt AS cnt_y1, b.cnt AS cnt_y2
+FROM cs a JOIN cs b ON a.p_partkey = b.p_partkey
+WHERE a.yr = 1996 AND b.yr = 1997 AND b.rev > a.rev
+ORDER BY a.p_partkey
+LIMIT 100
+"""
+
+
+def _cross_sales(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    s = table(spark, sf_dir, "supplier")
+    p = table(spark, sf_dir, "part")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_nationkey"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_nationkey"))
+    joined = (
+        li.join(F.broadcast(p.filter(F.col("p_size") <= 20)), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("cn_regionkey") == r.r_regionkey,
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
+    )
+    return joined.groupBy(
+        "p_partkey", "p_brand", F.year("o_orderdate").alias("yr")
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "complex_q64_bigjoin",
+    tags=("complex", "join", "cte-reuse", "tpcds-shape"),
+    oracle=_Q64_ORACLE,
+)
+def complex_q64_bigjoin(spark, sf_dir):
+    """q64 shape (TPCDSBenchmarkQueries.scala:3085-3204): an 8-relation
+    join CTE consumed twice (order-year 1996 vs 1997) and self-joined on
+    the part key — ~16 joins and two fact passes in one plan. Every
+    dimension broadcasts; each fact pass shuffles once (its group-by);
+    the self-join runs on item-level aggregates, not fact rows. Bounded
+    output: tie-broken top-100 by part key."""
+    cs = _cross_sales(spark, sf_dir)
+    a = cs.filter(F.col("yr") == 1996).select(
+        "p_partkey", "p_brand",
+        F.col("rev").alias("rev_y1"), F.col("cnt").alias("cnt_y1"),
+    )
+    b = cs.filter(F.col("yr") == 1997).select(
+        F.col("p_partkey").alias("pk2"),
+        F.col("rev").alias("rev_y2"), F.col("cnt").alias("cnt_y2"),
+    )
+    return (
+        a.join(b, a.p_partkey == b.pk2)
+        .filter(F.col("rev_y2") > F.col("rev_y1"))
+        .select("p_partkey", "p_brand", "rev_y1", "rev_y2", "cnt_y1", "cnt_y2")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# q14a shape: channels = order priorities; a part qualifies when it sells
+# in ALL THREE channels (3-way INTERSECT), then 1995 revenue over the
+# qualifying parts rolls up brand within part type.
+_CHANNELS = ("1-URGENT", "2-HIGH", "3-MEDIUM")
+
+
+def _channel_sql(prio: str) -> str:
+    return (
+        "SELECT l.l_partkey FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE o.o_orderpriority = '{prio}'"
+    )
+
+
+_Q14_ORACLE = f"""
+WITH cross_parts AS (
+    {_channel_sql(_CHANNELS[0])}
+    INTERSECT
+    {_channel_sql(_CHANNELS[1])}
+    INTERSECT
+    {_channel_sql(_CHANNELS[2])}
+)
+SELECT p.p_type, p.p_brand,
+       CAST(GROUPING(p.p_type) + GROUPING(p.p_brand) AS INT) AS lochierarchy,
+       {dsum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS rev,
+       COUNT(*) AS cnt
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p   ON l.l_partkey = p.p_partkey
+WHERE year(o.o_orderdate) = 1995
+  AND l.l_partkey IN (SELECT l_partkey FROM cross_parts)
+GROUP BY ROLLUP(p.p_type, p.p_brand)
+"""
+
+
+@query(
+    "complex_q14_intersect_rollup",
+    tags=("complex", "intersect", "rollup", "tpcds-shape"),
+    oracle=_Q14_ORACLE,
+)
+def complex_q14_intersect_rollup(spark, sf_dir):
+    """q14a shape (TPCDSBenchmarkQueries.scala:788-998): a 3-way
+    INTERSECT (parts selling in all three priority channels) gates the
+    fact aggregation, which rolls up under GROUP BY ROLLUP with a
+    grouping()-level column. The intersect runs on (partkey) only —
+    Catalyst plans it as semi-joins over distinct key sets — and the
+    qualifying set joins back as a semi-join, so fact rows never carry
+    channel duplication."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+
+    def channel(prio: str):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_orderpriority") == prio)
+            .select("l_partkey")
+        )
+
+    cross_parts = (
+        channel(_CHANNELS[0])
+        .intersect(channel(_CHANNELS[1]))
+        .intersect(channel(_CHANNELS[2]))
+    )
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate") == 1995)
+        .join(cross_parts, "l_partkey", "left_semi")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    return fact.rollup("p_type", "p_brand").agg(
+        (F.grouping("p_type") + F.grouping("p_brand")).cast("int").alias("lochierarchy"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

@@ -260,6 +260,66 @@ def catalog_writer_partitioned(spark, sf_dir):
     )
 
 
+_DPP_ORACLE = """
+WITH fact AS (
+    SELECT *, strftime(o_orderdate, '%Y-%m') AS o_month FROM orders
+), dim AS (
+    SELECT DISTINCT o_month AS month, substr(o_month, 1, 4) AS year FROM fact
+)
+SELECT f.o_month,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS price_sum
+FROM fact f JOIN dim d ON f.o_month = d.month
+WHERE d.year = '1995'
+GROUP BY f.o_month
+"""
+
+
+@query(
+    "catalog_dpp_partition_prune",
+    tags=("sink", "partitioned-write", "dpp", "partition-pruning"),
+    oracle=_DPP_ORACLE,
+)
+def catalog_dpp_partition_prune(spark, sf_dir):
+    """Dynamic partition pruning over a Hive-partitioned fact (the layout
+    the reference's fact tables use, TPCDSDataLoad.scala:676-702 + SURVEY
+    §4): orders written PARTITIONED BY month, joined through a month
+    dimension filtered on year. The year → month mapping only exists in
+    the dim DATA (not in any literal), so static pruning cannot apply —
+    Catalyst must inject the dim's month values into the fact scan's
+    partition filters at runtime (DPP; plan-asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning 12 partitions and scanning all of them."""
+    from lhbench_spark import sinks
+
+    base = tempfile.mkdtemp(prefix="lhbench_dpp_")
+    fact = table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    sinks.write_partitioned(
+        fact, f"{base}/orders_by_month", partition_by=("o_month",),
+        files_per_partition=1,
+    )
+    # The dim must be a real table (read from storage), not a derived
+    # frame Catalyst could collapse into the fact side.
+    fact.select(F.col("o_month").alias("month")).distinct().withColumn(
+        "year", F.substring("month", 1, 4)
+    ).write.parquet(f"{base}/month_dim")
+
+    f = sinks.read_partitioned(spark, f"{base}/orders_by_month")
+    d = spark.read.parquet(f"{base}/month_dim").filter(F.col("year") == "1995")
+    return (
+        f.join(F.broadcast(d), f["o_month"] == d["month"])
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+
+
 _REFRESH_PARTS_ORACLE = """
 WITH li_delta AS (
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,

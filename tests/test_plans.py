@@ -114,3 +114,12 @@ def test_ivf_assignment_has_no_exchange(spark):
     )
     assigned = sim.ivf_assign(c, cents, 1, "neighbor_id", "_cv")
     assert "Exchange" not in plan_of(assigned), plan_of(assigned)
+
+
+def test_dpp_partition_filter_in_plan(spark):
+    """catalog_dpp_partition_prune must plan a DynamicPruningExpression
+    on the fact scan's PartitionFilters — the runtime dim-driven pruning
+    the partitioned layout exists for (SURVEY §4 row 2)."""
+    q = all_queries()["catalog_dpp_partition_prune"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "dynamicpruning" in plan.lower(), plan
