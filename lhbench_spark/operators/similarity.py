@@ -302,23 +302,26 @@ def quantize_int8(vec: str) -> Column:
     )
 
 
-def _nearest_cells_expr(cents: list[tuple[int, list[float]]], vec: str, n: int) -> str:
+def _nearest_cells(n_cents: int, vec: str, n: int) -> str:
     """SQL expression: the ``n`` nearest centroid ids (ascending distance,
-    ties by ascending cid) for an array<double> column ``vec``, as
-    array<bigint>. The centroid list is embedded as a literal — a pure
-    per-row projection: no join, no window, no Exchange. Distance is the
-    same sqrt-L2 the DuckDB oracle's list_distance computes; struct sort
-    on (d, cid) reproduces the oracle's ORDER BY distance, cid."""
-    lits = ", ".join(
-        f"named_struct('cid', CAST({cid} AS BIGINT), "
-        f"'ce', array({', '.join(repr(x) for x in ce)}))"
-        for cid, ce in cents
-    )
+    ties by ascending cid) for an array<double> column ``vec``, reading
+    the codebook from companion literal columns ``_cc`` (array of centroid
+    vectors) and ``_ck`` (their ids). A pure per-row projection: no join,
+    no window, no Exchange. The codebook rides as TWO Literal nodes
+    (F.lit of nested arrays), not thousands of scalar literals — at 100
+    cells × 64 dims the scalar-literal encoding cost ~2 s of analysis/
+    codegen per planning, paid on every query (measured at sf0.1).
+    Distance is the same sqrt-L2 the DuckDB oracle's list_distance
+    computes; struct sort on (d, cid) reproduces ORDER BY distance, cid
+    (ties are broken by the cid FIELD, so sort stability is irrelevant)."""
     dist = (
-        f"sqrt(aggregate(zip_with({vec}, c.ce, (x, y) -> (x - y) * (x - y)), "
-        f"CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
+        f"sqrt(aggregate(zip_with({vec}, element_at(_cc, i), "
+        f"(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
     )
-    ranked = f"array_sort(transform(array({lits}), c -> named_struct('d', {dist}, 'cid', c.cid)))"
+    ranked = (
+        f"array_sort(transform(sequence(1, {n_cents}), "
+        f"i -> named_struct('d', {dist}, 'cid', element_at(_ck, i))))"
+    )
     return f"transform(slice({ranked}, 1, {n}), s -> s.cid)"
 
 
@@ -351,16 +354,25 @@ def ivf_assign(
     vec_out: str,
 ) -> DataFrame:
     """(id, vec, _cell) with one row per probed cell. The argmin over
-    centroids is evaluated INLINE per row (centroid literal + transform +
+    centroids is evaluated INLINE per row (codebook literal + transform +
     array_sort + slice) — the plan is scan → project with no Exchange,
     instead of the corpus × centroids crossJoin + per-id window that
     shuffles |corpus|·|cells| rows (a 1e11-row shuffle at 1e9 × 100)."""
-    cells = F.expr(_nearest_cells_expr(cents, vec_out, n_cells))
+    # One F.expr per literal (a single py4j call + one parse): F.lit of a
+    # nested Python list expands to per-element Column objects — ~1000
+    # py4j round-trips that cost ~1 s of query CONSTRUCTION per call
+    # (measured at 16 cells × 64 dims).
+    cc = "array(" + ", ".join(
+        "array(" + ", ".join(repr(x) for x in ce) + ")" for _, ce in cents
+    ) + ")"
+    ck = "array(" + ", ".join(f"{cid}L" for cid, _ in cents) + ")"
+    lit = df.withColumn("_cc", F.expr(cc)).withColumn("_ck", F.expr(ck))
+    cells = F.expr(_nearest_cells(len(cents), vec_out, n_cells))
     if n_cells == 1:
-        return df.select(
+        return lit.select(
             id_out, vec_out, F.element_at(cells, 1).alias("_cell")
         )
-    return df.select(
+    return lit.select(
         id_out, vec_out, F.explode(cells).alias("_cell")
     )
 
@@ -374,19 +386,23 @@ def ivf_topk(
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells, probe the
     query's nearest cells, exact-rerank inside them.
 
-    Scale shape: the codebook loads once (ivf_centroids); cell assignment
-    is a pure projection over the corpus (ivf_assign — no join, no
-    window, no shuffle); at 100 TB the assignment is computed once at
-    ingest and the corpus is stored PARTITIONED BY cell, so a probe reads
-    only ``probes/num_cells`` of the data — this operator models the read
-    path: candidates = cells nearest the query, never the full corpus."""
+    Scale shape: the codebook loads once (ivf_centroids — pass ``cents``
+    to reuse an already-loaded codebook, as a real deployment would);
+    cell assignment is a pure projection over the corpus (ivf_assign —
+    no join, no window, no shuffle); at 100 TB the assignment is computed
+    once at ingest and the corpus is stored PARTITIONED BY cell, so a
+    probe reads only ``probes/num_cells`` of the data — this operator
+    models the read path: candidates = cells nearest the query, never
+    the full corpus."""
     from lhbench_spark.operators import fan_out
 
-    cents = ivf_centroids(corpus, centroid_stride, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(corpus, centroid_stride, id_col, vec_col)
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     )
