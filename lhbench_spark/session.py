@@ -18,6 +18,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse_dir() -> str:
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="lhbench_wh_")
+    return _WAREHOUSE_DIR
+
 
 def get_spark(
     app_name: str = "lhbench_spark",
@@ -68,8 +77,11 @@ def get_spark(
             ),
         )
         # managed tables without an explicit LOCATION land here, not in
-        # a spark-warehouse/ dir polluting the caller's cwd
-        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="lhbench_wh_"))
+        # a spark-warehouse/ dir polluting the caller's cwd. One dir per
+        # PROCESS (not per get_spark() call — getOrCreate ignores the
+        # builder on reuse anyway, and a per-call mkdtemp leaked an empty
+        # dir on every call in bench+test runs).
+        .config("spark.sql.warehouse.dir", _process_warehouse_dir())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -457,7 +457,7 @@ class ManagedTable:
         #   new_rows = (rewritten_rows - matched) + source_rows
         #   matched  = rewritten_rows + source_rows - new_rows
         # (exact given unique keys on both sides — validated above).
-        source_rows = _cheap_count(source)
+        source_rows = _count_job(source)
         if rewritten:
             touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
             kept = touched_df.join(skeys, on, "left_anti")
@@ -516,7 +516,7 @@ class ManagedTable:
         matched = target.join(F.broadcast(skeys), on, "left_semi").count()
         version = m.version + 1
         data_dir = os.path.join(self.root, "data", f"v{version:05d}")
-        source_rows = _cheap_count(source)
+        source_rows = _count_job(source)
         n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(
             source.select(*target.columns), tuple(m.cluster_by), n_files
@@ -844,7 +844,10 @@ def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else p
 
 
-def _cheap_count(df: DataFrame) -> int:
+def _count_job(df: DataFrame) -> int:
+    """One full counting job over ``df`` — named for what it costs. The
+    merge paths run it on the SOURCE side only (delta-sized, not
+    table-sized); everything else derives counts from parquet footers."""
     return df.count()
 
 
