@@ -271,6 +271,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_write_partitioned(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The IVF INGEST step: assign every corpus vector its cell (inline
+    argmin — no shuffle beyond the partitioned write itself) and store
+    the corpus Hive-partitioned BY CELL. This materializes the claim the
+    in-memory operator only models: after this write, a probe is a
+    partition-pruned scan of ``probes/num_cells`` of the data."""
+    from lhbench_spark.operators import fan_out
+
+    c = fan_out(corpus).select(
+        F.col(id_col), as_double(vec_col).alias("_cv")
+    )
+    assigned = ivf_assign(c, cents, 1, id_col, "_cv")
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(out_dir)
+
+
+def ivf_partitioned_topk(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF probe over the cell-partitioned corpus written by
+    :func:`ivf_write_partitioned`: collect the (queries × probes) probe
+    cells — metadata-sized, this IS the index lookup — and scan ONLY
+    those key=value partition directories (static partition pruning;
+    plan-asserted in tests/test_plans.py), then exact-rerank. Identical
+    results to :func:`ivf_topk`; the difference is that the scan cost is
+    probes/num_cells of the corpus instead of all of it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv")
+    probe_cells = [r["_cell"] for r in query_probes.select("_cell").distinct().collect()]
+    stored = spark.read.parquet(out_dir).filter(F.col("_cell").isin(probe_cells))
+    cand = stored.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(query_probes), "_cell"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
+    )
+
+
 def l2_normalize(vec: str) -> Column:
     """Unit-normalize an array<double> (zero vectors pass through
     unchanged) — the precompute that turns cosine into a plain dot

@@ -138,6 +138,32 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ivf_partitioned",
+    tags=("similarity", "embedding", "ann", "ivf", "partition-pruning"),
+    oracle=_IVF_ORACLE,
+)
+def sim_ivf_partitioned(spark, sf_dir):
+    """The IVF STORAGE path: ingest writes the corpus Hive-partitioned by
+    cell (ivf_write_partitioned), and a probe collects its cell ids —
+    the metadata-sized index lookup — then scans only those partition
+    directories (static partition pruning, plan-asserted) before the
+    exact rerank. Byte-identical results to ann_ivf_topk (same oracle);
+    the difference is scan cost: probes/num_cells of the corpus instead
+    of all of it — the read-path contract that makes IVF an index rather
+    than a filter at 100 TB."""
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lhbench_ivf_") + "/by_cell"
+    similarity.ivf_write_partitioned(emb, cents, out)
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    return similarity.ivf_partitioned_topk(
+        spark, out, queries, k=_TOPK, probes=2, cents=cents
+    )
+
+
 _QUANT_ORACLE = """
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings

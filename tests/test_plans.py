@@ -123,3 +123,26 @@ def test_dpp_partition_filter_in_plan(spark):
     q = all_queries()["catalog_dpp_partition_prune"]
     plan = plan_of(q.spark_fn(spark, SMOKE_SF))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivf_partitioned_probe_prunes_partitions(spark):
+    """sim_ivf_partitioned's probe scan must carry the probe cells as
+    PartitionFilters on the cell-partitioned corpus — the read path that
+    makes IVF an index (scan probes/num_cells of the data) rather than a
+    full-corpus filter."""
+    import tempfile
+
+    from lhbench_spark.catalog import table
+    from lhbench_spark.operators import similarity as sim
+    from lhbench_spark.queries.similarity import _ivf_cents
+
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cents = _ivf_cents(spark, SMOKE_SF)
+    out = tempfile.mkdtemp(prefix="lhbench_ivfp_") + "/by_cell"
+    sim.ivf_write_partitioned(emb, cents, out)
+    df = sim.ivf_partitioned_topk(
+        spark, out, emb.filter(emb.vec_id < 3), k=5, probes=2, cents=cents
+    )
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "_cell" in pf and ("IN" in pf or "In(" in pf or "EqualTo" in pf), pf

@@ -289,3 +289,40 @@ def test_mor_requires_primary_keys(spark, tmp_path):
     df = spark.range(5).selectExpr("id AS k")
     with _pytest.raises(ValueError, match="primary_keys"):
         ManagedTable.create(spark, str(tmp_path / "x"), df, table_mode="mor")
+
+
+def test_tablefs_seam_carries_all_metadata_io(spark, tmp_path):
+    """The object-store claim is an interface, not a comment: run a full
+    table lifecycle through a recording TableFS subclass and check every
+    metadata operation class went through it (an os.* call bypassing the
+    seam would leave its category at zero)."""
+    from collections import Counter
+
+    from lhbench_spark.tables import ManagedTable, TableFS
+
+    class RecordingFS(TableFS):
+        def __init__(self):
+            self.calls = Counter()
+
+        def __getattribute__(self, name):
+            attr = object.__getattribute__(self, name)
+            if callable(attr) and not name.startswith("_") and name != "calls":
+                def wrapped(*a, **kw):
+                    object.__getattribute__(self, "calls")[name] += 1
+                    return attr(*a, **kw)
+                return wrapped
+            return attr
+
+    fs = RecordingFS()
+    df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = ManagedTable.create(spark, str(tmp_path / "t"), df, num_files=3, fs=fs)
+    t.merge(spark.range(40, 60).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"), on=["k"])
+    t.optimize(target_file_rows=1000)
+    t.vacuum(retain_versions=1)
+    assert t.read().count() == 60
+    for op in ("makedirs", "write_text", "read_text", "listdir",
+               "parquet_metadata", "size", "remove", "isdir"):
+        assert fs.calls[op] > 0, (op, dict(fs.calls))
+    # reload through the same seam
+    t2 = ManagedTable(spark, str(tmp_path / "t"), fs)
+    assert t2.read().count() == 60
