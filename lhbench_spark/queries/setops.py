@@ -117,3 +117,55 @@ def columnar_unpivot(spark, sf_dir):
         "stack(2, 'custkey', CAST(o_custkey AS DOUBLE),"
         " 'totalprice', o_totalprice) AS (metric, value)",
     )
+
+
+_EXCEPT_CHAIN_ORACLE = """
+WITH urgent AS (
+    SELECT DISTINCT o.o_custkey FROM orders o WHERE o.o_orderpriority = '1-URGENT'
+), high AS (
+    SELECT DISTINCT o.o_custkey FROM orders o WHERE o.o_orderpriority = '2-HIGH'
+), low AS (
+    SELECT DISTINCT o.o_custkey FROM orders o WHERE o.o_orderpriority = '5-LOW'
+), survivors AS (
+    SELECT o_custkey FROM urgent
+    EXCEPT
+    SELECT o_custkey FROM high
+    EXCEPT
+    SELECT o_custkey FROM low
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(o_custkey) AS BIGINT) AS key_sum,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_key
+FROM survivors
+"""
+
+
+@query(
+    "setop_except_chain",
+    tags=("setop", "except", "tpcds-shape"),
+    oracle=_EXCEPT_CHAIN_ORACLE,
+)
+def setop_except_chain(spark, sf_dir):
+    """q87's double-EXCEPT chain (TPCDSBenchmarkQueries.scala:4386-4406):
+    customers ordering urgent EXCEPT those ordering high EXCEPT those
+    ordering low — left-associative, so the second EXCEPT subtracts from
+    the first chain's result, which Catalyst plans as stacked left-anti
+    joins over distinct key sets (never a fact-sized shuffle of
+    non-distinct rows). Bounded aggregate fingerprint output."""
+    o = table(spark, sf_dir, "orders")
+
+    def channel(prio: str):
+        return (
+            o.filter(F.col("o_orderpriority") == prio)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    survivors = channel("1-URGENT").subtract(channel("2-HIGH")).subtract(
+        channel("5-LOW")
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("o_custkey").cast("bigint").alias("key_sum"),
+        F.min("o_custkey").cast("bigint").alias("min_key"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lhbench_spark.catalog import table
-from lhbench_spark.functions.numeric import davg_sql
+from lhbench_spark.functions.numeric import davg_sql, dsum, dsum_sql
 from lhbench_spark.queries.registry import query
 
 
@@ -100,3 +100,84 @@ def subq_in_list(spark, sf_dir):
     return orders.join(
         F.broadcast(autos), orders.o_custkey == autos.c_custkey, "left_semi"
     ).select("o_orderkey", "o_totalprice")
+
+
+_BEST_CUST_ORACLE = f"""
+WITH freq_parts AS (
+    SELECT l.l_partkey
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) = 1996
+    GROUP BY l.l_partkey
+    HAVING COUNT(*) > 4
+), spend AS (
+    SELECT o_custkey, {dsum_sql("o_totalprice")} AS total
+    FROM orders GROUP BY o_custkey
+), best_customers AS (
+    SELECT o_custkey FROM spend
+    WHERE total > 0.5 * (SELECT MAX(total) FROM spend)
+), channels AS (
+    SELECT '1-URGENT' AS channel, l.l_extendedprice * (1 - l.l_discount) AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    UNION ALL
+    SELECT '2-HIGH', l.l_extendedprice * (1 - l.l_discount)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '2-HIGH'
+      AND l.l_partkey IN (SELECT l_partkey FROM freq_parts)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+)
+SELECT channel, COUNT(*) AS cnt, {dsum_sql("rev")} AS rev_sum
+FROM channels GROUP BY channel
+"""
+
+
+@query(
+    "subq_cte_best_customers",
+    tags=("subquery", "cte", "union", "tpcds-shape"),
+    oracle=_BEST_CUST_ORACLE,
+)
+def subq_cte_best_customers(spark, sf_dir):
+    """q23a/b shape (TPCDSBenchmarkQueries.scala:1226-1276): two CTEs —
+    frequent items (HAVING over a join) and best customers (spend above
+    50% of the MAX spend, an uncorrelated scalar subquery) — each
+    CONSUMED TWICE by a 2-channel UNION ALL that semi-joins both. The
+    scalar max rides a 1-row broadcast (BroadcastNestedLoopJoin, never a
+    CartesianProduct); the CTE sets gate the facts as left-semi joins,
+    so fact rows never multiply."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    freq_parts = (
+        lo.filter(F.year("o_orderdate") == 1996)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 4)
+        .select("l_partkey")
+    )
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("total"))
+    max_spend = spend.agg(F.max("total").alias("_mx"))
+    best = (
+        spend.crossJoin(F.broadcast(max_spend))
+        .filter(F.col("total") > 0.5 * F.col("_mx"))
+        .select("o_custkey")
+    )
+
+    def channel(prio: str):
+        return (
+            lo.filter(F.col("o_orderpriority") == prio)
+            .join(freq_parts, "l_partkey", "left_semi")
+            .join(best, "o_custkey", "left_semi")
+            .select(
+                F.lit(prio).alias("channel"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            )
+        )
+
+    return (
+        channel("1-URGENT")
+        .unionByName(channel("2-HIGH"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("rev").alias("rev_sum"))
+    )
