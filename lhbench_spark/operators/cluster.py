@@ -57,6 +57,13 @@ def connected_components(
     # thousand edges costs more than the joins themselves). ~1M edges per
     # partition; grows with the graph at cluster scale.
     n_edges = e.count()
+    if n_edges == 0:
+        # No pairs → no clusters: skip the whole fixpoint machinery (a
+        # tight-threshold run on a clean corpus otherwise pays several
+        # rounds of join/checkpoint jobs to discover nothing).
+        return e.select(
+            F.col("_s").alias("id"), F.col("_s").alias("cluster_id")
+        )
     parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     sym = (
         e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))

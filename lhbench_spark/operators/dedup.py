@@ -10,7 +10,9 @@ into whole-stage codegen):
                          join → candidate pairs → exact Jaccard verify
 - SimHash              — per-bit majority sign of token hashes → banded
                          hamming candidates
-- n-gram Jaccard       — exact set similarity inside blocking buckets
+- n-gram Jaccard       — exact set similarity with adaptive blocking
+                         (small blocks pair exactly; over-cap blocks
+                         switch to LSH banding inside the block)
 - embedding cosine     — near-dup pairs over an embedding column
 
 Scale design: every pairwise step is preceded by a blocking/banding stage

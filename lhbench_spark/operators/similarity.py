@@ -399,6 +399,11 @@ def ivf_centroids(
         .orderBy("cid")
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"no centroids: stride {centroid_stride} selected nothing from the "
+            f"corpus (empty input or max {id_col} < stride)"
+        )
     return [(r.cid, list(r.ce)) for r in rows]
 
 

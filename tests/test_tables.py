@@ -326,3 +326,25 @@ def test_tablefs_seam_carries_all_metadata_io(spark, tmp_path):
     # reload through the same seam
     t2 = ManagedTable(spark, str(tmp_path / "t"), fs)
     assert t2.read().count() == 60
+
+
+def test_mor_prune_reads_deltas(spark, tmp_path):
+    """Manifest file-skip pruning on a MoR table must never prune DELTA
+    files: a base row matching the prune key may be superseded by a
+    delta outside the pruned key range's base files."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "m"), base, cluster_by=("k",), num_files=4,
+        table_mode="mor", primary_keys=("k",),
+    )
+    # supersede k=7 via a delta
+    t.merge(
+        spark.range(7, 8).selectExpr("id AS k", "CAST(99.0 AS DOUBLE) AS v"),
+        on=["k"],
+    )
+    got = t.read(prune={"k": 7}).filter(F.col("k") == 7).collect()
+    assert len(got) == 1 and got[0].v == 99.0, got
