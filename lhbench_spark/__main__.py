@@ -1,0 +1,68 @@
+"""Engine CLI — the in-process equivalent of the reference's remote
+orchestration layer (run-benchmark.py:206-231 dispatching benchmark
+names; no ssh layer is needed in local mode, SURVEY.md §3).
+
+    python -m lhbench_spark smoke                 # TestBenchmark parity
+    python -m lhbench_spark bench                 # full query suite
+    python -m lhbench_spark merge_micro           # merge microbenchmark
+    python -m lhbench_spark file_count            # file-count / planning
+    python -m lhbench_spark refresh               # incremental refresh
+    python -m lhbench_spark query <name> [--sf-dir DIR]   # one query
+
+Each workload prints its JSON report to stdout; `query` prints the
+result rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="lhbench_spark")
+    ap.add_argument(
+        "command",
+        choices=["smoke", "bench", "merge_micro", "file_count", "refresh", "query"],
+    )
+    ap.add_argument("name", nargs="?", help="query name (for `query`)")
+    ap.add_argument("--sf-dir", default=None, help="testdata dir (default $SPARK_GRAFT_SF_DIR)")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    if args.command == "bench":
+        import bench  # repo-root entry; same output contract as the driver
+
+        return bench.main()
+
+    from lhbench_spark.catalog import DEFAULT_SF_DIR
+    from lhbench_spark.session import get_spark
+
+    spark = get_spark(f"lhbench_{args.command}", cpus=args.cpus)
+    sf_dir = args.sf_dir or DEFAULT_SF_DIR
+
+    if args.command == "query":
+        if not args.name:
+            ap.error("query requires a name (see lhbench_spark.queries)")
+        from lhbench_spark.queries import all_queries
+
+        qd = all_queries().get(args.name)
+        if qd is None:
+            print(f"unknown query {args.name!r}; known: {sorted(all_queries())}",
+                  file=sys.stderr)
+            return 2
+        qd.spark_fn(spark, sf_dir).show(100, truncate=False)
+        return 0
+
+    import importlib
+
+    mod = importlib.import_module(f"lhbench_spark.workloads.{args.command}")
+    if args.command == "refresh":
+        print(mod.run(spark, sf_dir).to_json())
+    else:
+        print(mod.run(spark).to_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,3 +54,13 @@ def test_rand_sample_fraction_sane(spark):
     total = 6001  # sf0.001 lineitem rows (TESTDATA.md ~6k, exact not needed)
     frac = row["sampled_rows"] / total
     assert 0.001 < frac < 0.05
+
+
+def test_smoke_workload(spark):
+    """TestBenchmark parity (TestBenchmark.scala:49-72): scalar SQL, db
+    lifecycle, table write/read-back — all error-free, smoke-ok metric 1."""
+    from lhbench_spark.workloads import smoke
+
+    rep = smoke.run(spark)
+    assert not [q for q in rep.query_results if q.error_msg]
+    assert rep.extra_metrics["smoke-ok-bool"] == 1.0
