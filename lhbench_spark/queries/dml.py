@@ -549,3 +549,79 @@ def acid_vacuum_retention(spark, sf_dir):
         .withColumn("files_removed_some", F.lit(metrics["files_removed"] > 0))
         .withColumn("time_travel_expired", F.lit(expired))
     )
+
+
+# Change-data-feed derivation in pure SQL: inserts = source keys absent
+# from the target; updates = matched keys (every matched row genuinely
+# changes: o_orderstatus flips to 'M'); deletes = rows of the MERGED
+# state hit by the delete predicate.
+_CDF_DELETE_PRED = "o_orderkey % 10 = 1"
+
+_CDF_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey FROM orders WHERE {_SOURCE_PRED}
+), matched AS (
+    SELECT o_orderkey FROM source
+    WHERE o_orderkey IN (SELECT o_orderkey FROM target)
+), inserted AS (
+    SELECT o_orderkey FROM source
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+), merged AS (
+    SELECT o_orderkey FROM target UNION SELECT o_orderkey FROM source
+), deleted AS (
+    SELECT o_orderkey FROM merged WHERE {_CDF_DELETE_PRED}
+)
+SELECT * FROM (
+    SELECT 'insert' AS change_type, 1 AS commit_version,
+           COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM inserted
+    UNION ALL
+    SELECT 'update_postimage', 1, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM matched
+    UNION ALL
+    SELECT 'update_preimage', 1, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM matched
+    UNION ALL
+    SELECT 'delete', 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM deleted
+) WHERE cnt > 0
+"""
+
+
+@query(
+    "dml_change_feed",
+    tags=("dml", "cdf", "managed-table", "incremental"),
+    oracle=_CDF_ORACLE,
+)
+def dml_change_feed(spark, sf_dir):
+    """Change-data-feed (Delta CDF analog): after CREATE → MERGE →
+    DELETE, ``changes(0)`` replays the row-level deltas from the
+    manifest's file diffs alone — scan cost O(changed files), no
+    commit-time bookkeeping — and the per-commit insert / update-pre /
+    update-post / delete counts and key sums must equal the relational
+    derivation from the same predicates. This is the read side an
+    incremental training-data pipeline consumes instead of re-reading
+    the table."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        primary_keys=("o_orderkey",),
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.delete(_CDF_DELETE_PRED)
+    return (
+        t.changes(0)
+        .groupBy(
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )

@@ -374,3 +374,66 @@ def events_hopping_window(spark, sf_dir):
             F.col("w.start").alias("win_start"), "event_type", "cnt", "total_value"
         )
     )
+
+
+_GAPFILL_ORACLE = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           COUNT(*) AS cnt, {dsum_sql("value")} AS value_sum
+    FROM events GROUP BY 1, 2
+), b AS (
+    SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly
+), grid AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr, et.event_type
+    FROM b, (SELECT DISTINCT event_type FROM events) et
+), j AS (
+    SELECT g.hr, g.event_type, h.cnt, h.value_sum
+    FROM grid g LEFT JOIN hourly h ON g.hr = h.hr AND g.event_type = h.event_type
+)
+SELECT event_type, hr,
+       COALESCE(cnt, 0) AS cnt,
+       (cnt IS NULL) AS is_gap,
+       ROUND(LAST_VALUE(value_sum IGNORE NULLS)
+                 OVER (PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS locf_value
+FROM j
+"""
+
+
+@query(
+    "events_gapfill_locf",
+    tags=("events", "gapfill", "locf", "hypertable", "extension"),
+    oracle=_GAPFILL_ORACLE,
+)
+def events_gapfill_locf(spark, sf_dir):
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill + locf` pattern a metrics/
+    training-telemetry pipeline needs: generate the full hourly grid per
+    event type (sequence + explode over the observed [min, max] span —
+    the 2-row bounds aggregate broadcasts), LEFT JOIN the real hourly
+    aggregates, mark gaps, and carry the last non-null value forward
+    with an ignore-nulls running window. Grid size = hours × types —
+    bounded by the time span, not the event volume, at any scale."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"), dsum("value").alias("value_sum"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    j = grid.join(hourly, ["hr", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.col("cnt").isNull().alias("is_gap"),
+        F.round(F.last("value_sum", ignorenulls=True).over(w), 6).alias("locf_value"),
+    )

@@ -839,6 +839,98 @@ class ManagedTable:
             "size_bytes BIGINT",
         )
 
+    # ---------- CHANGES (change-data-feed analog) ----------
+
+    def changes(self, from_version: int, keys: list[str] | None = None) -> DataFrame:
+        """Row-level changes AFTER ``from_version`` up to the current
+        version — the Delta change-data-feed analog, and the read side an
+        incremental training-data pipeline consumes (process only what a
+        MERGE round touched, not the whole table).
+
+        Derivation is manifest-only: per commit, the rows of files REMOVED
+        from the manifest are pre-images and the rows of files ADDED are
+        post-images (untouched files carry by reference and contribute
+        nothing) — no extra bookkeeping is written at commit time, and
+        the scan cost is O(changed files), never O(table). Keyed
+        classification joins pre vs post per commit on ``keys`` (defaults
+        to the table's primary keys): both sides → update (pre + post
+        row), post only → insert, pre only → delete.
+
+        OPTIMIZE/VACUUM commits rewrite bytes, not rows — they are
+        skipped (Delta CDF does the same). Delta-kind files (MoR) are
+        post-images like any added file."""
+        keys = keys if keys is not None else self.primary_keys
+        if not keys:
+            raise ValueError("changes() needs key columns (pass keys=… or declare primary_keys)")
+        versions = [m for m in self.manifests if m.version > from_version]
+        out: DataFrame | None = None
+        prev = self.version_manifest(from_version)
+        for m in versions:
+            if m.operation in ("OPTIMIZE", "VACUUM"):
+                prev = m
+                continue
+            prev_paths = {e.path for e in prev.files}
+            cur_paths = {e.path for e in m.files}
+            removed = [e for e in prev.files if e.path not in cur_paths]
+            added = [e for e in m.files if e.path not in prev_paths]
+            prev = m
+            if not removed and not added:
+                continue
+
+            def read_files(entries: list[FileEntry]) -> DataFrame | None:
+                if not entries:
+                    return None
+                return self.spark.read.option("mergeSchema", "true").parquet(
+                    *[self._abs(e) for e in entries]
+                )
+
+            pre, post = read_files(removed), read_files(added)
+            ver = F.lit(m.version).alias("_commit_version")
+            if pre is None:
+                # No pre-images in this commit: plain APPEND rows are
+                # inserts; a MoR MERGE's delta rows are upserts (their
+                # pre-images still live in base files — classifying them
+                # would cost an O(table) read, which CDF must never do).
+                tag = "upsert" if m.operation == "MERGE" else "insert"
+                delta = post.select(F.lit(tag).alias("_change_type"), ver, "*")
+            elif post is None:
+                delta = pre.select(F.lit("delete").alias("_change_type"), ver, "*")
+            else:
+                # A CoW rewrite copies UNCHANGED rows of touched files
+                # into the new files too; the symmetric difference strips
+                # them so only genuinely-changed rows are emitted.
+                pre_d, post_d = pre.exceptAll(post), post.exceptAll(pre)
+                pre_k = pre_d.select(*keys).dropDuplicates()
+                post_k = post_d.select(*keys).dropDuplicates()
+                parts = [
+                    post_d.join(pre_k, keys, "left_anti").select(
+                        F.lit("insert").alias("_change_type"), ver, "*"
+                    ),
+                    post_d.join(pre_k, keys, "left_semi").select(
+                        F.lit("update_postimage").alias("_change_type"), ver, "*"
+                    ),
+                    pre_d.join(post_k, keys, "left_semi").select(
+                        F.lit("update_preimage").alias("_change_type"), ver, "*"
+                    ),
+                    pre_d.join(post_k, keys, "left_anti").select(
+                        F.lit("delete").alias("_change_type"), ver, "*"
+                    ),
+                ]
+                delta = parts[0]
+                for p in parts[1:]:
+                    delta = delta.unionByName(p)
+            out = delta if out is None else out.unionByName(
+                delta, allowMissingColumns=True
+            )
+        if out is None:
+            base = self.read().limit(0)
+            return base.select(
+                F.lit("insert").alias("_change_type"),
+                F.lit(0).alias("_commit_version"),
+                "*",
+            ).limit(0)
+        return out
+
 
 def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else p

@@ -348,3 +348,58 @@ def test_mor_prune_reads_deltas(spark, tmp_path):
     )
     got = t.read(prune={"k": 7}).filter(F.col("k") == 7).collect()
     assert len(got) == 1 and got[0].v == 99.0, got
+
+
+def test_change_data_feed(spark, tmp_path):
+    """changes(v): file-level manifest diff + symmetric difference emits
+    exactly the changed rows — inserts, update pre/post images, deletes —
+    and never the unchanged rows a CoW rewrite copies along."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "cdf"), base, cluster_by=("k",), num_files=4,
+        primary_keys=("k",),
+    )
+    # v1: update 90..99 (values change), insert 100..109
+    t.merge(
+        spark.range(90, 110).selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS v"),
+        on=["k"],
+    )
+    # v2: delete k < 5
+    t.delete("k < 5")
+
+    ch = t.changes(0)
+    counts = {
+        (r["_change_type"], r["_commit_version"]): r["cnt"]
+        for r in ch.groupBy("_change_type", "_commit_version")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts == {
+        ("update_preimage", 1): 10,
+        ("update_postimage", 1): 10,
+        ("insert", 1): 10,
+        ("delete", 2): 5,
+    }, counts
+    # post-images carry the new values
+    post = ch.filter("_change_type = 'update_postimage'").select("v").distinct().collect()
+    assert [r.v for r in post] == [-1.0]
+    # changes since the current version are empty
+    assert t.changes(t.current.version).count() == 0
+
+
+def test_change_feed_mor_upserts(spark, tmp_path):
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 50).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "cdfm"), base, num_files=2,
+        table_mode="mor", primary_keys=("k",),
+    )
+    t.merge(spark.range(40, 60).selectExpr("id AS k", "CAST(2.0 AS DOUBLE) AS v"), on=["k"])
+    ch = t.changes(0)
+    got = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
+    assert got == {"upsert"} and ch.count() == 20
