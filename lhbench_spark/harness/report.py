@@ -60,10 +60,19 @@ class BenchmarkReport:
         """Per-query-result CSV (Benchmark.scala:220-231 analog)."""
         buf = io.StringIO()
         w = csv.writer(buf)
-        w.writerow(["name", "iteration", "duration_ms", "row_count", "error"])
+        w.writerow(
+            ["name", "iteration", "duration_ms", "planning_ms", "row_count", "error"]
+        )
         for r in self.query_results:
             w.writerow(
-                [r.name, r.iteration, f"{r.duration_ms:.1f}", r.row_count, r.error_msg or ""]
+                [
+                    r.name,
+                    r.iteration,
+                    f"{r.duration_ms:.1f}",
+                    "" if r.planning_ms is None else f"{r.planning_ms:.1f}",
+                    r.row_count,
+                    r.error_msg or "",
+                ]
             )
         text = buf.getvalue()
         if path:

@@ -40,6 +40,11 @@ class QueryResult:
     duration_ms: float
     error_msg: str | None = None
     row_count: int | None = None
+    # Planning-time isolation (FileCountBenchmark.scala:305-336 measures
+    # query-start→first-job-start; here: DataFrame construction + Catalyst
+    # analysis/optimization/physical planning, before any job). Always
+    # contained in duration_ms — a diagnostic split, not a second metric.
+    planning_ms: float | None = None
 
 
 def upper_median(values: list[float]) -> float:
@@ -82,9 +87,16 @@ class BenchmarkRunner:
         self.spark.catalog.clearCache()
         t0 = time.monotonic_ns()
         try:
-            rows = make_df().collect()
+            df = make_df()
+            # Force planning through the physical plan (cached inside the
+            # QueryExecution, so collect() below does not redo it); the
+            # planning/execution split of metadata-heavy layouts is the
+            # reference's file-count headline measurement.
+            df._jdf.queryExecution().executedPlan()
+            planning_ms = (time.monotonic_ns() - t0) / 1e6
+            rows = df.collect()
             dur_ms = (time.monotonic_ns() - t0) / 1e6
-            res = QueryResult(name, iteration, dur_ms, None, len(rows))
+            res = QueryResult(name, iteration, dur_ms, None, len(rows), planning_ms)
         except Exception as exc:  # noqa: BLE001 — per-query capture by design
             dur_ms = (time.monotonic_ns() - t0) / 1e6
             msg = "".join(

@@ -625,3 +625,94 @@ def dml_change_feed(spark, sf_dir):
             F.sum("o_orderkey").cast("bigint").alias("key_sum"),
         )
     )
+
+
+# Incremental view maintenance: a day/status rollup of the table is
+# maintained by APPLYING the change feed (post-images add, pre-images and
+# deletes retract) instead of recomputing from the full table. The oracle
+# recomputes the rollup directly from the merged-then-deleted final state
+# — if the delta algebra drops or double-counts anything, the compare
+# fails.
+_IVM_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+), final AS (
+    SELECT * FROM merged WHERE NOT ({_CDF_DELETE_PRED})
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "dml_incremental_rollup",
+    tags=("dml", "cdf", "ivm", "incremental", "managed-table"),
+    oracle=_IVM_ORACLE,
+)
+def dml_incremental_rollup(spark, sf_dir):
+    """Incremental view maintenance over the change feed: the per-status
+    rollup is seeded from the CREATE state, then UPDATED by aggregating
+    ``changes(0)`` with signed weights (+1 insert/update-post, -1
+    update-pre/delete) — never re-reading the table. At 100 TB this is
+    the difference between touching O(changed files) per refresh and
+    recomputing an O(table) aggregate; the oracle recomputes the rollup
+    from the final state directly, so any dropped or double-counted
+    delta fails the compare. Decimal-exact sums make the add/retract
+    algebra associative (float retraction would drift)."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        primary_keys=("o_orderkey",),
+    )
+    seed = (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("price_dec"),
+        )
+    )
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.delete(_CDF_DELETE_PRED)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        t.changes(0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).cast("bigint").alias("cnt"),
+            F.sum(
+                sign.cast("decimal(18,8)") * F.col("o_totalprice").cast("decimal(18,8)")
+            ).alias("price_dec"),
+        )
+    )
+    merged = (
+        seed.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("price_dec").alias("price_dec"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        "cnt",
+        F.col("price_dec").cast("double").alias("total_price"),
+    )
