@@ -70,6 +70,28 @@ class TableFS:
         with open(path, "w") as f:
             f.write(text)
 
+    def commit_text(self, path: str, text: str) -> None:
+        """ATOMIC EXCLUSIVE create: the manifest commit primitive. Write a
+        temp file, then hard-link it to the final name — the link fails
+        if the name exists, so two writers racing to commit the same
+        version get exactly one winner (optimistic concurrency, the same
+        put-if-absent contract Delta's log store requires of its
+        storage); readers never observe a half-written manifest. An
+        object-store impl maps this to a conditional PUT
+        (If-None-Match)."""
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"commit conflict: {path} already exists (another writer "
+                "committed this version first — reload and retry)"
+            ) from None
+        finally:
+            os.remove(tmp)
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
@@ -98,6 +120,10 @@ class TableFS:
 
 
 LOCAL_FS = TableFS()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same table version first."""
 
 
 @dataclass
@@ -139,7 +165,7 @@ def _manifest_path(root: str, version: int) -> str:
 
 def _write_manifest(root: str, m: Manifest, fs: TableFS) -> None:
     fs.makedirs(os.path.join(root, "_manifests"))
-    fs.write_text(_manifest_path(root, m.version), json.dumps(asdict(m), indent=1))
+    fs.commit_text(_manifest_path(root, m.version), json.dumps(asdict(m), indent=1))
 
 
 def _load_manifests(root: str, fs: TableFS) -> list[Manifest]:
@@ -337,6 +363,22 @@ class ManagedTable:
     def _abs(self, e: FileEntry) -> str:
         return os.path.join(self.root, e.path)
 
+    def _claim_data_dir(self, version: int) -> str:
+        """Data directory for the next commit, with an eager conflict
+        check: in this layout a version's data dir is written by exactly
+        one committer, so its existence means another writer is ahead —
+        fail with the retryable conflict error instead of an opaque
+        parquet path-exists failure. The atomic manifest commit
+        (TableFS.commit_text) remains the authoritative gate for the
+        truly simultaneous race."""
+        d = os.path.join(self.root, "data", f"v{version:05d}")
+        if self.fs.exists(d):
+            raise ConcurrentWriteError(
+                f"version {version} already written at {d} "
+                "(another writer is ahead — reload and retry)"
+            )
+        return d
+
     def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame:
         """Scan a table version. ``prune={col: value}`` drops files whose
         manifest [min, max] range for ``col`` excludes ``value`` BEFORE the
@@ -466,7 +508,7 @@ class ManagedTable:
             new_data = source.select(*target.columns)
 
         version = m.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        data_dir = self._claim_data_dir(version)
         n_files = max(
             1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
         )
@@ -515,7 +557,7 @@ class ManagedTable:
         skeys = source.select(*on).dropDuplicates()
         matched = target.join(F.broadcast(skeys), on, "left_semi").count()
         version = m.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        data_dir = self._claim_data_dir(version)
         source_rows = _count_job(source)
         n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(
@@ -571,7 +613,7 @@ class ManagedTable:
             for c in missing:
                 df = df.withColumn(c, F.lit(None).cast(cur_schema[c]))
         version = m.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        data_dir = self._claim_data_dir(version)
         _shape_for_write(df, tuple(m.cluster_by), num_files).write.parquet(data_dir)
         new_entries = [
             _file_entry(self.root, p, m.cluster_by, self.fs)
@@ -617,7 +659,7 @@ class ManagedTable:
         metrics once the footer row counts of the new files are known."""
         m = self.current
         version = m.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        data_dir = self._claim_data_dir(version)
         n_files = max(1, math.ceil(est_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(data_dir)
         new_entries = [
@@ -727,7 +769,7 @@ class ManagedTable:
             df = self.spark.read.parquet(*[self._abs(e) for e in small])
             n = max(1, math.ceil(sum(e.rows for e in small) / target_file_rows))
             version = m.version + 1
-            data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+            data_dir = self._claim_data_dir(version)
             _shape_for_write(df, tuple(m.cluster_by), n).write.parquet(data_dir)
             new_entries = [
                 _file_entry(self.root, p, m.cluster_by, self.fs)
@@ -757,7 +799,7 @@ class ManagedTable:
         # never undersizes (no counting job needed before the write).
         n = max(1, math.ceil(m.num_rows / target_file_rows))
         version = m.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{version:05d}")
+        data_dir = self._claim_data_dir(version)
         _shape_for_write(resolved, tuple(m.cluster_by), n).write.parquet(data_dir)
         new_entries = [
             _file_entry(self.root, p, m.cluster_by, self.fs)

@@ -320,7 +320,7 @@ def test_tablefs_seam_carries_all_metadata_io(spark, tmp_path):
     t.optimize(target_file_rows=1000)
     t.vacuum(retain_versions=1)
     assert t.read().count() == 60
-    for op in ("makedirs", "write_text", "read_text", "listdir",
+    for op in ("makedirs", "commit_text", "read_text", "listdir",
                "parquet_metadata", "size", "remove", "isdir"):
         assert fs.calls[op] > 0, (op, dict(fs.calls))
     # reload through the same seam
@@ -403,3 +403,25 @@ def test_change_feed_mor_upserts(spark, tmp_path):
     ch = t.changes(0)
     got = {r["_change_type"] for r in ch.select("_change_type").distinct().collect()}
     assert got == {"upsert"} and ch.count() == 20
+
+
+def test_optimistic_concurrency_one_winner(spark, tmp_path):
+    """Two handles on the same table racing to commit the same next
+    version: the manifest commit is an atomic exclusive create, so
+    exactly one writer wins and the loser gets a ConcurrentWriteError
+    instead of silently clobbering the winner's commit."""
+    import pytest as _pytest
+
+    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    root = str(tmp_path / "race")
+    ManagedTable.create(spark, root, base, num_files=2)
+    a = ManagedTable(spark, root)
+    b = ManagedTable(spark, root)  # stale after a's commit
+    src = spark.range(0, 10).selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS v")
+    a.merge(src, on=["k"])
+    with _pytest.raises(ConcurrentWriteError):
+        b.merge(src, on=["k"])
+    # the winner's state is intact and reloadable
+    assert ManagedTable(spark, root).read().filter("v = -1.0").count() == 10
