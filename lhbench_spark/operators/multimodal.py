@@ -146,6 +146,31 @@ def sample_frame_offsets(media: DataFrame, stride_ms: int = 2500) -> DataFrame:
     )
 
 
+def audio_window_offsets(
+    media: DataFrame, win_samples: int = 100, hop_samples: int = 40
+) -> DataFrame:
+    """Audio-frame windowing plumbing: one row per (media_id, sample
+    offset) for a sliding window over a PCM payload — the relation a
+    real STFT/filterbank stage consumes downstream (stubbed with the
+    decoders like the image/video paths). The payload stands in for
+    8-bit mono PCM (1 byte = 1 sample) since no audio codec ships in
+    this container; a production build reads sample counts from the
+    container metadata instead. ``sequence`` + ``explode_outer``:
+    JVM-side row generation, and payloads shorter than one window keep
+    their row with a NULL offset so per-media aggregation sees them."""
+    samples = F.length("payload").cast("long")
+    offsets = F.expr(
+        f"CASE WHEN length(payload) >= {int(win_samples)} THEN "
+        f"sequence(0L, CAST(length(payload) AS BIGINT) - {int(win_samples)}, "
+        f"{int(hop_samples)}L) ELSE array() END"
+    )
+    return media.select(
+        "media_id",
+        samples.alias("samples"),
+        F.explode_outer(offsets).alias("win_off"),
+    )
+
+
 def extract_features(
     media: DataFrame, batch_rows: int = 1024, parallelism: int | None = None
 ) -> DataFrame:

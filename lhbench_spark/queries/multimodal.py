@@ -104,3 +104,39 @@ def multimodal_sample_plan(spark, sf_dir):
         F.max("frame_off_ms").alias("last_off_ms"),
     )
     return plan.drop("needs_resize").join(frame_agg, "media_id")
+
+
+_AUDIO_WINDOWS_ORACLE = """
+WITH media AS (
+    SELECT doc_id AS media_id, octet_length(encode(text)) AS samples
+    FROM documents
+)
+SELECT media_id,
+       CAST(samples AS BIGINT) AS samples,
+       CAST(CASE WHEN samples >= 100 THEN (samples - 100) // 40 + 1
+                 ELSE 0 END AS BIGINT) AS n_windows,
+       CAST(CASE WHEN samples >= 100 THEN ((samples - 100) // 40) * 40
+            END AS BIGINT) AS last_off
+FROM media
+"""
+
+
+@query(
+    "multimodal_audio_windows",
+    tags=("multimodal", "audio", "windows"),
+    oracle=_AUDIO_WINDOWS_ORACLE,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio-frame windowing plan: sliding sample windows (100-sample
+    window, 40-sample hop) generated per payload with sequence +
+    explode_outer, then re-aggregated per media — so the exploded
+    relation a real STFT stage would consume is what the oracle's
+    closed form verifies (including sub-window payloads, which keep a
+    NULL-offset row and count 0 windows)."""
+    media = multimodal.documents_as_media(table(spark, sf_dir, "documents"))
+    offs = multimodal.audio_window_offsets(media, win_samples=100, hop_samples=40)
+    return offs.groupBy("media_id").agg(
+        F.max("samples").alias("samples"),
+        F.count("win_off").alias("n_windows"),
+        F.max("win_off").alias("last_off"),
+    )
