@@ -604,11 +604,13 @@ def dml_change_feed(spark, sf_dir):
     derivation from the same predicates. This is the read side an
     incremental training-data pipeline consumes instead of re-reading
     the table."""
+    # num_files without cluster_by: round-robin repartition, no range-
+    # sampling job per write — the CoW narrow-rewrite demo lives in
+    # merge_upsert/acid_history_merges; here the subject is the CDF.
     t = ManagedTable.create(
         spark,
         _tmp(),
         _target(spark, sf_dir),
-        cluster_by=("o_orderkey",),
         num_files=4,
         primary_keys=("o_orderkey",),
     )
@@ -675,7 +677,6 @@ def dml_incremental_rollup(spark, sf_dir):
         spark,
         _tmp(),
         _target(spark, sf_dir),
-        cluster_by=("o_orderkey",),
         num_files=4,
         primary_keys=("o_orderkey",),
     )

@@ -232,6 +232,8 @@ def continuous_sink_table(spark, sf_dir):
     source's rows — value-checked against the raw events table."""
     import tempfile as _tf
 
+    from lhbench_spark.session import scratch_dir as _scratch
+
     from lhbench_spark.tables import ManagedTable
 
     root = _tf.mkdtemp(prefix="lhbench_ssink_") + "/t"
@@ -250,7 +252,7 @@ def continuous_sink_table(spark, sf_dir):
 
     q = (
         stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", _tf.mkdtemp(prefix="lhbench_sschk_"))
+        .option("checkpointLocation", _scratch("lhbench_sschk_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -28,6 +28,28 @@ def _process_warehouse_dir() -> str:
     return _WAREHOUSE_DIR
 
 
+def scratch_dir(prefix: str) -> str:
+    """Memory-backed scratch dir when available (else the OS temp dir).
+    Streaming checkpoints/state stores fsync on every microbatch commit —
+    on tmpfs that is a memory write, on the host disk it is a latency
+    lottery that showed up as 3-17s swings in the drained streaming
+    queries. The cluster equivalent is fast local NVMe for checkpoints
+    you don't need durable (test drains; production uses object-store
+    checkpoints and accepts the latency)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+_CHECKPOINT_ROOT: str | None = None
+
+
+def _process_checkpoint_root() -> str:
+    global _CHECKPOINT_ROOT
+    if _CHECKPOINT_ROOT is None:
+        _CHECKPOINT_ROOT = scratch_dir("lhbench_chk_")
+    return _CHECKPOINT_ROOT
+
+
 def get_spark(
     app_name: str = "lhbench_spark",
     *,
@@ -76,6 +98,10 @@ def get_spark(
                 "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
             ),
         )
+        # default ROOT for streaming checkpoints (each query gets its own
+        # subdir): memory-backed for the same reason as spark.local.dir —
+        # per-microbatch commit fsyncs must not ride host-disk latency.
+        .config("spark.sql.streaming.checkpointLocation", _process_checkpoint_root())
         # managed tables without an explicit LOCATION land here, not in
         # a spark-warehouse/ dir polluting the caller's cwd. One dir per
         # PROCESS (not per get_spark() call — getOrCreate ignores the
