@@ -613,8 +613,9 @@ def dml_change_feed(spark, sf_dir):
         _target(spark, sf_dir),
         num_files=4,
         primary_keys=("o_orderkey",),
+        validate_count=False,
     )
-    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
     t.delete(_CDF_DELETE_PRED)
     return (
         t.changes(0)
@@ -679,6 +680,7 @@ def dml_incremental_rollup(spark, sf_dir):
         _target(spark, sf_dir),
         num_files=4,
         primary_keys=("o_orderkey",),
+        validate_count=False,
     )
     seed = (
         t.read()
@@ -688,7 +690,7 @@ def dml_incremental_rollup(spark, sf_dir):
             F.sum(F.col("o_totalprice").cast("decimal(18,8)")).alias("price_dec"),
         )
     )
-    t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    t.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
     t.delete(_CDF_DELETE_PRED)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)

@@ -425,3 +425,62 @@ def test_optimistic_concurrency_one_winner(spark, tmp_path):
         b.merge(src, on=["k"])
     # the winner's state is intact and reloadable
     assert ManagedTable(spark, root).read().filter("v = -1.0").count() == 10
+
+
+def test_change_feed_random_lifecycle_matches_recompute(spark, tmp_path):
+    """Property-style CDF check: apply a seeded-random sequence of
+    merge/delete/append commits, maintain an aggregate incrementally
+    from changes(0) with signed weights, and require it to equal the
+    recomputed aggregate of the final table — any dropped, duplicated,
+    or misclassified delta diverges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"life{seed}")
+        base = spark.range(0, 300).selectExpr(
+            "id AS k", "CAST(id % 13 AS DOUBLE) AS v"
+        )
+        t = ManagedTable.create(
+            spark, root, base, cluster_by=("k",), num_files=3,
+            primary_keys=("k",), validate_count=False,
+        )
+        next_new = 300
+        for _ in range(4):
+            op = rng.choice(["merge", "delete", "append"])
+            if op == "merge":
+                lo = rng.randrange(0, 250)
+                src = spark.range(lo, lo + 60).selectExpr(
+                    "id AS k", f"CAST({rng.randrange(100)} AS DOUBLE) AS v"
+                )
+                t.merge(src, on=["k"], validate_unique=False)
+            elif op == "delete":
+                m = rng.choice([7, 11, 17])
+                t.delete(f"k % {m} = {rng.randrange(m)}")
+            else:
+                src = spark.range(next_new, next_new + 40).selectExpr(
+                    "id AS k", "CAST(-5 AS DOUBLE) AS v"
+                )
+                next_new += 40
+                t.append(src, num_files=1)
+
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        seed_agg = spark.createDataFrame([(300, float(sum(i % 13 for i in range(300))))],
+                                         "cnt INT, vsum DOUBLE")
+        delta = t.changes(0).agg(
+            F.sum(sign).alias("cnt"),
+            F.sum(sign.cast("double") * F.col("v")).alias("vsum"),
+        )
+        inc = seed_agg.unionByName(delta).agg(
+            F.sum("cnt").alias("cnt"), F.round(F.sum("vsum"), 6).alias("vsum")
+        ).collect()[0]
+        direct = t.read().agg(
+            F.count(F.lit(1)).alias("cnt"), F.round(F.sum("v"), 6).alias("vsum")
+        ).collect()[0]
+        assert (inc.cnt, inc.vsum) == (direct.cnt, direct.vsum), (seed, inc, direct)
