@@ -146,3 +146,13 @@ def test_ivf_partitioned_probe_prunes_partitions(spark):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "_cell" in pf and ("IN" in pf or "In(" in pf or "EqualTo" in pf), pf
+
+
+def test_q64_shape_broadcasts_all_dimensions(spark):
+    """complex_q64_bigjoin: both fact passes must broadcast every
+    dimension (>= 10 BroadcastHashJoins across the reused CTE) — a
+    SortMergeJoin against a dimension would mean a fact-sized shuffle
+    crept into the hardest join tree."""
+    q = all_queries()["complex_q64_bigjoin"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert plan.count("BroadcastHashJoin") >= 10, plan

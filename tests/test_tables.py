@@ -484,3 +484,28 @@ def test_change_feed_random_lifecycle_matches_recompute(spark, tmp_path):
             F.count(F.lit(1)).alias("cnt"), F.round(F.sum("v"), 6).alias("vsum")
         ).collect()[0]
         assert (inc.cnt, inc.vsum) == (direct.cnt, direct.vsum), (seed, inc, direct)
+
+
+def test_crashed_writer_remnants_are_harmless(spark, tmp_path):
+    """A writer that died after staging its temp manifest (or mid data
+    write) must not corrupt the table: stray .tmp manifests are ignored
+    by the loader, and the next writer of that version gets a clean
+    conflict error from the data-dir claim."""
+    import os
+
+    import pytest as _pytest
+
+    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+
+    base = spark.range(0, 50).selectExpr("id AS k")
+    root = str(tmp_path / "crash")
+    t = ManagedTable.create(spark, root, base, num_files=2)
+    # crashed writer remnant: a staged-but-never-linked temp manifest
+    with open(os.path.join(root, "_manifests", "v00001.json.tmp.999"), "w") as f:
+        f.write("{half written")
+    t2 = ManagedTable(spark, root)  # reload ignores the remnant
+    assert t2.current.version == 0 and t2.read().count() == 50
+    # crashed writer remnant: a half-written data dir for the next version
+    os.makedirs(os.path.join(root, "data", "v00001"))
+    with _pytest.raises(ConcurrentWriteError):
+        t2.append(spark.range(5).selectExpr("id AS k"))
