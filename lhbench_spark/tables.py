@@ -445,7 +445,11 @@ class ManagedTable:
     # ---------- MERGE INTO (IncrementalTPCDSBenchmark.scala:276-281) ----------
 
     def merge(
-        self, source: DataFrame, on: list[str], validate_unique: bool = True
+        self,
+        source: DataFrame,
+        on: list[str],
+        validate_unique: bool = True,
+        track_matches: bool = True,
     ) -> dict[str, int]:
         """Upsert: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
 
@@ -479,7 +483,7 @@ class ManagedTable:
                     "(would produce duplicate rows; Delta raises here too)"
                 )
         if self.table_mode == "mor":
-            return self._merge_mor(m, target, source, on)
+            return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
 
         touched_rows = (
@@ -540,7 +544,12 @@ class ManagedTable:
         return manifest.metrics
 
     def _merge_mor(
-        self, m: Manifest, target: DataFrame, source: DataFrame, on: list[str]
+        self,
+        m: Manifest,
+        target: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        track_matches: bool = True,
     ) -> dict[str, int]:
         """Merge-on-read commit: write the source as DELTA files and
         reference every existing file unchanged — write cost is O(source),
@@ -554,8 +563,17 @@ class ManagedTable:
             raise ValueError(
                 f"mor merge key {on} must equal the declared primary key {pk}"
             )
-        skeys = source.select(*on).dropDuplicates()
-        matched = target.join(F.broadcast(skeys), on, "left_semi").count()
+        # matched-count metric: a broadcast semi-join PASS OVER THE TABLE
+        # (no shuffle, but O(table-read) — the one part of a MoR merge
+        # whose cost is not O(source)). A format with a record-level index
+        # gets this for free; without one, callers that don't need history
+        # match counts pass track_matches=False and the merge touches only
+        # the source.
+        if track_matches:
+            skeys = source.select(*on).dropDuplicates()
+            matched = target.join(F.broadcast(skeys), on, "left_semi").count()
+        else:
+            matched = -1
         version = m.version + 1
         data_dir = self._claim_data_dir(version)
         source_rows = _count_job(source)
@@ -575,7 +593,7 @@ class ManagedTable:
             cluster_by=m.cluster_by,
             metrics={
                 "matched_updated": matched,
-                "inserted": source_rows - matched,
+                "inserted": source_rows - matched if matched >= 0 else -1,
                 "files_rewritten": 0,
                 "files_added": len(new_entries),
             },

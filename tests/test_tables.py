@@ -509,3 +509,23 @@ def test_crashed_writer_remnants_are_harmless(spark, tmp_path):
     os.makedirs(os.path.join(root, "data", "v00001"))
     with _pytest.raises(ConcurrentWriteError):
         t2.append(spark.range(5).selectExpr("id AS k"))
+
+
+def test_mor_merge_without_match_tracking(spark, tmp_path):
+    """track_matches=False: the MoR merge touches only the source (no
+    O(table) metric pass); metrics mark the counts unknown (-1) and the
+    resolve still produces the correct state."""
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "mnt"), base, num_files=2,
+        table_mode="mor", primary_keys=("k",),
+    )
+    m = t.merge(
+        spark.range(90, 120).selectExpr("id AS k", "CAST(2.0 AS DOUBLE) AS v"),
+        on=["k"], track_matches=False,
+    )
+    assert m["matched_updated"] == -1 and m["files_rewritten"] == 0
+    assert t.read().count() == 120
+    assert t.read().filter("v = 2.0").count() == 30
