@@ -283,13 +283,19 @@ def ivf_write_partitioned(
     the corpus Hive-partitioned BY CELL. This materializes the claim the
     in-memory operator only models: after this write, a probe is a
     partition-pruned scan of ``probes/num_cells`` of the data."""
+    from lhbench_spark import sinks
     from lhbench_spark.operators import fan_out
 
     c = fan_out(corpus).select(
         F.col(id_col), as_double(vec_col).alias("_cv")
     )
     assigned = ivf_assign(c, cents, 1, id_col, "_cv")
-    assigned.write.mode("overwrite").partitionBy("_cell").parquet(out_dir)
+    # Shaped write: repartition on the cell key so each cell directory
+    # holds a bounded file count (task-count × cells small files
+    # otherwise; raise files_per_partition for skewed/huge cells).
+    sinks.write_partitioned(
+        assigned, out_dir, partition_by=("_cell",), files_per_partition=1
+    )
 
 
 def ivf_partitioned_topk(
