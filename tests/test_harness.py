@@ -1,0 +1,65 @@
+"""Harness-level tests (SURVEY.md §5.4): the measurement semantics the
+reference's report consumers rely on — the UPPER-median quirk
+(Benchmark.scala:267-273), per-query error capture that never aborts the
+suite (Benchmark.scala:155-161), and the report serialization shape
+(Benchmark.scala:61-88, 208-242).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lhbench_spark.harness import BenchmarkReport, BenchmarkRunner
+from lhbench_spark.harness.report import spark_env_info
+from lhbench_spark.harness.runner import upper_median
+
+
+def test_upper_median_is_upper_not_mean():
+    # odd n: the middle element
+    assert upper_median([3.0, 1.0, 2.0]) == 2.0
+    # even n: the UPPER of the two middle elements, never their mean —
+    # the reference's sorted.drop(floor(n/2)).head quirk, bit-for-bit
+    assert upper_median([1.0, 2.0, 3.0, 4.0]) == 3.0
+    assert upper_median([10.0]) == 10.0
+    with pytest.raises(ValueError):
+        upper_median([])
+
+
+def test_runner_captures_errors_and_drops_errored_medians(spark):
+    r = BenchmarkRunner(spark, iterations=2)
+    for it in (1, 2):
+        r.run_query("ok", lambda: spark.range(3).selectExpr("sum(id) AS s"), it)
+    r.run_query("boom", lambda: spark.sql("SELECT broken_fn(1)"), 1)
+    # the suite continued past the error and recorded it
+    assert "boom" in r.errors()
+    meds = r.medians()
+    assert "ok" in meds and "boom" not in meds
+    # planning-time isolation: recorded and contained in the total
+    ok_results = [q for q in r.results if q.name == "ok"]
+    assert all(
+        q.planning_ms is not None and q.planning_ms <= q.duration_ms
+        for q in ok_results
+    )
+
+
+def test_report_round_trips_json_and_csv(spark, tmp_path):
+    r = BenchmarkRunner(spark, iterations=1)
+    r.run_query("one", lambda: spark.range(5).selectExpr("count(*) AS c"))
+    rep = BenchmarkReport(
+        benchmark_id="t",
+        specs={"k": "v"},
+        env=spark_env_info(spark),
+        query_results=r.results,
+    )
+    rep.report_extra_metric("suite-median-sum-seconds", 1.5)
+    parsed = json.loads(rep.to_json(str(tmp_path / "r.json")))
+    assert parsed["benchmark_id"] == "t"
+    assert parsed["extra_metrics"]["suite-median-sum-seconds"] == 1.5
+    assert parsed["query_results"][0]["name"] == "one"
+    assert parsed["env"]["spark_version"]
+    csv_text = rep.to_csv(str(tmp_path / "r.csv"))
+    header = csv_text.splitlines()[0]
+    assert header == "name,iteration,duration_ms,planning_ms,row_count,error"
+    assert (tmp_path / "r.json").exists() and (tmp_path / "r.csv").exists()
