@@ -380,3 +380,53 @@ def agg_multi_distinct_buckets(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("ndv_supp"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# True .pivot() demo (RelationalGroupedDataset.pivot with an EXPLICIT
+# value list — never inferred: inference costs a distinct-scan job and
+# makes the output schema data-dependent, both wrong at scale).
+_PIVOT_PRIOS = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _pivot_col(p: str) -> str:
+    return "prio_" + p.split("-")[0]
+
+
+_PIVOT_WIDE_ORACLE = f"""
+SELECT o_orderstatus,
+       {", ".join(
+           f"COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END)"
+           f" AS {_pivot_col(p)}"
+           for p in _PIVOT_PRIOS
+       )}
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "pivot_wide_channels",
+    tags=("agg", "pivot", "wide"),
+    oracle=_PIVOT_WIDE_ORACLE,
+)
+def pivot_wide_channels(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list — the wide-table
+    form of the reference's conditional-agg idiom (q2/q88 shape,
+    agg_conditional_pivot is the CASE-expression twin). Catalyst plans
+    it as a single hash aggregate with one conditional count per pivot
+    value: one shuffle on the group key, output width fixed at plan
+    time."""
+    o = table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PIVOT_PRIOS))
+        .agg(F.count(F.lit(1)))
+    )
+    out = wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(_pivot_col(p))
+            for p in _PIVOT_PRIOS
+        ],
+    )
+    return out
