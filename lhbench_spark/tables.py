@@ -241,6 +241,10 @@ class ManagedTable:
     def primary_keys(self) -> list[str]:
         return list(self.current.properties.get("primary_keys", []))
 
+    @property
+    def checks(self) -> dict[str, str]:
+        return dict(self.current.properties.get("checks", {}))
+
     # ---------- creation (CTAS analog, TPCDSDataLoad.scala:117-129) ----------
 
     @classmethod
@@ -256,6 +260,7 @@ class ManagedTable:
         zorder_by: tuple[str, str] | None = None,
         table_mode: str = "cow",
         primary_keys: tuple[str, ...] = (),
+        checks: dict[str, str] | None = None,
         fs: TableFS = LOCAL_FS,
     ) -> "ManagedTable":
         """CTAS: write ``df`` as version 0.
@@ -273,11 +278,18 @@ class ManagedTable:
         ``table_mode="mor"`` declares merge-on-read (requires
         ``primary_keys``, like Hudi's PK options,
         TPCDSDataLoad.scala:110-114): MERGE appends delta files instead
-        of rewriting, reads resolve latest-row-per-key."""
+        of rewriting, reads resolve latest-row-per-key.
+        ``checks`` declares named CHECK constraints ({name: boolean SQL
+        expr}, the Delta ``ADD CONSTRAINT`` analog): enforced on this
+        load and on every APPEND / MERGE source — a violating commit
+        raises before any file lands. Cost: one short-circuit probe job
+        per commit over the INCOMING rows only."""
         if table_mode not in ("cow", "mor"):
             raise ValueError(f"table_mode must be cow|mor, got {table_mode!r}")
         if table_mode == "mor" and not primary_keys:
             raise ValueError("mor tables require primary_keys (the merge/resolve key)")
+        if checks:
+            _enforce_checks(df, checks)
         if fs.exists(root):
             if mode == "overwrite":
                 fs.rmtree(root)
@@ -335,6 +347,7 @@ class ManagedTable:
             properties={
                 "table_mode": table_mode,
                 "primary_keys": list(primary_keys),
+                "checks": dict(checks or {}),
             },
         )
         _write_manifest(root, manifest, fs)
@@ -482,6 +495,8 @@ class ManagedTable:
                     f"merge source has duplicate keys on {on} "
                     "(would produce duplicate rows; Delta raises here too)"
                 )
+        if self.checks:
+            _enforce_checks(source, self.checks)
         if self.table_mode == "mor":
             return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
@@ -616,6 +631,8 @@ class ManagedTable:
         via parquet schema merging. Without it, a schema mismatch is an
         error — silent widening is how tables rot."""
         m = self.current
+        if self.checks:
+            _enforce_checks(df, self.checks)
         existing = set(self.read().columns)
         extra = [c for c in df.columns if c not in existing]
         missing = [c for c in existing if c not in df.columns]
@@ -751,6 +768,10 @@ class ManagedTable:
                 for c in touched_df.columns
             ]
         )
+        if self.checks:
+            # assignments can produce violating values; probe the
+            # REWRITTEN rows (touched files only — bounded) before commit
+            _enforce_checks(updated, self.checks)
         return self._commit_rewrite(
             "UPDATE", untouched, updated, rewritten_rows,
             lambda _new: {
@@ -1001,6 +1022,33 @@ def _count_job(df: DataFrame) -> int:
     merge paths run it on the SOURCE side only (delta-sized, not
     table-sized); everything else derives counts from parquet footers."""
     return df.count()
+
+
+class CheckViolation(ValueError):
+    """A commit's incoming rows violate a declared CHECK constraint."""
+
+
+def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
+    """One short-circuit probe job over the incoming rows: scan until the
+    first row violating ANY check (NULL evaluates as violating, matching
+    SQL CHECK which requires the predicate not be FALSE — Delta enforces
+    the same). Only on violation does a second per-check probe run to
+    name the offender."""
+    clauses = [
+        F.coalesce(F.expr(expr), F.lit(False)) for expr in checks.values()
+    ]
+    all_ok = clauses[0]
+    for c in clauses[1:]:
+        all_ok = all_ok & c
+    if df.filter(~all_ok).limit(1).count() == 0:
+        return
+    for name, expr in checks.items():
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count()
+        if bad:
+            raise CheckViolation(
+                f"CHECK constraint {name!r} violated by incoming rows: {expr}"
+            )
+    raise CheckViolation("CHECK constraint violated by incoming rows")
 
 
 def zorder_value(

@@ -529,3 +529,66 @@ def test_mor_merge_without_match_tracking(spark, tmp_path):
     assert m["matched_updated"] == -1 and m["files_rewritten"] == 0
     assert t.read().count() == 120
     assert t.read().filter("v = 2.0").count() == 30
+
+
+def test_check_constraints_enforced(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT analog): declared at
+    create, enforced on the load and on every append/merge SOURCE — a
+    violating commit raises BEFORE any file lands, and NULL predicate
+    results count as violations (SQL CHECK semantics)."""
+    import pytest as _pytest
+
+    from lhbench_spark.tables import CheckViolation, ManagedTable
+
+    ok = spark.range(1, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "chk"), ok, num_files=2,
+        checks={"v_positive": "v > 0", "k_known": "k < 1000"},
+    )
+    assert t.checks == {"v_positive": "v > 0", "k_known": "k < 1000"}
+
+    bad_append = spark.range(50, 60).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v")
+    with _pytest.raises(CheckViolation, match="v_positive"):
+        t.append(bad_append)
+    # nothing landed
+    assert t.current.version == 0 and t.read().count() == 49
+
+    with _pytest.raises(CheckViolation, match="k_known"):
+        t.merge(
+            spark.range(5000, 5010).selectExpr("id AS k", "CAST(1 AS DOUBLE) AS v"),
+            on=["k"],
+        )
+    # NULL check result is a violation
+    with _pytest.raises(CheckViolation, match="v_positive"):
+        t.append(
+            spark.range(60, 65).selectExpr("id AS k", "CAST(NULL AS DOUBLE) AS v")
+        )
+    # a clean commit still works and constraints persist across reload
+    t.append(spark.range(100, 110).selectExpr("id AS k", "CAST(2 AS DOUBLE) AS v"))
+    t2 = ManagedTable(spark, str(tmp_path / "chk"))
+    assert t2.checks["v_positive"] == "v > 0"
+    assert t2.read().count() == 59
+
+    with _pytest.raises(CheckViolation):
+        ManagedTable.create(
+            spark, str(tmp_path / "chk2"),
+            spark.range(3).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v"),
+            checks={"v_positive": "v > 0"},
+        )
+
+
+def test_check_constraints_cover_update(spark, tmp_path):
+    import pytest as _pytest
+
+    from lhbench_spark.tables import CheckViolation, ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "chku"),
+        spark.range(1, 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        num_files=2, checks={"v_positive": "v > 0"},
+    )
+    with _pytest.raises(CheckViolation, match="v_positive"):
+        t.update({"v": "-v"}, "k < 5")
+    assert t.current.version == 0  # nothing committed
+    t.update({"v": "v + 1"}, "k < 5")  # clean update passes
+    assert t.read().filter("v <= 0").count() == 0
