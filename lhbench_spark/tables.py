@@ -217,7 +217,12 @@ def _list_parquet(d: str, fs: TableFS) -> list[str]:
 
 def _entry_version(e: FileEntry) -> int:
     """Commit version a file was written at, parsed from its
-    data/vNNNNN/ path segment — the MoR precedence order."""
+    data/vNNNNN/ path segment — the MoR precedence order. EXTERNAL
+    entries (absolute paths — shallow-clone references into another
+    table) rank as version 0: whatever their source-table version was,
+    in THIS table they are the base everything later supersedes."""
+    if os.path.isabs(e.path):
+        return 0
     return int(e.path.split(os.sep)[1][1:])
 
 
@@ -880,6 +885,10 @@ class ManagedTable:
             return {"files_removed": 0, "manifests_removed": 0}
         keep = {e.path for m in retained for e in m.files}
         drop = {e.path for m in expired for e in m.files} - keep
+        # Never delete EXTERNAL files (absolute paths — shallow-clone
+        # references): they belong to the source table, and a clone's
+        # retention policy must not reach into it.
+        drop = {p for p in drop if not os.path.isabs(p)}
         for rel in sorted(drop):
             p = os.path.join(self.root, rel)
             if self.fs.exists(p):
@@ -919,6 +928,45 @@ class ManagedTable:
             "location STRING, version INT, num_files INT, num_rows BIGINT, "
             "size_bytes BIGINT",
         )
+
+    # ---------- CLONE (zero-copy shallow clone) ----------
+
+    def clone(self, target_root: str) -> "ManagedTable":
+        """Shallow clone (Delta ``SHALLOW CLONE`` analog): a NEW table
+        whose v0 manifest references the source's current data files by
+        ABSOLUTE path — no data moves, the commit is one manifest write.
+        The clone then evolves independently (its own merges/deletes/
+        history); external references rank as version 0 for MoR
+        precedence, and the clone's VACUUM never deletes external files.
+        MoR deltas must be folded first (their precedence order is
+        table-local). Shared hazard, same as Delta documents: VACUUM on
+        the SOURCE can remove files the clone still references."""
+        m = self.current
+        if any(e.kind == "delta" for e in m.files):
+            raise ValueError(
+                "clone requires a resolved file set — run optimize() first"
+            )
+        entries = [
+            FileEntry(
+                path=self._abs(e), rows=e.rows, bytes=e.bytes,
+                stats=e.stats, kind="data",
+            )
+            for e in m.files
+        ]
+        manifest = Manifest(
+            version=0,
+            operation="CLONE",
+            timestamp_ms=int(time.time() * 1000),
+            files=entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "source_version": m.version,
+                "files_referenced": len(entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(target_root, manifest, self.fs)
+        return ManagedTable(self.spark, target_root, self.fs)
 
     # ---------- CHANGES (change-data-feed analog) ----------
 

@@ -592,3 +592,47 @@ def test_check_constraints_cover_update(spark, tmp_path):
     assert t.current.version == 0  # nothing committed
     t.update({"v": "v + 1"}, "k < 5")  # clean update passes
     assert t.read().filter("v <= 0").count() == 0
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """CLONE references the source's files by absolute path (no data
+    copied), then evolves independently: DML on the clone never touches
+    the source, and the clone's VACUUM never deletes external files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    src_root = str(tmp_path / "src")
+    src = ManagedTable.create(
+        spark, src_root,
+        spark.range(0, 200).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        cluster_by=("k",), num_files=4, primary_keys=("k",),
+    )
+    clone = src.clone(str(tmp_path / "cl"))
+    assert clone.current.operation == "CLONE"
+    # zero-copy: no data files under the clone root
+    assert not os.path.isdir(str(tmp_path / "cl" / "data"))
+    assert clone.read().count() == 200
+    assert sorted(clone.read().columns) == sorted(src.read().columns)
+
+    # independent evolution: delete on the clone, source untouched
+    clone.delete("k < 50")
+    assert clone.read().count() == 150
+    assert src.read().count() == 200
+    # merge on the clone supersedes external base rows (version-0 rank)
+    clone.merge(
+        spark.range(100, 120).selectExpr("id AS k", "CAST(-1.0 AS DOUBLE) AS v"),
+        on=["k"],
+    )
+    assert clone.read().filter("v = -1.0").count() == 20
+    assert src.read().filter("v = -1.0").count() == 0
+
+    # clone vacuum keeps every external (source-owned) file
+    n_src_files = len(src.current.files)
+    clone.vacuum(retain_versions=1)
+    assert all(src.fs.exists(src._abs(e)) for e in src.current.files)
+    assert len(src.current.files) == n_src_files
+    # 200 - 50 deleted; the 20 merged keys all matched (no inserts)
+    assert clone.read().count() == 150
