@@ -227,8 +227,12 @@ def _entry_version(e: FileEntry) -> int:
 
 
 class ManagedTable:
-    """A versioned parquet table: CTAS / MERGE / OPTIMIZE / HISTORY /
-    DETAIL / time travel."""
+    """A versioned parquet table: CTAS, MERGE (CoW or MoR), DELETE/UPDATE,
+    APPEND with additive schema evolution, OPTIMIZE (compaction / MoR
+    delta folding), Z-ORDER clustering, VACUUM, HISTORY/DETAIL, time
+    travel, change data feed, named CHECK constraints, zero-copy shallow
+    CLONE — with atomic put-if-absent commits and optimistic concurrency
+    across writers."""
 
     def __init__(self, spark: SparkSession, root: str, fs: TableFS = LOCAL_FS):
         self.spark = spark

@@ -636,3 +636,46 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert len(src.current.files) == n_src_files
     # 200 - 50 deleted; the 20 merged keys all matched (no inserts)
     assert clone.read().count() == 150
+
+
+def test_mor_consecutive_merges_latest_wins(spark, tmp_path):
+    """Two MoR merges over overlapping keys WITHOUT compaction between:
+    the read resolve must pick the later delta per key (version
+    precedence), and folding afterwards preserves exactly that state."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "mm"),
+        spark.range(0, 100).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"),
+        num_files=2, table_mode="mor", primary_keys=("k",),
+    )
+    t.merge(spark.range(20, 60).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"), on=["k"])
+    t.merge(spark.range(40, 80).selectExpr("id AS k", "CAST(2.0 AS DOUBLE) AS v"), on=["k"])
+
+    def state(tab):
+        return {r.k: r.v for r in tab.read().collect()}
+
+    s = state(t)
+    assert len(s) == 100
+    assert s[10] == 0.0 and s[30] == 1.0 and s[50] == 2.0 and s[70] == 2.0
+    t.optimize()
+    assert state(t) == s
+
+
+def test_lake_catalog_passes_table_options_through(spark, tdir):
+    """create_table forwards table_mode/primary_keys/checks to the
+    managed table — the catalog is a namespace, not a feature filter."""
+    cat = LakeCatalog(spark, f"{tdir}/wh2")
+    cat.create_database("db")
+    cat.use("db")
+    cat.create_table(
+        "m", _base_df(spark, 40), num_files=2,
+        table_mode="mor", primary_keys=("key",),
+        checks={"val_real": "value IS NOT NULL"},
+    )
+    t = cat.table("m")
+    assert t.table_mode == "mor" and t.primary_keys == ["key"]
+    assert "val_real" in t.checks
+    m = t.merge(_base_df(spark, 10).withColumn("value", F.lit(9.9)), on=["key"])
+    assert m["files_rewritten"] == 0
+    assert t.read().filter("value = 9.9").count() == 10
