@@ -364,3 +364,37 @@ def csv_refresh_parts_view(spark, sf_dir):
         dsum("revenue").alias("revenue_sum"),
         dsum("quantity").alias("qty_sum"),
     )
+
+
+_JSONL_ORACLE = """
+SELECT lang,
+       COUNT(*) AS doc_cnt,
+       CAST(SUM(length(text)) AS BIGINT) AS char_sum,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+@query(
+    "json_lines_roundtrip",
+    tags=("source", "jsonl", "documents"),
+    oracle=_JSONL_ORACLE,
+)
+def json_lines_roundtrip(spark, sf_dir):
+    """JSONL source/sink — the interchange format training corpora
+    actually ship in: write the documents table as JSON lines, read it
+    back with an EXPLICIT schema (no inference job — inference scans the
+    whole corpus once and makes the schema data-dependent; at 100 TB the
+    schema is a contract, not a discovery), and aggregate. The oracle
+    recomputes from the parquet source, so the write→read roundtrip is
+    value-checked, string escaping included."""
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="lhbench_jsonl_") + "/docs"
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum(F.length("text")).cast("bigint").alias("char_sum"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
