@@ -270,3 +270,49 @@ def continuous_sink_table(spark, sf_dir):
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
         dsum("value").alias("value_sum"),
     )
+
+
+_TABLE_SOURCE_ORACLE = """
+WITH src AS (
+    SELECT * FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS price_sum
+FROM src
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "stream_table_appends",
+    tags=("streaming", "managed-table", "source"),
+    oracle=_TABLE_SOURCE_ORACLE,
+)
+def stream_table_appends_q(spark, sf_dir):
+    """The managed table as a STREAMING SOURCE: three append commits land
+    on a table, and a file stream over its data tree drains them
+    (availableNow) into an aggregation that must equal the relational
+    recompute — the lakehouse table-streaming read path, closing the
+    loop with continuous_sink_table (stream → table → stream)."""
+    import tempfile as _tf
+
+    from lhbench_spark.catalog import table
+    from lhbench_spark.tables import ManagedTable
+
+    src = table(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 3 = 0"))
+    root = _tf.mkdtemp(prefix="lhbench_tsrc_") + "/t"
+    parts = [src.filter(F.expr(f"o_orderkey % 9 = {3 * i}")) for i in range(3)]
+    t = ManagedTable.create(spark, root, parts[0], num_files=1, validate_count=False)
+    t.append(parts[1], num_files=1)
+    t.append(parts[2], num_files=1)
+
+    stream = streaming.stream_table_appends(t)
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)")).cast("double")
+        .alias("price_sum"),
+    )
+    return streaming.drain_to_table(
+        agg, _sink("t_table_appends"), output_mode="complete"
+    )

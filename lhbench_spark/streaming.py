@@ -160,6 +160,30 @@ def user_activity_stateful(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def stream_table_appends(table, schema=None) -> DataFrame:
+    """A managed table as a STREAMING SOURCE (the lakehouse
+    table-streaming analog): a file stream over the table's data tree
+    picks up each commit's new files as they land — downstream pipelines
+    consume appends continuously instead of polling snapshots.
+
+    Contract: APPEND-ONLY tables (the streaming-ingest shape). A CoW
+    rewrite commit re-delivers rewritten files — exactly the reason the
+    lakehouse formats gate their streaming reads on append-only history
+    too; for update-bearing tables, consume ``changes()`` batch-wise
+    instead. Schema comes from the table (streaming sources never
+    infer)."""
+    import os as _os
+
+    spark = table.spark
+    schema = schema or table.read().schema
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(_os.path.join(table.root, "data"))
+    )
+
+
 def drain_to_table(
     stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
 ) -> DataFrame:
