@@ -529,8 +529,8 @@ class ManagedTable:
         # (exact given unique keys on both sides — validated above).
         source_rows = _count_job(source)
         if rewritten:
-            touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
-            kept = touched_df.join(skeys, on, "left_anti")
+            touched_df = self._read_conformed(rewritten)
+            kept = touched_df.select(*target.columns).join(skeys, on, "left_anti")
             new_data = kept.unionByName(source.select(*target.columns))
         else:
             new_data = source.select(*target.columns)
@@ -683,6 +683,21 @@ class ManagedTable:
 
     # ---------- DELETE / UPDATE (file-level copy-on-write DML) ----------
 
+    def _read_conformed(self, entries: list[FileEntry]) -> DataFrame:
+        """Read a file subset for a rewrite, conformed to the CURRENT
+        table schema. mergeSchema + typed-null fill matter after additive
+        evolution: a plain read of mixed-schema files silently DROPS the
+        evolved columns of the newer files (their values would be lost in
+        the rewrite), and a pre-evolution subset lacks the new columns
+        entirely (a union with full-schema sources would fail)."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            *[self._abs(e) for e in entries]
+        )
+        for f in self.read().schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def _touched_files(self, cond) -> set[str]:
         """Files containing at least one row where ``cond`` is TRUE."""
         rows = (
@@ -741,7 +756,7 @@ class ManagedTable:
         if not rewritten:
             return {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
         rewritten_rows = sum(e.rows for e in rewritten)
-        touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
+        touched_df = self._read_conformed(rewritten)
         kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
         return self._commit_rewrite(
             "DELETE", untouched, kept, rewritten_rows,
@@ -767,7 +782,7 @@ class ManagedTable:
         if not rewritten:
             return {"rows_updated": 0, "files_rewritten": 0, "files_added": 0}
         rewritten_rows = sum(e.rows for e in rewritten)
-        touched_df = self.spark.read.parquet(*[self._abs(e) for e in rewritten])
+        touched_df = self._read_conformed(rewritten)
         rows_updated = touched_df.filter(cond).count()
         updated = touched_df.select(
             *[

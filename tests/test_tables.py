@@ -679,3 +679,42 @@ def test_lake_catalog_passes_table_options_through(spark, tdir):
     m = t.merge(_base_df(spark, 10).withColumn("value", F.lit(9.9)), on=["key"])
     assert m["files_rewritten"] == 0
     assert t.read().filter("value = 9.9").count() == 10
+
+
+def test_dml_after_schema_evolution_preserves_columns(spark, tmp_path):
+    """MERGE / DELETE / UPDATE after additive evolution: rewrites of
+    pre-evolution files conform to the current schema (typed-null fill),
+    and rewrites spanning mixed-schema files never silently drop the
+    evolved column's values."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "evo"), base, num_files=2, primary_keys=("k",)
+    )
+    t.append(
+        spark.range(50, 60).selectExpr(
+            "id AS k", "CAST(0.0 AS DOUBLE) AS v", "'x' AS note"
+        ),
+        merge_schema=True,
+    )
+    # merge whose touched files predate the evolution
+    m = t.merge(
+        spark.range(0, 10).selectExpr(
+            "id AS k", "CAST(-1.0 AS DOUBLE) AS v", "'m' AS note"
+        ),
+        on=["k"],
+    )
+    assert m["matched_updated"] == 10
+    got = t.read()
+    assert got.count() == 60
+    assert got.filter("note = 'm'").count() == 10
+    assert got.filter("note = 'x'").count() == 10  # evolved values survive
+    # delete + update across mixed-schema state
+    t.delete("k >= 55")
+    assert t.read().filter("note = 'x'").count() == 5
+    t.update({"v": "v + 100"}, "note = 'x'")
+    assert t.read().filter("v >= 100").count() == 5
+    assert t.read().count() == 55
