@@ -634,7 +634,15 @@ class ManagedTable:
     ) -> dict[str, int]:
         """Append-only commit: new files land next to the existing ones,
         nothing is rewritten (the cheapest write path — the Delta
-        ``.mode("append")`` analog). With ``merge_schema`` the incoming
+        ``.mode("append")`` analog).
+
+        On a MoR table, appended rows participate in the latest-per-key
+        resolve like any newer commit: appending a row whose primary key
+        already exists SUPERSEDES the old row at read time (i.e. it
+        behaves as an upsert, not a duplicate). Appends to MoR tables
+        should carry fresh keys; use merge() for updates — the
+        pk-disjointness check would cost an O(table) pass, so it is a
+        contract, not a runtime guard. With ``merge_schema`` the incoming
         frame may carry NEW columns (Delta ``mergeSchema`` semantics:
         additive only); existing rows surface them as NULL at read time
         via parquet schema merging. Without it, a schema mismatch is an
