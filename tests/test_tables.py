@@ -718,3 +718,37 @@ def test_dml_after_schema_evolution_preserves_columns(spark, tmp_path):
     t.update({"v": "v + 100"}, "note = 'x'")
     assert t.read().filter("v >= 100").count() == 5
     assert t.read().count() == 55
+
+
+def test_change_feed_on_clone(spark, tmp_path):
+    """CDF on a shallow clone: commit deltas after the clone point are
+    derived correctly even though the v0 base is external (absolute-path)
+    file references."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    src = ManagedTable.create(
+        spark, str(tmp_path / "s"),
+        spark.range(0, 80).selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v"),
+        cluster_by=("k",), num_files=2, primary_keys=("k",),
+    )
+    clone = src.clone(str(tmp_path / "c"))
+    clone.merge(
+        spark.range(70, 90).selectExpr("id AS k", "CAST(2.0 AS DOUBLE) AS v"),
+        on=["k"],
+    )
+    counts = {
+        r["_change_type"]: r["cnt"]
+        for r in clone.changes(0)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert counts == {
+        "update_preimage": 10,
+        "update_postimage": 10,
+        "insert": 10,
+    }, counts
+    # and the source saw none of it
+    assert src.current.version == 0
