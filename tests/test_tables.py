@@ -752,3 +752,34 @@ def test_change_feed_on_clone(spark, tmp_path):
     }, counts
     # and the source saw none of it
     assert src.current.version == 0
+
+
+def test_mor_resolve_through_catalog_view_and_vacuum(spark, tdir):
+    """A MoR table registered as a temp view resolves latest-per-key for
+    SQL consumers, and VACUUM after merges keeps every file the current
+    manifest still references (base AND delta)."""
+    cat = LakeCatalog(spark, f"{tdir}/whm")
+    cat.create_database("db")
+    cat.use("db")
+    cat.create_table(
+        "events_t", _base_df(spark, 100), num_files=2,
+        table_mode="mor", primary_keys=("key",),
+    )
+    t = cat.table("events_t")
+    t.merge(
+        _base_df(spark, 120).filter(F.col("key") >= 90).withColumn(
+            "value", F.lit(-1.0)
+        ),
+        on=["key"],
+    )
+    cat.register_view("events_t", "mor_view")
+    got = spark.sql(
+        "SELECT COUNT(*) AS c, SUM(CASE WHEN value = -1.0 THEN 1 ELSE 0 END) AS u "
+        "FROM mor_view"
+    ).collect()[0]
+    assert (got.c, got.u) == (120, 30)
+    v = t.vacuum(retain_versions=1)
+    assert v["manifests_removed"] == 1
+    # every referenced file (incl. deltas) survives; read still resolves
+    assert all(t.fs.exists(t._abs(e)) for e in t.current.files)
+    assert t.read().count() == 120
