@@ -405,11 +405,11 @@ GROUP BY o_orderstatus
 
 
 @query(
-    "pivot_wide_channels",
+    "agg_pivot_wide",
     tags=("agg", "pivot", "wide"),
     oracle=_PIVOT_WIDE_ORACLE,
 )
-def pivot_wide_channels(spark, sf_dir):
+def agg_pivot_wide(spark, sf_dir):
     """groupBy().pivot() with an explicit value list — the wide-table
     form of the reference's conditional-agg idiom (q2/q88 shape,
     agg_conditional_pivot is the CASE-expression twin). Catalyst plans

@@ -591,11 +591,11 @@ SELECT * FROM (
 
 
 @query(
-    "dml_change_feed",
+    "cdc_change_feed",
     tags=("dml", "cdf", "managed-table", "incremental"),
     oracle=_CDF_ORACLE,
 )
-def dml_change_feed(spark, sf_dir):
+def cdc_change_feed(spark, sf_dir):
     """Change-data-feed (Delta CDF analog): after CREATE → MERGE →
     DELETE, ``changes(0)`` replays the row-level deltas from the
     manifest's file diffs alone — scan cost O(changed files), no
@@ -660,11 +660,11 @@ GROUP BY o_orderstatus
 
 
 @query(
-    "dml_incremental_rollup",
+    "cdc_incremental_rollup",
     tags=("dml", "cdf", "ivm", "incremental", "managed-table"),
     oracle=_IVM_ORACLE,
 )
-def dml_incremental_rollup(spark, sf_dir):
+def cdc_incremental_rollup(spark, sf_dir):
     """Incremental view maintenance over the change feed: the per-status
     rollup is seeded from the CREATE state, then UPDATED by aggregating
     ``changes(0)`` with signed weights (+1 insert/update-post, -1

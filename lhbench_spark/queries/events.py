@@ -402,11 +402,11 @@ FROM j
 
 
 @query(
-    "events_gapfill_locf",
+    "adhoc_gapfill_locf",
     tags=("events", "gapfill", "locf", "hypertable", "extension"),
     oracle=_GAPFILL_ORACLE,
 )
-def events_gapfill_locf(spark, sf_dir):
+def adhoc_gapfill_locf(spark, sf_dir):
     """Time-bucket gap filling with last-observation-carried-forward —
     the hypertable `time_bucket_gapfill + locf` pattern a metrics/
     training-telemetry pipeline needs: generate the full hourly grid per

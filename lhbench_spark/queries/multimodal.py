@@ -122,11 +122,11 @@ FROM media
 
 
 @query(
-    "multimodal_audio_windows",
+    "audio_frame_windows",
     tags=("multimodal", "audio", "windows"),
     oracle=_AUDIO_WINDOWS_ORACLE,
 )
-def multimodal_audio_windows(spark, sf_dir):
+def audio_frame_windows(spark, sf_dir):
     """Audio-frame windowing plan: sliding sample windows (100-sample
     window, 40-sample hop) generated per payload with sequence +
     explode_outer, then re-aggregated per media — so the exploded

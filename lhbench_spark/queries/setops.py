@@ -141,11 +141,11 @@ FROM survivors
 
 
 @query(
-    "setop_except_chain",
+    "columnar_except_chain",
     tags=("setop", "except", "tpcds-shape"),
     oracle=_EXCEPT_CHAIN_ORACLE,
 )
-def setop_except_chain(spark, sf_dir):
+def columnar_except_chain(spark, sf_dir):
     """q87's double-EXCEPT chain (TPCDSBenchmarkQueries.scala:4386-4406):
     customers ordering urgent EXCEPT those ordering high EXCEPT those
     ordering low — left-associative, so the second EXCEPT subtracts from

@@ -139,11 +139,11 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 @query(
-    "sim_ivf_partitioned",
+    "ann_ivf_partitioned",
     tags=("similarity", "embedding", "ann", "ivf", "partition-pruning"),
     oracle=_IVF_ORACLE,
 )
-def sim_ivf_partitioned(spark, sf_dir):
+def ann_ivf_partitioned(spark, sf_dir):
     """The IVF STORAGE path: ingest writes the corpus Hive-partitioned by
     cell (ivf_write_partitioned), and a probe collects its cell ids —
     the metadata-sized index lookup — then scans only those partition

@@ -285,11 +285,11 @@ GROUP BY o_orderpriority
 
 
 @query(
-    "stream_table_appends",
+    "cdc_table_stream",
     tags=("streaming", "managed-table", "source"),
     oracle=_TABLE_SOURCE_ORACLE,
 )
-def stream_table_appends_q(spark, sf_dir):
+def cdc_table_stream_q(spark, sf_dir):
     """The managed table as a STREAMING SOURCE: three append commits land
     on a table, and a file stream over its data tree drains them
     (availableNow) into an aggregation that must equal the relational

@@ -134,11 +134,11 @@ FROM channels GROUP BY channel
 
 
 @query(
-    "subq_cte_best_customers",
+    "complex_q23_best_customers",
     tags=("subquery", "cte", "union", "tpcds-shape"),
     oracle=_BEST_CUST_ORACLE,
 )
-def subq_cte_best_customers(spark, sf_dir):
+def complex_q23_best_customers(spark, sf_dir):
     """q23a/b shape (TPCDSBenchmarkQueries.scala:1226-1276): two CTEs —
     frequent items (HAVING over a join) and best customers (spend above
     50% of the MAX spend, an uncorrelated scalar subquery) — each

@@ -377,11 +377,11 @@ GROUP BY lang
 
 
 @query(
-    "json_lines_roundtrip",
+    "columnar_jsonl_roundtrip",
     tags=("source", "jsonl", "documents"),
     oracle=_JSONL_ORACLE,
 )
-def json_lines_roundtrip(spark, sf_dir):
+def columnar_jsonl_roundtrip(spark, sf_dir):
     """JSONL source/sink — the interchange format training corpora
     actually ship in: write the documents table as JSON lines, read it
     back with an EXPLICIT schema (no inference job — inference scans the

@@ -71,6 +71,7 @@ _GATE_WINDOW = [
     "acid_vacuum_retention",
     "acid_zorder_skipping",
     "adhoc_cte_chain",
+    "adhoc_gapfill_locf",
     "adhoc_grouping_sets",
     "adhoc_latest_per_key",
     "adhoc_temp_view_cube",
@@ -82,6 +83,7 @@ _GATE_WINDOW = [
     "agg_minmax_by_brand",
     "agg_multi_distinct_buckets",
     "agg_percentiles_exact",
+    "agg_pivot_wide",
     "agg_pricing_summary",
     "agg_rollup_grouping",
     "agg_sketches",
@@ -90,27 +92,25 @@ _GATE_WINDOW = [
     "analytic_percent_rank",
     "analytic_rank_over_rollup",
     "ann_embedding_quantize",
+    "ann_ivf_partitioned",
     "ann_ivf_topk",
     "ann_label_centroids",
     "ann_recall",
+    "audio_frame_windows",
     "cast_time_decode",
     "catalog_dpp_partition_prune",
     "catalog_writer_partitioned",
+    "cdc_change_feed",
+    "cdc_incremental_rollup",
+    "cdc_table_stream",
+    "columnar_except_chain",
+    "columnar_jsonl_roundtrip",
     "columnar_unpivot",
     "complex_q14_intersect_rollup",
+    "complex_q23_best_customers",
     "complex_q64_bigjoin",
     "continuous_dedup_replay",
     "continuous_enrich_static",
-    "continuous_sessionize",
-    "continuous_sink_table",
-    "continuous_stateful_ema",
-    "continuous_tumbling_window",
-    "corpus_bpe_tokens",
-    "corpus_chunk_windows",
-    "corpus_decontaminate",
-    "corpus_pii_redact",
-    "corpus_repetition_filters",
-    "corpus_tfidf_topterms",
 ]
 
 

@@ -126,7 +126,7 @@ def test_dpp_partition_filter_in_plan(spark):
 
 
 def test_ivf_partitioned_probe_prunes_partitions(spark):
-    """sim_ivf_partitioned's probe scan must carry the probe cells as
+    """ann_ivf_partitioned's probe scan must carry the probe cells as
     PartitionFilters on the cell-partitioned corpus — the read path that
     makes IVF an index (scan probes/num_cells of the data) rather than a
     full-corpus filter."""
