@@ -31,8 +31,18 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.command == "bench":
-        import bench  # repo-root entry; same output contract as the driver
+        # bench.py lives at the repo root (the driver's entry contract),
+        # one level above this package — load it by path so the
+        # subcommand works from any cwd, not only the repo root.
+        import importlib.util
+        import os
 
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+        )
+        spec = importlib.util.spec_from_file_location("bench", bench_path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
         return bench.main()
 
     from lhbench_spark.catalog import DEFAULT_SF_DIR

@@ -11,10 +11,13 @@ giants do; these two reproduce their structure on the TPC-H-ish testdata:
   INTERSECT defines the qualifying item set, which gates a fact
   aggregation under GROUP BY ROLLUP with grouping()-derived columns.
 
-Scale shape: every dimension side is broadcast (the fact is never
-shuffled for a dimension), each fact pass is one shuffle (the group-by),
-and the CTE self-join / semi-join operate on aggregated, item-sized
-frames — the plans a 1000-executor run needs.
+Scale shape: fixed-cardinality dims (nation, region) carry explicit
+broadcast hints; SF-scaled dims (customer, supplier, part) are left to
+Catalyst/AQE, which broadcasts them when they fit under
+autoBroadcastJoinThreshold and falls back to a shuffled join when they
+don't — a forced hint there would OOM executors at 100×. Each fact pass
+is one shuffle (the group-by), and the CTE self-join / semi-join operate
+on aggregated, item-sized frames — the plans a 1000-executor run needs.
 """
 
 from __future__ import annotations
@@ -69,16 +72,21 @@ def _cross_sales(spark, sf_dir):
         F.col("n_regionkey").alias("cn_regionkey"),
     )
     sn = n.select(F.col("n_nationkey").alias("sn_nationkey"))
+    # Broadcast hints only on fixed-cardinality dims (nation=25, region=5
+    # at every SF). customer/supplier/part grow linearly with SF — a
+    # forced hint there bypasses autoBroadcastJoinThreshold and OOMs
+    # executors at the reference's 3 TB+; Catalyst/AQE picks broadcast
+    # for them automatically whenever they actually fit.
     joined = (
-        li.join(F.broadcast(p.filter(F.col("p_size") <= 20)), li.l_partkey == p.p_partkey)
+        li.join(p.filter(F.col("p_size") <= 20), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_nationkey"))
         .join(
             F.broadcast(r.filter(F.col("r_name") == "ASIA")),
             F.col("cn_regionkey") == r.r_regionkey,
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_nationkey"))
     )
     return joined.groupBy(
@@ -187,7 +195,7 @@ def complex_q14_intersect_rollup(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.year("o_orderdate") == 1995)
         .join(cross_parts, "l_partkey", "left_semi")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
     )
     return fact.rollup("p_type", "p_brand").agg(
         (F.grouping("p_type") + F.grouping("p_brand")).cast("int").alias("lochierarchy"),

@@ -5,10 +5,14 @@ Covers: inner equi-join (N-way), left/full outer, semi (EXISTS), anti
 broadcast strategy for dimension tables.
 
 Scale notes: fact-fact joins (orders ⋈ lineitem) shuffle on the join key —
-both sides are naturally keyed on orderkey so AQE keeps partitions sized;
-all dimension joins are explicitly broadcast (region/nation/customer/
-supplier/part are orders-of-magnitude smaller than the fact tables at any
-SF, matching TPC-DS star-schema practice the reference relies on).
+both sides are naturally keyed on orderkey so AQE keeps partitions sized.
+Broadcast hints are placed ONLY on fixed-cardinality dims (nation=25,
+region=5 at every SF). customer/supplier/part grow linearly with the
+scale factor, so their join strategy is delegated to Catalyst/AQE: at
+bench SFs they fall under autoBroadcastJoinThreshold and broadcast
+anyway; at 100 TB they shuffle instead of OOMing executors — matching
+the reference's stance of delegating strategy to the optimizer
+(TPCDSBenchmark.scala:84-87).
 """
 
 from __future__ import annotations
@@ -40,9 +44,11 @@ LIMIT 10
 )
 def join_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape = reference q3's 3-way star join + group + top-k
-    (TPCDSBenchmarkQueries.scala:104-123). customer is broadcast; the
-    orders⋈lineitem shuffle is the only wide exchange. LIMIT is fully
-    tie-broken (revenue DESC, l_orderkey) for deterministic top-k."""
+    (TPCDSBenchmarkQueries.scala:104-123). customer's join strategy is
+    left to AQE (it is SF-scaled; it broadcasts at bench SFs and shuffles
+    at 100 TB); the orders⋈lineitem shuffle is the only unavoidable wide
+    exchange. LIMIT is fully tie-broken (revenue DESC, l_orderkey) for
+    deterministic top-k."""
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -52,7 +58,7 @@ def join_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -82,20 +88,21 @@ GROUP BY n_name
 def join_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: 6-way join incl. a compound-key join
     (l_suppkey AND c_nationkey = s_nationkey — reference catalog_page
-    compound join shape, TPCDSRefreshSchema.scala:784-785). supplier/
-    nation/region broadcast; one fact-fact shuffle."""
+    compound join shape, TPCDSRefreshSchema.scala:784-785). nation/region
+    (fixed-cardinality) broadcast; customer/supplier strategy delegated
+    to AQE; one fact-fact shuffle."""
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    supp = table(spark, sf_dir, "supplier")
     nat = F.broadcast(table(spark, sf_dir, "nation"))
     reg = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

@@ -45,7 +45,9 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
+import uuid
 from dataclasses import asdict, dataclass, field
 
 import pyarrow.parquet as pq
@@ -79,7 +81,11 @@ class TableFS:
         storage); readers never observe a half-written manifest. An
         object-store impl maps this to a conditional PUT
         (If-None-Match)."""
-        tmp = f"{path}.tmp.{os.getpid()}"
+        # Unique per attempt (pid + thread + random): two threads in one
+        # process staging the same version must not share a tmp file —
+        # a pid-only name could link the wrong content or hit a
+        # FileNotFoundError in the finally-remove.
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(text)
         try:
@@ -217,13 +223,15 @@ def _list_parquet(d: str, fs: TableFS) -> list[str]:
 
 def _entry_version(e: FileEntry) -> int:
     """Commit version a file was written at, parsed from its
-    data/vNNNNN/ path segment — the MoR precedence order. EXTERNAL
-    entries (absolute paths — shallow-clone references into another
-    table) rank as version 0: whatever their source-table version was,
-    in THIS table they are the base everything later supersedes."""
+    data/vNNNNN[-token]/ path segment — the MoR precedence order (the
+    optional -token suffix is the per-writer staging discriminator;
+    see _claim_data_dir). EXTERNAL entries (absolute paths —
+    shallow-clone references into another table) rank as version 0:
+    whatever their source-table version was, in THIS table they are the
+    base everything later supersedes."""
     if os.path.isabs(e.path):
         return 0
-    return int(e.path.split(os.sep)[1][1:])
+    return int(e.path.split(os.sep)[1][1:].split("-")[0])
 
 
 class ManagedTable:
@@ -299,6 +307,8 @@ class ManagedTable:
             raise ValueError("mor tables require primary_keys (the merge/resolve key)")
         if checks:
             _enforce_checks(df, checks)
+        if table_mode == "mor":
+            _validate_pk_unique(df, list(primary_keys), "mor initial load")
         if fs.exists(root):
             if mode == "overwrite":
                 fs.rmtree(root)
@@ -386,17 +396,21 @@ class ManagedTable:
         return os.path.join(self.root, e.path)
 
     def _claim_data_dir(self, version: int) -> str:
-        """Data directory for the next commit, with an eager conflict
-        check: in this layout a version's data dir is written by exactly
-        one committer, so its existence means another writer is ahead —
-        fail with the retryable conflict error instead of an opaque
-        parquet path-exists failure. The atomic manifest commit
-        (TableFS.commit_text) remains the authoritative gate for the
-        truly simultaneous race."""
-        d = os.path.join(self.root, "data", f"v{version:05d}")
-        if self.fs.exists(d):
+        """PRIVATE staging directory for the next commit. The name
+        carries a per-writer random token (data/vNNNNN-<token>), so two
+        racing committers never write into the same directory: each
+        builds its FileEntry list by listing only its own staging dir,
+        and the atomic manifest commit (TableFS.commit_text) picks the
+        single winner — the winner's manifest can only ever reference
+        the winner's files. The loser's staged files are unreferenced
+        garbage (same orphan class Delta leaves on aborted writes). An
+        eager exists() check still catches the common
+        writer-is-behind case early with a retryable error."""
+        token = uuid.uuid4().hex[:8]
+        d = os.path.join(self.root, "data", f"v{version:05d}-{token}")
+        if self.fs.exists(_manifest_path(self.root, version)):
             raise ConcurrentWriteError(
-                f"version {version} already written at {d} "
+                f"version {version} already committed in {self.root} "
                 "(another writer is ahead — reload and retry)"
             )
         return d
@@ -438,8 +452,9 @@ class ManagedTable:
     def _resolve_mor(self, m: Manifest, files: list[FileEntry]) -> DataFrame:
         """Latest-row-per-key over base + delta files: each file carries
         its commit version; per primary key the row from the highest
-        version wins (delta commits are pk-unique — validated at merge —
-        so there are no ties). One scan + one pk-shuffle window: this is
+        version wins (every MoR commit is validated pk-unique within
+        itself — at create, append, and merge — so there are no
+        within-version ties). One scan + one pk-shuffle window: this is
         the read-side cost MoR trades for its cheap writes."""
         keys = self.primary_keys
         if not keys:
@@ -510,9 +525,14 @@ class ManagedTable:
             return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
 
+        # No forced broadcast on the source key set: the reference's
+        # refresh merges touch ~3% of the base table per round
+        # (experiment-instructions.md:277-296) — billions of keys at
+        # 100 TB, far beyond broadcast. AQE converts the semi-join to a
+        # broadcast automatically when the source is actually small.
         touched_rows = (
             target.withColumn("_file", F.input_file_name())
-            .join(F.broadcast(skeys), on, "left_semi")
+            .join(skeys, on, "left_semi")
             .select("_file")
             .distinct()
             .collect()
@@ -587,15 +607,16 @@ class ManagedTable:
             raise ValueError(
                 f"mor merge key {on} must equal the declared primary key {pk}"
             )
-        # matched-count metric: a broadcast semi-join PASS OVER THE TABLE
-        # (no shuffle, but O(table-read) — the one part of a MoR merge
-        # whose cost is not O(source)). A format with a record-level index
-        # gets this for free; without one, callers that don't need history
-        # match counts pass track_matches=False and the merge touches only
-        # the source.
+        # matched-count metric: a semi-join PASS OVER THE TABLE
+        # (O(table-read) — the one part of a MoR merge whose cost is not
+        # O(source)). Strategy is left to AQE: small sources broadcast
+        # automatically, SF-scaled sources shuffle instead of OOMing. A
+        # format with a record-level index gets this for free; without
+        # one, callers that don't need history match counts pass
+        # track_matches=False and the merge touches only the source.
         if track_matches:
             skeys = source.select(*on).dropDuplicates()
-            matched = target.join(F.broadcast(skeys), on, "left_semi").count()
+            matched = target.join(skeys, on, "left_semi").count()
         else:
             matched = -1
         version = m.version + 1
@@ -639,10 +660,11 @@ class ManagedTable:
         On a MoR table, appended rows participate in the latest-per-key
         resolve like any newer commit: appending a row whose primary key
         already exists SUPERSEDES the old row at read time (i.e. it
-        behaves as an upsert, not a duplicate). Appends to MoR tables
-        should carry fresh keys; use merge() for updates — the
-        pk-disjointness check would cost an O(table) pass, so it is a
-        contract, not a runtime guard. With ``merge_schema`` the incoming
+        behaves as an upsert, not a duplicate). Each MoR append batch is
+        validated pk-unique WITHIN itself (O(incoming) probe); appends
+        should also carry keys fresh vs earlier commits — that
+        cross-commit disjointness check would cost an O(table) pass, so
+        it is a contract, not a runtime guard (use merge() for updates). With ``merge_schema`` the incoming
         frame may carry NEW columns (Delta ``mergeSchema`` semantics:
         additive only); existing rows surface them as NULL at read time
         via parquet schema merging. Without it, a schema mismatch is an
@@ -650,6 +672,11 @@ class ManagedTable:
         m = self.current
         if self.checks:
             _enforce_checks(df, self.checks)
+        if self.table_mode == "mor":
+            # Within-batch uniqueness only (O(incoming)); cross-commit
+            # disjointness stays a documented contract — checking it
+            # would cost an O(table) pass.
+            _validate_pk_unique(df, self.primary_keys, "mor append batch")
         existing = set(self.read().columns)
         extra = [c for c in df.columns if c not in existing]
         missing = [c for c in existing if c not in df.columns]
@@ -1044,10 +1071,19 @@ class ManagedTable:
             ver = F.lit(m.version).alias("_commit_version")
             if pre is None:
                 # No pre-images in this commit: plain APPEND rows are
-                # inserts; a MoR MERGE's delta rows are upserts (their
-                # pre-images still live in base files — classifying them
-                # would cost an O(table) read, which CDF must never do).
-                tag = "upsert" if m.operation == "MERGE" else "insert"
+                # inserts; a MoR MERGE's delta rows (kind=='delta') are
+                # upserts — their pre-images still live in base files,
+                # and classifying them would cost an O(table) read, which
+                # CDF must never do. A CoW MERGE whose source matched
+                # NOTHING also lands here (no files rewritten, added
+                # files are kind=='data'): those rows are plain inserts —
+                # tagging them 'upsert' would make signed-delta IVM
+                # consumers subtract them.
+                tag = (
+                    "upsert"
+                    if any(e.kind == "delta" for e in added)
+                    else "insert"
+                )
                 delta = post.select(F.lit(tag).alias("_change_type"), ver, "*")
             elif post is None:
                 delta = pre.select(F.lit("delete").alias("_change_type"), ver, "*")
@@ -1103,12 +1139,34 @@ class CheckViolation(ValueError):
     """A commit's incoming rows violate a declared CHECK constraint."""
 
 
+def _validate_pk_unique(df: DataFrame, keys: list[str], what: str) -> None:
+    """One probe job over the INCOMING rows only: duplicate primary keys
+    within a single MoR commit would get an arbitrary row_number order at
+    resolve time (all but one row silently dropped, nondeterministically),
+    so they are rejected up front — the same incoming-side check merge()
+    runs on its source."""
+    dups = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dups:
+        raise ValueError(
+            f"{what} carries duplicate primary keys on {keys} — a MoR "
+            "commit must be pk-unique (latest-per-key resolve would drop "
+            "all but an arbitrary one)"
+        )
+
+
 def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
     """One short-circuit probe job over the incoming rows: scan until the
-    first row violating ANY check (NULL evaluates as violating, matching
-    SQL CHECK which requires the predicate not be FALSE — Delta enforces
-    the same). Only on violation does a second per-check probe run to
-    name the offender."""
+    first row violating ANY check. NULL evaluates as violating — this
+    follows Delta's CHECK enforcement and deliberately deviates from ANSI
+    SQL, where CHECK passes any predicate that is not FALSE (NULL
+    passes). Only on violation does a second per-check probe run to name
+    the offender."""
     clauses = [
         F.coalesce(F.expr(expr), F.lit(False)) for expr in checks.values()
     ]

@@ -148,11 +148,18 @@ def test_ivf_partitioned_probe_prunes_partitions(spark):
     assert "_cell" in pf and ("IN" in pf or "In(" in pf or "EqualTo" in pf), pf
 
 
-def test_q64_shape_broadcasts_all_dimensions(spark):
-    """complex_q64_bigjoin: both fact passes must broadcast every
-    dimension (>= 10 BroadcastHashJoins across the reused CTE) — a
-    SortMergeJoin against a dimension would mean a fact-sized shuffle
-    crept into the hardest join tree."""
+def test_q64_shape_broadcasts_fixed_dims(spark):
+    """complex_q64_bigjoin: the fixed-cardinality dims (nation ×2 roles,
+    region — hinted) must broadcast in both fact passes (>= 6
+    BroadcastHashJoins), and no SortMergeJoin may appear against a
+    nation/region scan. SF-scaled dims (customer/supplier/part) are
+    deliberately NOT asserted broadcast: their strategy belongs to AQE —
+    a forced hint would OOM at 100× even though it is fast at sf0.01."""
     q = all_queries()["complex_q64_bigjoin"]
     plan = plan_of(q.spark_fn(spark, SMOKE_SF))
-    assert plan.count("BroadcastHashJoin") >= 10, plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan
+    # every SortMergeJoin key in this tree joins fact-to-fact or
+    # fact-to-SF-scaled-dim; nation/region keys must never appear there
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "n_nationkey" not in line and "r_regionkey" not in line, line

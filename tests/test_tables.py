@@ -489,13 +489,13 @@ def test_change_feed_random_lifecycle_matches_recompute(spark, tmp_path):
 def test_crashed_writer_remnants_are_harmless(spark, tmp_path):
     """A writer that died after staging its temp manifest (or mid data
     write) must not corrupt the table: stray .tmp manifests are ignored
-    by the loader, and the next writer of that version gets a clean
-    conflict error from the data-dir claim."""
+    by the loader, and a half-written staging data dir is invisible to
+    the next writer — per-writer staging dirs carry a random token, so
+    the next commit writes elsewhere and its manifest references only
+    its own files (the remnant is unreferenced garbage, never data)."""
     import os
 
-    import pytest as _pytest
-
-    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+    from lhbench_spark.tables import ManagedTable
 
     base = spark.range(0, 50).selectExpr("id AS k")
     root = str(tmp_path / "crash")
@@ -505,10 +505,18 @@ def test_crashed_writer_remnants_are_harmless(spark, tmp_path):
         f.write("{half written")
     t2 = ManagedTable(spark, root)  # reload ignores the remnant
     assert t2.current.version == 0 and t2.read().count() == 50
-    # crashed writer remnant: a half-written data dir for the next version
-    os.makedirs(os.path.join(root, "data", "v00001"))
-    with _pytest.raises(ConcurrentWriteError):
-        t2.append(spark.range(5).selectExpr("id AS k"))
+    # crashed writer remnant: an abandoned staging dir for the next
+    # version, holding a stray parquet file
+    remnant = os.path.join(root, "data", "v00001-deadbeef")
+    os.makedirs(remnant)
+    spark.range(999).selectExpr("id AS k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(remnant)
+    t2.append(spark.range(5).selectExpr("id AS k"))
+    # the commit succeeded, skipped the remnant dir, and referenced
+    # none of its files
+    assert t2.read().count() == 55
+    assert all("deadbeef" not in e.path for e in t2.current.files)
 
 
 def test_mor_merge_without_match_tracking(spark, tmp_path):
