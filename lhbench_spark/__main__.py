@@ -5,6 +5,8 @@ names; no ssh layer is needed in local mode, SURVEY.md §3).
     python -m lhbench_spark smoke                 # TestBenchmark parity
     python -m lhbench_spark bench                 # full query suite
     python -m lhbench_spark merge_micro           # merge microbenchmark
+    python -m lhbench_spark merge_grid            # CoW-vs-MoR × update-pct grid
+    python -m lhbench_spark compare --configs cow,mor   # multi-config bench
     python -m lhbench_spark file_count            # file-count / planning
     python -m lhbench_spark refresh               # incremental refresh
     python -m lhbench_spark query <name> [--sf-dir DIR]   # one query
@@ -23,11 +25,18 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="lhbench_spark")
     ap.add_argument(
         "command",
-        choices=["smoke", "bench", "merge_micro", "file_count", "refresh", "query"],
+        choices=[
+            "smoke", "bench", "merge_micro", "merge_grid", "compare",
+            "file_count", "refresh", "query",
+        ],
     )
     ap.add_argument("name", nargs="?", help="query name (for `query`)")
     ap.add_argument("--sf-dir", default=None, help="testdata dir (default $SPARK_GRAFT_SF_DIR)")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--configs", default="cow,mor",
+        help="comma-separated storage configs (for `compare`)",
+    )
     args = ap.parse_args(argv)
 
     if args.command == "bench":
@@ -62,6 +71,17 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         qd.spark_fn(spark, sf_dir).show(100, truncate=False)
+        return 0
+
+    if args.command == "compare":
+        from lhbench_spark.workloads import compare as cmp_mod
+
+        print(cmp_mod.run(spark, configs=tuple(args.configs.split(","))).to_json())
+        return 0
+    if args.command == "merge_grid":
+        from lhbench_spark.workloads.merge_micro import run_grid
+
+        print(run_grid(spark).to_json())
         return 0
 
     import importlib

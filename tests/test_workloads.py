@@ -27,6 +27,77 @@ def test_merge_micro_runner(spark):
     assert agg2.row_count == 1
 
 
+def test_merge_grid_cow_vs_mor(spark):
+    """The CoW-vs-MoR sweep (MergeMicroBenchmark.scala:160-167,204-265;
+    README.md:38-41 crossover): per (mode, update_pct) cell the grid must
+    record merge AND post-merge read timings; structurally, every CoW
+    merge that matched rows rewrites files while every MoR merge rewrites
+    none (it appends deltas); and both modes must land in the SAME post
+    state — the read query's (count, decimal value sum) agree per pct."""
+    cfg = merge_micro.MergeGridConfig(
+        rows=20_000, num_splits=4, num_files=4,
+        update_pcts=(0.01, 0.1), insert_rows=500,
+    )
+    rep = merge_micro.run_grid(spark, cfg)
+    errs = [(r.name, r.error_msg) for r in rep.query_results if r.error_msg]
+    assert not errs
+    for pct in cfg.update_pcts:
+        assert rep.extra_metrics[f"cow-pct{pct}-merge-seconds"] > 0
+        assert rep.extra_metrics[f"mor-pct{pct}-read-seconds"] > 0
+        assert rep.extra_metrics[f"cow-pct{pct}-files-rewritten"] > 0
+        assert rep.extra_metrics[f"mor-pct{pct}-files-rewritten"] == 0
+
+
+def test_merge_grid_modes_reach_identical_state(spark, tmp_path):
+    """Same base, same merge source → CoW table state and MoR resolved
+    state are row-identical (checked via full-row fingerprint). The
+    source is a DETERMINISTIC update set (key % 20) rather than
+    update_set's rand() sample — rand(seed) is seeded per partition, so
+    its key choice is layout-dependent and would differ across tables."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    base = merge_micro.gen_table(spark, 5_000, 4)
+    updates = base.filter(F.col("key") % 20 == 0).withColumn(
+        "value", F.col("value") * -1.0
+    )
+    inserts = merge_micro.gen_table(spark, 5_200, 4).filter(F.col("key") >= 5_000)
+    src = updates.unionByName(inserts)
+    tabs = {}
+    for mode in ("cow", "mor"):
+        t = ManagedTable.create(
+            spark, str(tmp_path / mode), base, cluster_by=("key",),
+            num_files=4, table_mode=mode, primary_keys=("key",),
+        )
+        t.merge(src, on=["key"], validate_unique=False)
+        tabs[mode] = t
+
+    def fingerprint(t):
+        return (
+            t.read()
+            .select(F.sha2(F.concat_ws("|", "key", "value", "skey", "bucket"), 256).alias("h"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("hsum"))
+            .collect()[0]
+        )
+
+    assert fingerprint(tabs["cow"]) == fingerprint(tabs["mor"])
+
+
+def test_compare_driver_emits_per_config_medians(spark):
+    """`compare` (run-benchmark.py:206-231 analog): one workload across
+    storage configs, one report, per-config suite medians present and the
+    per-config query rows namespaced."""
+    from lhbench_spark.workloads import compare
+
+    rep = compare.run(spark, configs=("cow", "mor"), rows=10_000, rounds=1)
+    assert not [r for r in rep.query_results if r.error_msg]
+    assert "cow-suite-median-sum-seconds" in rep.extra_metrics
+    assert "mor-suite-median-sum-seconds" in rep.extra_metrics
+    names = {r.name for r in rep.query_results}
+    assert {"cow-load", "cow-merge-1", "mor-load", "mor-merge-1"} <= names
+
+
 def test_file_count_runner(spark):
     cfg = file_count.FileCountConfig(rows=10_000, file_counts=(4, 16), iterations=1)
     rep = file_count.run(spark, cfg)
