@@ -164,8 +164,8 @@ def sample_rand_filter(spark, sf_dir):
 
 _REFRESH_VIEW_ORACLE = """
 WITH li_delta AS (
-    SELECT l_orderkey, l_linenumber, l_quantity,
-           (l_extendedprice * 1.01) AS l_extendedprice, l_discount
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           (l_extendedprice * 1.01) AS l_extendedprice, l_discount, l_tax
     FROM lineitem WHERE l_orderkey % 7 = 1
 ), o_delta AS (
     SELECT o_orderkey, o_custkey, o_orderpriority
@@ -173,15 +173,24 @@ WITH li_delta AS (
 ), rv AS (
     SELECT l.l_orderkey,
            (l.l_extendedprice * (1 - l.l_discount)) AS revenue,
-           COALESCE(n.n_name, 'UNKNOWN') AS cust_nation
+           (l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)) AS charge,
+           COALESCE(cn.n_name, 'UNKNOWN') AS cust_nation,
+           COALESCE(r.r_name, 'UNKNOWN') AS cust_region,
+           COALESCE(sn.n_name, 'UNKNOWN') AS supp_nation,
+           COALESCE(p.p_brand, 'UNKNOWN') AS brand
     FROM li_delta l
     LEFT JOIN o_delta o ON l.l_orderkey = o.o_orderkey
     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    LEFT JOIN region r ON cn.n_regionkey = r.r_regionkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
 )
-SELECT cust_nation, COUNT(*) AS cnt, {rev_sum} AS revenue_sum
-FROM rv GROUP BY cust_nation
-""".format(rev_sum=dsum_sql("revenue"))
+SELECT cust_region, supp_nation, COUNT(*) AS cnt,
+       {rev_sum} AS revenue_sum, {charge_sum} AS charge_sum
+FROM rv GROUP BY cust_region, supp_nation
+""".format(rev_sum=dsum_sql("revenue"), charge_sum=dsum_sql("charge"))
 
 
 @query(
@@ -192,9 +201,12 @@ FROM rv GROUP BY cust_nation
 def csv_refresh_view(spark, sf_dir):
     """CSV staging ingest with explicit StructType (pipe-delimited,
     headerless — IncrementalTPCDSBenchmark.scala:430-440) feeding the
-    join-dense refresh view (TPCDSRefreshSchema.scala:579-613 shape).
-    The oracle recomputes from the parquet sources directly, so any CSV
-    round-trip fidelity loss (doubles, nulls, delimiters) fails the gate."""
+    join-dense refresh view at reference density (the ssv 7-join
+    left-outer chain, TPCDSRefreshSchema.scala:579-613: sibling staged
+    fact + customer → nation → region + supplier → nation + part).
+    The oracle recomputes the same 7-way chain from the parquet sources
+    directly, so any CSV round-trip fidelity loss (doubles, nulls,
+    delimiters) fails the gate."""
     import tempfile as _tf
 
     from lhbench_spark.workloads import refresh as rw
@@ -210,10 +222,13 @@ def csv_refresh_view(spark, sf_dir):
         table(spark, sf_dir, "customer"),
         table(spark, sf_dir, "nation"),
         table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "region"),
+        table(spark, sf_dir, "part"),
     )
-    return rv.groupBy("cust_nation").agg(
+    return rv.groupBy("cust_region", "supp_nation").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsum("revenue").alias("revenue_sum"),
+        dsum("charge").alias("charge_sum"),
     )
 
 
