@@ -359,3 +359,56 @@ def ngram_jaccard_pairs(
     return pairs.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    top: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup: k-token spans that recur across
+    documents (the span-dedup pass of training-data pipelines — repeated
+    boilerplate/template spans are memorization fuel even when whole
+    documents are unique; doc-level MinHash cannot see them).
+
+    Spark-first shape: tokenize → explode every k-token sliding window →
+    group by the span's md5 digest. All expressions are JVM built-ins
+    (transform/sequence/slice inside whole-stage codegen); the exploded
+    stream is O(total tokens) rows — linear, never pairwise — and the
+    one shuffle groups on a FIXED-WIDTH 32-char digest, so shuffle width
+    is independent of k (group-by-span would ship k tokens per row; at
+    the span lengths real pipelines use, k=50+, that is the difference
+    between a narrow and a fat shuffle at 100 TB). Output is capped
+    deterministically (n_docs, n_occurrences, span — span is unique per
+    group, so the top-k is fully tie-broken)."""
+    words = F.split(F.col(text_col), r"\s+")
+    spans = (
+        df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        # guard BEFORE sequence(): sequence(0, negative) would generate a
+        # descending range and fabricate spans for short docs
+        .filter(F.size("_w") >= k)
+        .select(
+            "_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {k}), "
+                    f"i -> concat_ws(' ', slice(_w, i + 1, {k})))"
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.select(F.md5("span").alias("fp"), "_id", "span")
+        .groupBy("fp")
+        .agg(
+            F.min("span").alias("span"),
+            F.countDistinct("_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+        .limit(top)
+    )

@@ -489,3 +489,45 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of an IVF codebook: ``iters`` rounds of
+    assign-to-nearest + per-cell mean, turning the deterministic stride
+    sample (:func:`ivf_centroids`) into a trained quantizer without any
+    new plan shape downstream.
+
+    Scale shape per iteration: the assignment is the SAME inline argmin
+    projection as :func:`ivf_assign` (scan -> project, no Exchange), and
+    the centroid update is ONE hash aggregation whose map-side partial
+    combine reduces shuffle volume to O(partitions x cells x dim) — the
+    per-dimension sums are dim explicit columns, so nothing row-explodes.
+    Only the cells x dim codebook (metadata-sized) is ever collected.
+    Empty cells keep their previous centroid (the standard Lloyd
+    convention), so the codebook never shrinks."""
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("_kid"), as_double(vec_col).alias("_kv")
+            ),
+            cents, 1, "_kid", "_kv",
+        )
+        rows = assigned.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.element_at(F.col("_kv"), i + 1)).alias(f"_s{i}")
+                for i in range(dim)
+            ],
+        ).collect()
+        means = {
+            r["_cell"]: [r[f"_s{i}"] / r["_n"] for i in range(dim)] for r in rows
+        }
+        cents = [(cid, means.get(cid, ce)) for cid, ce in cents]
+    return cents

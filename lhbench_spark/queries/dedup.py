@@ -376,3 +376,38 @@ def dedup_embedding_cosine(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+
+
+_SPAN_K = 8
+
+_REPEATED_SPANS_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+), s AS (
+    SELECT doc_id,
+           array_to_string(list_slice(w, i + 1, i + {_SPAN_K}), ' ') AS span
+    FROM w, UNNEST(range(0, greatest(len(w) - {_SPAN_K} + 1, 0))) AS t(i)
+)
+SELECT md5(span) AS fp, MIN(span) AS span,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM s GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, span
+LIMIT 50
+"""
+
+
+@query(
+    "dedup_repeated_spans",
+    tags=("dedup", "documents", "span-level"),
+    oracle=_REPEATED_SPANS_ORACLE,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Exact substring-level dedup (beyond the reference; the span-dedup
+    pass of LLM training pipelines): every 8-token sliding window,
+    grouped by span digest, reporting spans recurring in >=2 documents.
+    Linear in total tokens (never pairwise); the single shuffle groups on
+    a fixed-width digest. Top-50 fully tie-broken."""
+    return dedup.repeated_spans(
+        table(spark, sf_dir, "documents"), k=_SPAN_K, min_docs=2, top=50
+    )

@@ -378,3 +378,58 @@ def ann_recall(spark, sf_dir):
         F.round(F.sum("ivf_hits") / denom, 6).alias("ivf_recall"),
         F.round(F.sum("lsh_hits") / denom, 6).alias("lsh_recall"),
     )
+
+
+@query(
+    "sim_kmeans_recall",
+    tags=("similarity", "embedding", "ann", "kmeans", "no-oracle"),
+)
+def sim_kmeans_recall(spark, sf_dir):
+    """Measured payoff of codebook training (rows-only by nature: Lloyd
+    means are float sums whose order is engine-scheduled, so no bitwise
+    SQL oracle exists; the refinement math itself is verified against
+    numpy in tests/test_similarity_ops.py): IVF recall@k with the raw
+    stride codebook vs the same codebook after 2 Lloyd iterations
+    (operators.similarity.kmeans_refine), against exact brute-force
+    ground truth. Same bounded shapes as ann_recall — broadcast query
+    side, inline-argmin assignment, integer hit counts."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    base_cents = _ivf_cents(spark, sf_dir)
+    refined = similarity.kmeans_refine(emb, base_cents, iters=2)
+    exact = similarity.brute_force_topk(emb, queries, k=_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    base = similarity.ivf_topk(
+        emb, queries, dim=_DIM, k=_TOPK, probes=2, cents=base_cents
+    ).select(F.col("query_id").alias("b_qid"), F.col("neighbor_id").alias("b_nid"))
+    ref = similarity.ivf_topk(
+        emb, queries, dim=_DIM, k=_TOPK, probes=2, cents=refined
+    ).select(F.col("query_id").alias("r_qid"), F.col("neighbor_id").alias("r_nid"))
+    per_q = (
+        exact.join(
+            base,
+            (F.col("query_id") == F.col("b_qid"))
+            & (F.col("neighbor_id") == F.col("b_nid")),
+            "left",
+        )
+        .join(
+            ref,
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("neighbor_id") == F.col("r_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("b_nid").alias("base_hits"),
+            F.count("r_nid").alias("refined_hits"),
+        )
+    )
+    denom = F.count(F.lit(1)) * float(_TOPK)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("base_hits").cast("bigint").alias("base_hits"),
+        F.sum("refined_hits").cast("bigint").alias("refined_hits"),
+        F.round(F.sum("base_hits") / denom, 6).alias("base_recall"),
+        F.round(F.sum("refined_hits") / denom, 6).alias("refined_recall"),
+    )

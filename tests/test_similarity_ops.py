@@ -1,0 +1,69 @@
+"""Operator-level similarity tests that need a non-SQL oracle (numpy):
+the Lloyd/k-means refinement math (its float means have no bitwise SQL
+twin, so the registry entry sim_kmeans_recall is rows-only and the exact
+check lives here)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lhbench_spark.catalog import table
+from lhbench_spark.operators import similarity as sim
+from tests.conftest import SMOKE_SF
+
+
+def _numpy_lloyd(X, cents, iters):
+    """Reference Lloyd: assign to nearest centroid by L2 (ties -> lowest
+    centroid index, matching _nearest_cells' (dist, idx) sort), then mean;
+    empty cells keep their centroid."""
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # argmin takes the first (lowest index) on ties
+        for j in range(len(C)):
+            m = X[a == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+    return C
+
+
+def test_kmeans_refine_matches_numpy(spark):
+    emb = table(spark, SMOKE_SF, "embeddings")
+    base = sim.ivf_centroids(emb, centroid_stride=125)
+    refined = sim.kmeans_refine(emb, base, iters=2)
+
+    rows = emb.select("vec_id", sim.as_double("embedding").alias("e")).collect()
+    X = np.array([r.e for r in rows], dtype=np.float64)
+    C_ref = _numpy_lloyd(X, base, iters=2)
+
+    C_got = np.array([c for _, c in refined], dtype=np.float64)
+    assert C_got.shape == C_ref.shape
+    assert np.allclose(C_got, C_ref, rtol=1e-9, atol=1e-9), (
+        np.abs(C_got - C_ref).max()
+    )
+    # the codebook ids are preserved (downstream probe order depends on them)
+    assert [cid for cid, _ in refined] == [cid for cid, _ in base]
+
+
+def test_kmeans_refine_assignment_plan_stays_exchange_free(spark):
+    """The refinement's assignment step must keep ivf_assign's
+    scan->project shape — an Exchange here would mean the corpus ×
+    centroids shuffle crept into every Lloyd iteration."""
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cents = sim.ivf_centroids(emb, centroid_stride=125)
+    assigned = sim.ivf_assign(
+        emb.select(F.col("vec_id").alias("_kid"), sim.as_double("embedding").alias("_kv")),
+        cents, 1, "_kid", "_kv",
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_kmeans_recall_query_is_sane(spark):
+    from lhbench_spark.queries import all_queries
+
+    row = all_queries()["sim_kmeans_recall"].spark_fn(spark, SMOKE_SF).collect()[0]
+    assert row["n_queries"] > 0
+    for c in ("base_recall", "refined_recall"):
+        assert 0.0 <= row[c] <= 1.0, (c, row[c])
