@@ -719,3 +719,46 @@ def cdc_incremental_rollup(spark, sf_dir):
         "cnt",
         F.col("price_dec").cast("double").alias("total_price"),
     )
+
+
+_RESTORE_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       CAST(2 AS INT) AS version,
+       'RESTORE' AS operation
+FROM orders WHERE {_TARGET_PRED}
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_restore",
+    tags=("dml", "restore", "time-travel", "managed-table"),
+    oracle=_RESTORE_ORACLE,
+)
+def acid_restore(spark, sf_dir):
+    """RESTORE TO VERSION (Delta RESTORE analog): create → DELETE a
+    slice → restore(0). The restored state must equal version 0 exactly
+    (the oracle recomputes it from the source), while the log has grown
+    to version 2 with operation RESTORE — restore appends to history, it
+    never rewinds it. Zero data copy: the restore commit references the
+    v0 files."""
+    root = _tmp()
+    t = ManagedTable.create(
+        spark, root, _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, primary_keys=("o_orderkey",),
+    )
+    t.delete("o_orderkey % 5 = 0")
+    t.restore(0)
+    m = t.current
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("version", F.lit(m.version).cast("int"))
+        .withColumn("operation", F.lit(m.operation))
+    )

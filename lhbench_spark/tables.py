@@ -952,6 +952,38 @@ class ManagedTable:
         self.manifests = retained
         return {"files_removed": len(drop), "manifests_removed": len(expired)}
 
+    # ---------- RESTORE (roll back to an earlier version) ----------
+
+    def restore(self, version: int) -> dict[str, int]:
+        """``RESTORE TABLE … TO VERSION`` analog (Delta RESTORE): commit
+        a NEW version whose file list IS the target version's — zero data
+        copy, one manifest write. History is preserved (restore appends
+        to the log rather than rewinding it, exactly like Delta), so the
+        restore itself is time-travelable and the change feed derives its
+        row-level diff like any other commit's. Restoring past a
+        VACUUMed version raises (its manifest is gone — the same
+        retention hazard Delta documents)."""
+        src = self.version_manifest(version)  # KeyError if vacuumed/unknown
+        m = self.current
+        manifest = Manifest(
+            version=m.version + 1,
+            operation="RESTORE",
+            timestamp_ms=int(time.time() * 1000),
+            files=list(src.files),
+            cluster_by=src.cluster_by,
+            metrics={
+                "restored_from": version,
+                "files_referenced": len(src.files),
+            },
+            # table-level config (mode/PKs/checks) is NOT rolled back —
+            # restore rewinds data, not table configuration (Delta keeps
+            # protocol/properties current too)
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
     # ---------- HISTORY / DETAIL ----------
 
     def history(self) -> DataFrame:

@@ -66,6 +66,7 @@ _GATE_WINDOW = [
     "acid_history_merges",
     "acid_mor_merge",
     "acid_optimize_detail",
+    "acid_restore",
     "acid_time_travel",
     "acid_update_where",
     "acid_vacuum_retention",
@@ -110,7 +111,6 @@ _GATE_WINDOW = [
     "complex_q23_best_customers",
     "complex_q64_bigjoin",
     "continuous_dedup_replay",
-    "continuous_enrich_static",
 ]
 
 

@@ -791,3 +791,50 @@ def test_mor_resolve_through_catalog_view_and_vacuum(spark, tdir):
     # every referenced file (incl. deltas) survives; read still resolves
     assert all(t.fs.exists(t._abs(e)) for e in t.current.files)
     assert t.read().count() == 120
+
+
+def test_restore_rolls_back_data_not_history(spark, tmp_path):
+    """RESTORE (Delta analog): state equals the target version's, the log
+    gains a commit (no rewind), the restore is itself time-travelable,
+    and the change feed derives the restore's row-level diff."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "r"), base, num_files=2, primary_keys=("k",)
+    )
+    t.delete("k >= 50")
+    t.update({"v": "v + 1000"}, "k < 10")
+    assert t.read().count() == 50
+    metrics = t.restore(0)
+    assert metrics["restored_from"] == 0
+    # state == v0, history grew to 4 commits (create, delete, update, restore)
+    assert t.read().count() == 100
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+    assert t.current.version == 3 and t.current.operation == "RESTORE"
+    # the pre-restore state is still time-travelable
+    assert t.read(version=2).count() == 50
+    # CDF across the restore re-inserts the deleted rows and reverts updates
+    ch = t.changes(from_version=2)
+    ins = ch.filter("_change_type = 'insert'").count()
+    assert ins == 50  # k in [50, 100) come back
+    post = ch.filter("_change_type = 'update_postimage' AND k < 10")
+    assert post.count() == 10
+    assert post.agg(F.max("v")).collect()[0][0] == 18  # 9*2, the restored value
+
+
+def test_restore_past_vacuum_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "rv"), spark.range(20).selectExpr("id AS k"),
+        num_files=1,
+    )
+    t.delete("k >= 10")
+    t.vacuum(retain_versions=1)
+    with _pytest.raises(KeyError):
+        t.restore(0)
