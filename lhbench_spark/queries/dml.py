@@ -762,3 +762,55 @@ def acid_restore(spark, sf_dir):
         .withColumn("version", F.lit(m.version).cast("int"))
         .withColumn("operation", F.lit(m.operation))
     )
+
+
+_APPLY_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), merged AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+), final AS (
+    SELECT * FROM merged WHERE o_orderkey % 5 <> 1
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price
+FROM final GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "cdc_apply_replica",
+    tags=("dml", "cdc", "replica", "managed-table"),
+    oracle=_APPLY_ORACLE,
+)
+def cdc_apply_replica(spark, sf_dir):
+    """CDC round trip (the consumer side of the change feed): replica B
+    is created from source A's v0 snapshot; A then runs a MERGE and a
+    DELETE; ONE apply_changes(A.changes(0)) call syncs B. The oracle
+    recomputes A's final state relationally — B must match it exactly,
+    proving feed production AND replay are both lossless. B never reads
+    A's table, only the O(changed-rows) feed."""
+    a_root, b_root = _tmp(), _tmp()
+    a = ManagedTable.create(
+        spark, a_root, _target(spark, sf_dir), cluster_by=("o_orderkey",),
+        num_files=4, primary_keys=("o_orderkey",),
+    )
+    b = ManagedTable.create(
+        spark, b_root, a.read(), cluster_by=("o_orderkey",),
+        num_files=4, primary_keys=("o_orderkey",),
+    )
+    a.merge(_source(spark, sf_dir), on=["o_orderkey"], validate_unique=False)
+    a.delete("o_orderkey % 5 = 1")
+    b.apply_changes(a.changes(from_version=0))
+    return b.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -429,3 +429,80 @@ def corpus_decontaminate(spark, sf_dir):
         F.max("hits").cast("bigint").alias("max_hits"),
         F.min("doc_id").cast("bigint").alias("first_flagged"),
     )
+
+
+def _curation_oracle() -> str:
+    hits = {lang: _stop_duck(lang) for lang in textnorm.STOPWORDS}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n               ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in textnorm.STOPWORDS
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           len({_TOKS}) AS n_tokens,
+           ROUND(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+               / greatest(len({_TOKS}), 1), 6) AS diversity,
+           CASE WHEN {best} = 0 THEN 'und'
+               {whens}
+           END AS lang_guess
+    FROM documents
+), survivors AS (
+    SELECT * FROM scored
+    WHERE n_tokens >= 20 AND diversity >= 0.3 AND lang_guess <> 'und'
+), keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id, {_NORM} AS t FROM survivors) n
+    GROUP BY t
+)
+SELECT s.lang_guess,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(s.n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens
+FROM survivors s JOIN keepers k ON s.doc_id = k.doc_id
+GROUP BY s.lang_guess
+"""
+
+
+@query(
+    "corpus_curation_pipeline",
+    tags=("text", "pipeline", "dedup", "documents"),
+    oracle=_curation_oracle(),
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation in ONE plan — the composition a
+    training-data pipeline actually runs, not isolated operators:
+    quality scoring (token count + diversity) → language ID → quality/
+    language gates → exact dedup among the SURVIVORS (keep lowest id) →
+    per-language corpus stats. Every stage is a JVM projection or one
+    hash aggregation; the only shuffles are the dedup groupBy and the
+    final language rollup. The oracle recomputes the identical staged
+    pipeline, so stage ORDER (dedup after filtering) is value-checked
+    too."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    q = text_ops.quality_scores(docs).select("doc_id", "n_tokens", "diversity")
+    l = text_ops.lang_id(docs)
+    survivors = (
+        docs.join(q, "doc_id")
+        .join(l, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("diversity") >= 0.3)
+            & (F.col("lang_guess") != "und")
+        )
+    )
+    keep = dedup.exact_dedup_keepers(survivors).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    curated = survivors.join(keep, "doc_id", "left_semi")
+    return curated.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens"),
+    )

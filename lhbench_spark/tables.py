@@ -805,9 +805,13 @@ class ManagedTable:
         """UPDATE SET ... WHERE ...: copy-on-write rewrite of the touched
         files with every assignment RHS evaluated against the OLD row (one
         projection — Delta/ANSI UPDATE semantics, so assignments never see
-        each other's results). ``rows_updated`` needs one counting job
-        over the touched files only (row counts don't change, so footer
-        math can't derive it)."""
+        each other's results). Assignment results are CAST back to the
+        column's declared type (ANSI UPDATE semantics; without this, an
+        expression like ``v + 0.25`` on a decimal column would silently
+        widen the rewritten files' schema and corrupt later multi-file
+        reads). ``rows_updated`` needs one counting job over the touched
+        files only (row counts don't change, so footer math can't derive
+        it)."""
         self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
@@ -819,9 +823,12 @@ class ManagedTable:
         rewritten_rows = sum(e.rows for e in rewritten)
         touched_df = self._read_conformed(rewritten)
         rows_updated = touched_df.filter(cond).count()
+        types = {f.name: f.dataType for f in touched_df.schema.fields}
         updated = touched_df.select(
             *[
-                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                F.when(cond, F.expr(assignments[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
                 if c in assignments
                 else F.col(c)
                 for c in touched_df.columns
@@ -1154,6 +1161,91 @@ class ManagedTable:
                 "*",
             ).limit(0)
         return out
+
+    def apply_changes(
+        self, changes: DataFrame, keys: list[str] | None = None
+    ) -> dict[str, int]:
+        """CDC APPLY — the consumer side of :meth:`changes`: replay a
+        change-feed frame onto this table in ONE copy-on-write commit.
+        Downstream replicas / training-data mirrors stay in sync by
+        shipping only the feed, never re-reading the source table.
+
+        Semantics (the Delta ``APPLY CHANGES INTO`` shape): per key, the
+        LAST action in the feed wins — ``_commit_version`` orders
+        actions, preimage rows are ignored — then post rows upsert and
+        tombstones delete. Cost is O(changed keys + touched files): one
+        semi-join finds touched files, kept rows are anti-joined on the
+        final key set, and untouched files carry over by reference."""
+        keys = keys if keys is not None else self.primary_keys
+        if not keys:
+            raise ValueError("apply_changes() needs key columns")
+        m = self.current
+        target = self.read()
+        data_cols = [c for c in target.columns]
+        acted = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage", "delete")
+        )
+        w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+        final = (
+            acted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        upserts = final.filter(F.col("_change_type") != "delete").select(*data_cols)
+        n_upserts = _count_job(upserts)
+        n_deletes = _count_job(final.filter(F.col("_change_type") == "delete"))
+        allkeys = final.select(*keys).dropDuplicates()
+
+        touched_rows = (
+            target.withColumn("_file", F.input_file_name())
+            .join(allkeys, list(keys), "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched = {_strip_uri(r["_file"]) for r in touched_rows}
+        untouched = [e for e in m.files if self._abs(e) not in touched]
+        rewritten = [e for e in m.files if self._abs(e) in touched]
+        rewritten_rows = sum(e.rows for e in rewritten)
+        if rewritten:
+            kept = (
+                self._read_conformed(rewritten)
+                .select(*data_cols)
+                .join(allkeys, list(keys), "left_anti")
+            )
+            new_data = kept.unionByName(upserts)
+        else:
+            new_data = upserts
+
+        version = m.version + 1
+        data_dir = self._claim_data_dir(version)
+        n_files = max(
+            1, math.ceil((rewritten_rows + n_upserts) / DEFAULT_TARGET_FILE_ROWS)
+        )
+        _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
+            data_dir
+        )
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        manifest = Manifest(
+            version=version,
+            operation="APPLY_CHANGES",
+            timestamp_ms=int(time.time() * 1000),
+            files=untouched + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "upserts_applied": n_upserts,
+                "deletes_applied": n_deletes,
+                "files_rewritten": len(rewritten),
+                "files_added": len(new_entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
 
 
 def _strip_uri(p: str) -> str:

@@ -101,6 +101,7 @@ _GATE_WINDOW = [
     "cast_time_decode",
     "catalog_dpp_partition_prune",
     "catalog_writer_partitioned",
+    "cdc_apply_replica",
     "cdc_change_feed",
     "cdc_incremental_rollup",
     "cdc_table_stream",
@@ -110,7 +111,6 @@ _GATE_WINDOW = [
     "complex_q14_intersect_rollup",
     "complex_q23_best_customers",
     "complex_q64_bigjoin",
-    "continuous_dedup_replay",
 ]
 
 
