@@ -1186,14 +1186,25 @@ class ManagedTable:
             F.col("_change_type").isin("insert", "update_postimage", "delete")
         )
         w = Window.partitionBy(*keys).orderBy(F.desc("_commit_version"))
+        # Materialize the resolved feed ONCE: its lineage (the feed
+        # producer's per-commit exceptAll when replaying changes()) would
+        # otherwise be recomputed by every downstream job here — the
+        # counts, the touched-file probe, and the rewrite each re-run it.
+        # O(changed rows), the same bounded footprint the feed itself has.
         final = (
             acted.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
+        ).localCheckpoint()
         upserts = final.filter(F.col("_change_type") != "delete").select(*data_cols)
-        n_upserts = _count_job(upserts)
-        n_deletes = _count_job(final.filter(F.col("_change_type") == "delete"))
+        by_type = {
+            r["_change_type"]: r["_n"]
+            for r in final.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        }
+        n_deletes = int(by_type.get("delete", 0))
+        n_upserts = int(sum(v for k, v in by_type.items() if k != "delete"))
         allkeys = final.select(*keys).dropDuplicates()
 
         touched_rows = (
