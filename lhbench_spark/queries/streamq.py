@@ -25,6 +25,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from lhbench_spark import streaming
+from lhbench_spark.catalog import table
 from lhbench_spark.functions.numeric import dsum, dsum_sql
 from lhbench_spark.queries.registry import query
 
@@ -315,4 +316,58 @@ def cdc_table_stream_q(spark, sf_dir):
     )
     return streaming.drain_to_table(
         agg, _sink("t_table_appends"), output_mode="complete"
+    )
+
+
+_CDC_REPLICA_ORACLE = """
+WITH src AS (
+    SELECT * FROM orders WHERE o_orderkey % 6 = 1
+)
+SELECT o_orderpriority,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,8))) AS DOUBLE) AS price_sum
+FROM src
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "continuous_cdc_replica",
+    tags=("streaming", "cdc", "replica", "managed-table"),
+    oracle=_CDC_REPLICA_ORACLE,
+)
+def continuous_cdc_replica(spark, sf_dir):
+    """End-to-end CONTINUOUS replication: source table A takes three
+    append commits; a table-stream over A feeds foreachBatch, which
+    applies every micro-batch to replica B as an upsert commit
+    (streaming.stream_apply_to_replica). B starts EMPTY and must end
+    row-identical to A — the oracle recomputes A's content from the
+    source predicate. The streaming twin of cdc_apply_replica: same
+    consumer (apply_changes), driven by a stream instead of a feed
+    replay."""
+    import tempfile as _tf
+
+    from lhbench_spark.tables import ManagedTable
+
+    orders = table(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 6 = 1"))
+    a_root = _tf.mkdtemp(prefix="lhbench_cdcsrc_") + "/t"
+    b_root = _tf.mkdtemp(prefix="lhbench_cdcrep_") + "/t"
+    # the k%6==1 slice splits into three disjoint thirds: k%18 ∈ {1,7,13}
+    a = ManagedTable.create(
+        spark, a_root, orders.filter("o_orderkey % 18 = 1"), num_files=2,
+        primary_keys=("o_orderkey",), validate_count=False,
+    )
+    a.append(orders.filter("o_orderkey % 18 = 7"), num_files=1)
+    a.append(orders.filter("o_orderkey % 18 = 13"), num_files=1)
+    b = ManagedTable.create(
+        spark, b_root, a.read().limit(0), num_files=1,
+        primary_keys=("o_orderkey",), validate_count=False,
+    )
+    stream = streaming.stream_table_appends(a)
+    streaming.stream_apply_to_replica(stream, b)
+    return b.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,8)"))
+        .cast("double")
+        .alias("price_sum"),
     )

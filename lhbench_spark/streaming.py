@@ -241,3 +241,38 @@ def dedup_replay(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     streaming dedup carries. Source replays/overlapping backfills become
     idempotent."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_apply_to_replica(
+    stream_df: DataFrame, replica, timeout_sec: int = 120
+) -> None:
+    """Continuous replication consumer: each micro-batch of an
+    append-only table stream is applied to ``replica`` as one upsert
+    commit (ManagedTable.apply_changes with the batch id as the feed
+    version). foreachBatch + checkpoint gives exactly-once per batch —
+    the streaming twin of the batch ``changes() → apply_changes()``
+    round trip, for pipelines that want a continuously-trailing replica
+    instead of scheduled feed replays."""
+    from lhbench_spark.session import scratch_dir as _scratch
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feed = batch_df.withColumn(
+            "_change_type", F.lit("update_postimage")
+        ).withColumn("_commit_version", F.lit(int(batch_id)))
+        replica.apply_changes(feed)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", _scratch("lhbench_cdcchk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"replica apply stream did not finish in {timeout_sec}s"
+            )
+    finally:
+        q.stop()
