@@ -827,3 +827,61 @@ def cdc_apply_replica(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+_ZORDER_RECLUSTER_ORACLE = """
+SELECT (SELECT COUNT(*) FROM orders WHERE o_custkey = 42) AS cust_cnt,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey = 1024) AS key_cnt,
+       (SELECT COUNT(*) FROM orders) AS total_cnt,
+       TRUE AS cust_pruned,
+       TRUE AS key_pruned,
+       'OPTIMIZE' AS operation
+"""
+
+
+@query(
+    "acid_zorder_recluster",
+    tags=("dml", "zorder", "optimize", "data-skipping", "managed-table"),
+    oracle=_ZORDER_RECLUSTER_ORACLE,
+)
+def acid_zorder_recluster(spark, sf_dir):
+    """POST-HOC OPTIMIZE ZORDER BY (the Delta shape — reclusters an
+    EXISTING table, where acid_zorder_skipping clusters the initial
+    load): the table starts key-clustered, then zorder() rewrites it on
+    the interleaved (o_custkey, o_orderkey) Z-value in one OPTIMIZE
+    commit. Afterwards manifest pruning must skip files for predicates
+    on EITHER column, no row may be lost (total count value-checked),
+    and the commit must be an OPTIMIZE version on top of the original."""
+    t = ManagedTable.create(
+        spark, _tmp(), table(spark, sf_dir, "orders"),
+        cluster_by=("o_orderkey",), num_files=16, validate_count=False,
+    )
+    t.zorder(("o_custkey", "o_orderkey"), num_files=16)
+    total_files = len(t.current.files)
+
+    def scanned(col, value):
+        return sum(
+            1
+            for e in t.current.files
+            if col not in e.stats or e.stats[col][0] <= value <= e.stats[col][1]
+        )
+
+    cust_cnt = (
+        t.read(prune={"o_custkey": 42})
+        .filter(F.col("o_custkey") == 42)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    key_cnt = (
+        t.read(prune={"o_orderkey": 1024})
+        .filter(F.col("o_orderkey") == 1024)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total_cnt = t.read().agg(F.count(F.lit(1)).alias("tc"))
+    return (
+        cust_cnt.select(F.col("c").alias("cust_cnt"))
+        .crossJoin(key_cnt.select(F.col("c").alias("key_cnt")))
+        .crossJoin(total_cnt.select(F.col("tc").alias("total_cnt")))
+        .withColumn("cust_pruned", F.lit(scanned("o_custkey", 42) < total_files))
+        .withColumn("key_pruned", F.lit(scanned("o_orderkey", 1024) < total_files))
+        .withColumn("operation", F.lit(t.current.operation))
+    )

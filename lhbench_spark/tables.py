@@ -318,36 +318,7 @@ class ManagedTable:
         if zorder_by:
             if cluster_by:
                 raise ValueError("cluster_by and zorder_by are exclusive")
-            # Clustering analysis pass: per-column min/max to scale both
-            # dimensions to a common bit width (one metadata-sized agg —
-            # Delta's ZORDER does an equivalent range analysis).
-            ca, cb = zorder_by
-            ranges = df.agg(
-                F.min(ca).cast("long"),
-                F.max(ca).cast("long"),
-                F.min(cb).cast("long"),
-                F.max(cb).cast("long"),
-            ).collect()[0]
-            if any(v is None for v in ranges):
-                # An empty frame (or all-NULL zorder column) yields NULL
-                # min/max; interpolating None into the Z-value SQL would
-                # fail later with an opaque parse error.
-                raise ValueError(
-                    f"zorder_by{tuple(zorder_by)}: empty input or all-NULL "
-                    f"column — cannot derive clustering ranges (min/max = "
-                    f"{tuple(ranges)})"
-                )
-            # Range-partition + sort on the Z-value, then project it away
-            # (the projection is narrow — file-internal order survives).
-            z = zorder_value(
-                ca, cb, (ranges[0], ranges[1]), (ranges[2], ranges[3])
-            )
-            shaped = (
-                df.withColumn("_z", z)
-                .repartitionByRange(num_files or 8, "_z")
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
+            shaped = _zorder_shaped(df, zorder_by, num_files)
             stat_cols = list(zorder_by)
         else:
             shaped = _shape_for_write(df, cluster_by, num_files)
@@ -894,6 +865,45 @@ class ManagedTable:
             self.manifests.append(manifest)
         return metrics
 
+    def zorder(
+        self, by: tuple[str, str], num_files: int | None = None
+    ) -> dict[str, int]:
+        """Post-hoc ``OPTIMIZE … ZORDER BY (a, b)`` (the Delta shape —
+        recluster an EXISTING table, unlike the create-time ``zorder_by``
+        which clusters the initial load): one full rewrite of the current
+        data ordered by the interleaved Z-value, committed as a single
+        OPTIMIZE version. The manifest's per-file stats switch to the
+        Z-order columns, so ``read(prune=…)`` skips files for predicates
+        on EITHER column afterwards. MoR deltas are folded first (their
+        precedence is row-order-independent only within a resolve)."""
+        self._fold_deltas_if_any()
+        m = self.current
+        df = self.read()
+        shaped = _zorder_shaped(df, by, num_files)
+        version = m.version + 1
+        data_dir = self._claim_data_dir(version)
+        shaped.write.parquet(data_dir)
+        new_entries = [
+            _file_entry(self.root, p, list(by), self.fs)
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        metrics = {
+            "files_removed": len(m.files),
+            "files_added": len(new_entries),
+        }
+        manifest = Manifest(
+            version=version,
+            operation="OPTIMIZE",
+            timestamp_ms=int(time.time() * 1000),
+            files=new_entries,
+            cluster_by=list(by),
+            metrics=metrics,
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return metrics
+
     def _compact_mor(
         self, m: Manifest, target_file_rows: int
     ) -> dict[str, int]:
@@ -1317,6 +1327,37 @@ def _enforce_checks(df: DataFrame, checks: dict[str, str]) -> None:
                 f"CHECK constraint {name!r} violated by incoming rows: {expr}"
             )
     raise CheckViolation("CHECK constraint violated by incoming rows")
+
+
+def _zorder_shaped(
+    df: DataFrame, zorder_by: tuple[str, str], num_files: int | None
+) -> DataFrame:
+    """Shape ``df`` for a Z-ordered write: one metadata-sized min/max
+    analysis pass (Delta's ZORDER does an equivalent range analysis),
+    then range-partition + sort on the interleaved Z-value, projecting it
+    away (the projection is narrow — file-internal order survives)."""
+    ca, cb = zorder_by
+    ranges = df.agg(
+        F.min(ca).cast("long"),
+        F.max(ca).cast("long"),
+        F.min(cb).cast("long"),
+        F.max(cb).cast("long"),
+    ).collect()[0]
+    if any(v is None for v in ranges):
+        # An empty frame (or all-NULL zorder column) yields NULL min/max;
+        # interpolating None into the Z-value SQL would fail later with
+        # an opaque parse error.
+        raise ValueError(
+            f"zorder{tuple(zorder_by)}: empty input or all-NULL column — "
+            f"cannot derive clustering ranges (min/max = {tuple(ranges)})"
+        )
+    z = zorder_value(ca, cb, (ranges[0], ranges[1]), (ranges[2], ranges[3]))
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files or 8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
 
 
 def zorder_value(

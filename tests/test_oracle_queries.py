@@ -70,6 +70,7 @@ _GATE_WINDOW = [
     "acid_time_travel",
     "acid_update_where",
     "acid_vacuum_retention",
+    "acid_zorder_recluster",
     "acid_zorder_skipping",
     "adhoc_cte_chain",
     "adhoc_gapfill_locf",
@@ -110,7 +111,6 @@ _GATE_WINDOW = [
     "columnar_unpivot",
     "complex_q14_intersect_rollup",
     "complex_q23_best_customers",
-    "complex_q64_bigjoin",
 ]
 
 

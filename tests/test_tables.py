@@ -931,3 +931,87 @@ def test_update_preserves_column_type(spark, tmp_path):
     # untouched rows are intact
     assert got.filter("k >= 10 AND v = CAST(k * 1.5 AS DECIMAL(23,1))").count() == 90
     assert got.count() == 100
+
+
+def test_posthoc_zorder_reclusters_and_skips(spark, tmp_path):
+    """zorder() on an existing key-clustered table: one OPTIMIZE commit,
+    values preserved, and manifest pruning skips files on BOTH z-order
+    columns afterwards (the trailing column could not skip before)."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    df = spark.range(0, 4096).selectExpr(
+        "id AS a", "CAST((id * 2654435761) % 4096 AS BIGINT) AS b", "id * 1.0 AS v"
+    )
+    t = ManagedTable.create(
+        spark, str(tmp_path / "z"), df, cluster_by=("a",), num_files=8
+    )
+    # before: files carry stats on a only
+    pre = t.current.files
+    assert all("b" not in e.stats for e in pre)
+    m = t.zorder(("a", "b"), num_files=8)
+    assert m["files_removed"] == 8 and m["files_added"] == 8
+    assert t.current.operation == "OPTIMIZE" and t.current.version == 1
+    # after: stats on both; pruning on either column skips files
+    post = t.current.files
+    assert all("a" in e.stats and "b" in e.stats for e in post)
+
+    def scanned(col, value):
+        return sum(
+            1 for e in post
+            if e.stats[col][0] <= value <= e.stats[col][1]
+        )
+
+    assert scanned("a", 17) < 8
+    assert scanned("b", 1000) < 8
+    # no rows lost or changed
+    assert t.read().count() == 4096
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(float(i) for i in range(4096))
+
+
+def test_concurrent_appends_one_wins_one_retries(spark, tmp_path):
+    """Two threads race to commit the same version from the same loaded
+    state: the tokened staging dirs keep their data files apart, the
+    atomic manifest commit picks exactly one winner, and the loser
+    retries from a reload — both appends land, nothing is lost, and no
+    manifest references the other writer's files."""
+    import threading
+
+    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+
+    root = str(tmp_path / "race")
+    ManagedTable.create(
+        spark, root, spark.range(0, 100).selectExpr("id AS k"), num_files=2
+    )
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def writer(tag, lo, hi):
+        t = ManagedTable(spark, root)  # both load version 0
+        batch = spark.range(lo, hi).selectExpr("id AS k")
+        barrier.wait()
+        retries = 0
+        while True:
+            try:
+                t.append(batch, num_files=1)
+                break
+            except ConcurrentWriteError:
+                retries += 1
+                assert retries < 5, "livelock"
+                t = ManagedTable(spark, root)  # reload and retry
+        outcomes[tag] = retries
+
+    th1 = threading.Thread(target=writer, args=("a", 100, 150))
+    th2 = threading.Thread(target=writer, args=("b", 150, 210))
+    th1.start(); th2.start(); th1.join(); th2.join()
+
+    t = ManagedTable(spark, root)
+    assert t.read().count() == 210
+    assert t.current.version == 2
+    # every manifest-referenced file exists (no cross-writer leakage of
+    # a loser's orphaned staging files)
+    import os
+    for m in t.manifests:
+        for e in m.files:
+            assert os.path.exists(os.path.join(root, e.path)), e.path
