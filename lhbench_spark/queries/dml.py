@@ -816,10 +816,10 @@ def cdc_apply_replica(spark, sf_dir):
         spark, a_root, tgt, cluster_by=("o_orderkey",),
         num_files=2, primary_keys=("o_orderkey",),
     )
-    b = ManagedTable.create(
-        spark, b_root, tgt, cluster_by=("o_orderkey",),
-        num_files=2, primary_keys=("o_orderkey",),
-    )
+    # the replica starts as a zero-copy shallow clone of A@v0 — one
+    # manifest write, no data movement; from then on it only ever sees
+    # the feed
+    b = a.clone(b_root)
     a.merge(src, on=["o_orderkey"], validate_unique=False)
     a.delete("o_orderkey % 5 = 1")
     b.apply_changes(a.changes(from_version=0))
