@@ -92,6 +92,14 @@ def main() -> int:
             runner.run_query(name, suite[name], it)
         last_iter_sec = time.monotonic() - t_it
         iters_done = it
+        # Iteration-boundary JVM GC: the suite's DML/streaming queries
+        # accumulate broadcast vars, localCheckpoint blocks, and shuffle
+        # files that the ContextCleaner only releases after their Java
+        # objects are collected. Left alone, the 48g heap reaches full-GC
+        # pressure mid-iteration-2 and random cheap queries absorb
+        # multi-second pauses (measured: 0.9s queries spiking to 9s).
+        # Collecting at the boundary keeps the pauses out of measurements.
+        spark.sparkContext._jvm.System.gc()
     medians = runner.medians()
     total = sum(medians.values())
     wall = time.monotonic() - t_start

@@ -202,3 +202,102 @@ def complex_q14_intersect_rollup(spark, sf_dir):
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# q78 shape: per (part, order-year) revenue per channel (channels =
+# order priorities), FULL OUTER joined across the three channels on the
+# aggregate key, ratio computed over coalesced sides.
+_Q78_CHANNEL_SQL = """
+    SELECT l.l_partkey AS pk, year(o.o_orderdate) AS yr,
+           {rev} AS rev, COUNT(*) AS cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '{prio}'
+    GROUP BY l.l_partkey, year(o.o_orderdate)
+"""
+
+_Q78_ORACLE = f"""
+WITH a AS ({_Q78_CHANNEL_SQL.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), prio="1-URGENT")}),
+     b AS ({_Q78_CHANNEL_SQL.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), prio="2-HIGH")}),
+     c AS ({_Q78_CHANNEL_SQL.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), prio="3-MEDIUM")}),
+     j AS (
+        SELECT COALESCE(a.pk, b.pk, c.pk) AS pk,
+               COALESCE(a.yr, b.yr, c.yr) AS yr,
+               COALESCE(a.rev, 0) AS rev_a,
+               COALESCE(b.rev, 0) AS rev_b,
+               COALESCE(c.rev, 0) AS rev_c,
+               COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) + COALESCE(c.cnt, 0) AS cnt_all
+        FROM a
+        FULL OUTER JOIN b ON a.pk = b.pk AND a.yr = b.yr
+        FULL OUTER JOIN c ON COALESCE(a.pk, b.pk) = c.pk AND COALESCE(a.yr, b.yr) = c.yr
+     )
+SELECT pk, yr, rev_a, rev_b, rev_c, cnt_all,
+       ROUND(rev_a / (rev_a + rev_b + rev_c), 6) AS share_a
+FROM j
+WHERE rev_a > 0
+ORDER BY share_a DESC, pk, yr
+LIMIT 100
+"""
+
+
+@query(
+    "complex_q78_channel_join",
+    tags=("complex", "full-outer", "tpcds-shape"),
+    oracle=_Q78_ORACLE,
+)
+def complex_q78_channel_join(spark, sf_dir):
+    """q78 shape (TPCDSBenchmarkQueries.scala q78: per-key-year channel
+    aggregates FULL OUTER joined across three channels, ratio over the
+    coalesced sides, top-k by share): three fact aggregations (one
+    shuffle each), then two FULL OUTER joins on the aggregated item-year
+    frames — item-sized, never fact-sized. Top-100 fully tie-broken
+    (share DESC, pk, yr)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def channel(prio, tag):
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_orderpriority") == prio)
+            .groupBy(
+                F.col("l_partkey").alias(f"pk_{tag}"),
+                F.year("o_orderdate").alias(f"yr_{tag}"),
+            )
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(f"rev_{tag}"),
+                F.count(F.lit(1)).alias(f"cnt_{tag}"),
+            )
+        )
+
+    a, b, c = channel("1-URGENT", "a"), channel("2-HIGH", "b"), channel("3-MEDIUM", "c")
+    ab = a.join(
+        b,
+        (F.col("pk_a") == F.col("pk_b")) & (F.col("yr_a") == F.col("yr_b")),
+        "full_outer",
+    )
+    abc = ab.join(
+        c,
+        (F.coalesce("pk_a", "pk_b") == F.col("pk_c"))
+        & (F.coalesce("yr_a", "yr_b") == F.col("yr_c")),
+        "full_outer",
+    )
+    j = abc.select(
+        F.coalesce("pk_a", "pk_b", "pk_c").alias("pk"),
+        F.coalesce("yr_a", "yr_b", "yr_c").alias("yr"),
+        F.coalesce("rev_a", F.lit(0.0)).alias("rev_a"),
+        F.coalesce("rev_b", F.lit(0.0)).alias("rev_b"),
+        F.coalesce("rev_c", F.lit(0.0)).alias("rev_c"),
+        (
+            F.coalesce("cnt_a", F.lit(0))
+            + F.coalesce("cnt_b", F.lit(0))
+            + F.coalesce("cnt_c", F.lit(0))
+        ).alias("cnt_all"),
+    )
+    return (
+        j.filter(F.col("rev_a") > 0)
+        .withColumn(
+            "share_a",
+            F.round(F.col("rev_a") / (F.col("rev_a") + F.col("rev_b") + F.col("rev_c")), 6),
+        )
+        .orderBy(F.desc("share_a"), F.asc("pk"), F.asc("yr"))
+        .limit(100)
+    )

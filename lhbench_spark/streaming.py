@@ -184,6 +184,9 @@ def stream_table_appends(table, schema=None) -> DataFrame:
     )
 
 
+_DRAINED_SINKS: list[str] = []
+
+
 def drain_to_table(
     stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
 ) -> DataFrame:
@@ -191,8 +194,18 @@ def drain_to_table(
     in-memory sink and return the result table — the test/backfill path
     (process everything currently available, then stop). Stateful
     ``applyInPandasWithState`` streams drain with ``output_mode="update"``
-    (complete mode is undefined for arbitrary state)."""
+    (complete mode is undefined for arbitrary state).
+
+    Memory sinks hold their rows on the driver until the temp view is
+    dropped; over a long bench session (130 queries × iterations) the
+    leaked sinks became full-GC pressure. Each drain therefore drops all
+    PREVIOUS drains' views first — by then their results have been
+    collected (the runner collects each query before starting the next)."""
     spark = stream_df.sparkSession
+    for old in _DRAINED_SINKS:
+        spark.catalog.dropTempView(old)
+    _DRAINED_SINKS.clear()
+    _DRAINED_SINKS.append(name)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

@@ -969,6 +969,47 @@ class ManagedTable:
         self.manifests = retained
         return {"files_removed": len(drop), "manifests_removed": len(expired)}
 
+    def vacuum_orphans(self) -> dict[str, int]:
+        """Directory-scan garbage collection: delete every file under
+        ``data/`` that NO manifest references — the write-path debris of
+        crashed or commit-losing writers (their tokened staging dirs are
+        invisible to readers but still occupy storage). This is the one
+        table operation that LISTs the data tree (Delta's VACUUM scans
+        the directory the same way), so it is separate from the
+        manifest-driven retention ``vacuum()``: run it on a maintenance
+        cadence, not per commit. Only whole-dir listing + deletes — no
+        Spark job. Empty staging dirs are removed too."""
+        referenced = {
+            e.path for m in self.manifests for e in m.files
+            if not os.path.isabs(e.path)
+        }
+        data_root = os.path.join(self.root, "data")
+        removed_files = 0
+        removed_dirs = 0
+        if not self.fs.isdir(data_root):
+            return {"orphan_files_removed": 0, "orphan_dirs_removed": 0}
+        for d in self.fs.listdir(data_root):
+            dpath = os.path.join(data_root, d)
+            if not self.fs.isdir(dpath):
+                continue
+            kept_any = False
+            for f in self.fs.listdir(dpath):
+                rel = os.path.join("data", d, f)
+                if rel in referenced:
+                    kept_any = True
+                elif f.endswith(".parquet") or f.startswith(("_", ".")):
+                    self.fs.remove(os.path.join(dpath, f))
+                    removed_files += 1
+                else:
+                    kept_any = True  # unknown file kind: never delete
+            if not kept_any and not self.fs.listdir(dpath):
+                self.fs.rmtree(dpath)
+                removed_dirs += 1
+        return {
+            "orphan_files_removed": removed_files,
+            "orphan_dirs_removed": removed_dirs,
+        }
+
     # ---------- RESTORE (roll back to an earlier version) ----------
 
     def restore(self, version: int) -> dict[str, int]:

@@ -1015,3 +1015,39 @@ def test_concurrent_appends_one_wins_one_retries(spark, tmp_path):
     for m in t.manifests:
         for e in m.files:
             assert os.path.exists(os.path.join(root, e.path)), e.path
+
+
+def test_vacuum_orphans_removes_loser_debris_only(spark, tmp_path):
+    """vacuum_orphans(): a crashed/commit-losing writer's staged files
+    are deleted, every manifest-referenced file (current AND
+    time-travelable versions) survives, and non-parquet unknown files
+    are never touched."""
+    import os
+
+    from lhbench_spark.tables import ManagedTable
+
+    root = str(tmp_path / "gc")
+    t = ManagedTable.create(
+        spark, root, spark.range(0, 100).selectExpr("id AS k"), num_files=2
+    )
+    t.append(spark.range(100, 120).selectExpr("id AS k"))
+    # loser debris: a staged dir with parquet that no manifest references
+    loser = os.path.join(root, "data", "v00002-deadbeef")
+    os.makedirs(loser)
+    spark.range(999).selectExpr("id AS k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(loser)
+    # an unknown foreign file must survive
+    keepme = os.path.join(root, "data", "v00002-deadbeef", "NOTES.txt")
+    with open(keepme, "w") as f:
+        f.write("not ours to delete")
+
+    m = t.vacuum_orphans()
+    assert m["orphan_files_removed"] > 0
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(loser)
+    ), "orphan parquet survived"
+    assert os.path.exists(keepme)
+    # all versions still readable
+    assert t.read().count() == 120
+    assert t.read(version=0).count() == 100
