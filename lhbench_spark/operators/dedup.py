@@ -412,3 +412,55 @@ def repeated_spans(
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
         .limit(top)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Doc-in-doc detection: pairs with high CONTAINMENT
+    |A∩B| / min(|A|,|B|) — the asymmetric overlap measure. A small
+    document quoted inside a 10× larger one has Jaccard ≈ 0.1 (invisible
+    to MinHash banding, whose collision probability tracks Jaccard) but
+    containment ≈ 1.0, so candidates come from per-shingle POSTING LISTS
+    instead: explode distinct shingle hashes, cap each posting list
+    (frequency cap — stopword-like shingles would go quadratic), self-join
+    per hash, and keep pairs sharing >= min_shared capped postings. The
+    verify recomputes exact intersection over the full hash sets. All
+    candidate traffic is (id, hash) pairs — ids only, like the MinHash
+    path."""
+    hashed = with_word_shingles(df, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
+    )
+    sh = hashed.select(
+        "_id", F.array_distinct("_hs").alias("_hset")
+    ).withColumn("_sz", F.size("_hset")).cache()
+    posts = _capped_buckets(
+        sh.select("_id", F.explode("_hset").alias("_h")), "_h"
+    )
+    cand = (
+        posts.select(F.col("_id").alias("doc_a"), "_h")
+        .join(posts.select(F.col("_id").alias("doc_b"), "_h"), "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(F.col("_shared") >= min_shared)
+    )
+    pairs = cand.join(
+        sh.select(F.col("_id").alias("doc_a"), F.col("_hset").alias("_sa"),
+                  F.col("_sz").alias("_za")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("_id").alias("doc_b"), F.col("_hset").alias("_sb"),
+                  F.col("_sz").alias("_zb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    cont = inter / F.least("_za", "_zb")
+    return pairs.filter(cont >= threshold).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+    )

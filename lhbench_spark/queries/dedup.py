@@ -411,3 +411,50 @@ def dedup_repeated_spans(spark, sf_dir):
     return dedup.repeated_spans(
         table(spark, sf_dir, "documents"), k=_SPAN_K, min_docs=2, top=50
     )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_WORD_SHINGLES} AS shingles FROM documents
+), hset AS (
+    SELECT doc_id,
+           list_distinct({hashing.shingle_hashes_duck('shingles')}) AS hset
+    FROM sh
+), posts_raw AS (
+    SELECT doc_id, unnest(hset) AS h FROM hset
+), posts AS (
+    SELECT * FROM posts_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY h) <= {dedup.MAX_BUCKET}
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+), verify AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) AS inter,
+           least(len(ha.hset), len(hb.hset)) AS mn
+    FROM cand c
+    JOIN hset ha ON ha.doc_id = c.doc_a
+    JOIN hset hb ON hb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(inter / mn, 6) AS containment
+FROM verify WHERE inter / mn >= 0.6
+"""
+
+
+@query(
+    "dedup_containment",
+    tags=("dedup", "containment", "documents"),
+    oracle=_CONTAINMENT_ORACLE,
+)
+def dedup_containment(spark, sf_dir):
+    """Doc-in-doc containment pairs (|A∩B| / min(|A|,|B|) ≥ 0.6):
+    asymmetric overlap that MinHash banding cannot see (its collisions
+    track Jaccard, and a small doc inside a big one has low Jaccard).
+    Candidates come from capped per-shingle posting lists shared ≥3
+    times; the cap is mirrored in the oracle via QUALIFY, so both
+    engines agree at any scale factor."""
+    return dedup.containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.6, min_shared=3
+    )
