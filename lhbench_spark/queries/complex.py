@@ -301,3 +301,102 @@ def complex_q78_channel_join(spark, sf_dir):
         .orderBy(F.desc("share_a"), F.asc("pk"), F.asc("yr"))
         .limit(100)
     )
+
+
+# q51 shape: per-channel monthly revenue per part, CUMULATIVE window sum
+# over months, FULL OUTER join of the two channel series, filter where
+# one channel's cumulative overtakes the other.
+_Q51_MONTHLY_SQL = """
+    SELECT l.l_partkey AS pk, date_trunc('month', o.o_orderdate) AS mo,
+           {rev} AS rev
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '{prio}'
+    GROUP BY l.l_partkey, date_trunc('month', o.o_orderdate)
+"""
+
+_Q51_ORACLE = f"""
+WITH m_a AS ({_Q51_MONTHLY_SQL.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), prio="1-URGENT")}),
+     m_b AS ({_Q51_MONTHLY_SQL.format(rev=dsum_sql("l.l_extendedprice * (1 - l.l_discount)"), prio="2-HIGH")}),
+     c_a AS (
+        SELECT pk, mo, SUM(rev) OVER (
+            PARTITION BY pk ORDER BY mo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM m_a
+     ),
+     c_b AS (
+        SELECT pk, mo, SUM(rev) OVER (
+            PARTITION BY pk ORDER BY mo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM m_b
+     )
+SELECT COALESCE(a.pk, b.pk) AS pk,
+       COALESCE(a.mo, b.mo) AS mo,
+       ROUND(a.cum, 6) AS cum_urgent,
+       ROUND(b.cum, 6) AS cum_high
+FROM c_a a FULL OUTER JOIN c_b b ON a.pk = b.pk AND a.mo = b.mo
+WHERE a.cum > b.cum
+ORDER BY pk, mo
+LIMIT 100
+"""
+
+
+@query(
+    "complex_q51_cumulative_join",
+    tags=("complex", "window", "full-outer", "tpcds-shape"),
+    oracle=_Q51_ORACLE,
+)
+def complex_q51_cumulative_join(spark, sf_dir):
+    """q51 shape (TPCDSBenchmarkQueries.scala q51: per-channel cumulative
+    window series FULL OUTER joined on (item, period), filtered where one
+    channel's running total overtakes the other): each channel is one
+    fact aggregation + one ordered window (running sums accumulate in
+    frame order — the same IEEE sequence both engines execute, so values
+    match bitwise); the join runs on month-level aggregates, never fact
+    rows. Top-100 tie-broken on the unique (pk, mo)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+
+    def channel_cum(prio, tag):
+        monthly = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("o_orderpriority") == prio)
+            .groupBy(
+                F.col("l_partkey").alias(f"pk_{tag}"),
+                # trunc() yields DATE, matching DuckDB's date_trunc('month')
+                # which returns DATE at month precision
+                F.trunc("o_orderdate", "month").alias(f"mo_{tag}"),
+            )
+            .agg(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(f"rev_{tag}")
+            )
+        )
+        w = (
+            Window.partitionBy(f"pk_{tag}")
+            .orderBy(f"mo_{tag}")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return monthly.select(
+            f"pk_{tag}", f"mo_{tag}",
+            F.sum(f"rev_{tag}").over(w).alias(f"cum_{tag}"),
+        )
+
+    a = channel_cum("1-URGENT", "a")
+    b = channel_cum("2-HIGH", "b")
+    j = a.join(
+        b,
+        (F.col("pk_a") == F.col("pk_b")) & (F.col("mo_a") == F.col("mo_b")),
+        "full_outer",
+    )
+    return (
+        j.filter(F.col("cum_a") > F.col("cum_b"))
+        .select(
+            F.coalesce("pk_a", "pk_b").alias("pk"),
+            F.coalesce("mo_a", "mo_b").alias("mo"),
+            F.round("cum_a", 6).alias("cum_urgent"),
+            F.round("cum_b", 6).alias("cum_high"),
+        )
+        .orderBy("pk", "mo")
+        .limit(100)
+    )
