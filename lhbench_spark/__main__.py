@@ -10,6 +10,9 @@ names; no ssh layer is needed in local mode, SURVEY.md §3).
     python -m lhbench_spark file_count            # file-count / planning
     python -m lhbench_spark refresh               # incremental refresh
     python -m lhbench_spark query <name> [--sf-dir DIR]   # one query
+    python -m lhbench_spark table <op> --root DIR   # maintenance:
+        history|detail|optimize|zorder --by a,b|vacuum [--retain N]|
+        vacuum-orphans|restore --version N
 
 Each workload prints its JSON report to stdout; `query` prints the
 result rows.
@@ -27,16 +30,24 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "smoke", "bench", "merge_micro", "merge_grid", "compare",
-            "file_count", "refresh", "query",
+            "file_count", "refresh", "query", "table",
         ],
     )
-    ap.add_argument("name", nargs="?", help="query name (for `query`)")
+    ap.add_argument(
+        "name", nargs="?",
+        help="query name (for `query`) / table op (for `table`: "
+        "history|detail|optimize|zorder|vacuum|vacuum-orphans|restore)",
+    )
     ap.add_argument("--sf-dir", default=None, help="testdata dir (default $SPARK_GRAFT_SF_DIR)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument(
         "--configs", default="cow,mor",
         help="comma-separated storage configs (for `compare`)",
     )
+    ap.add_argument("--root", default=None, help="managed-table root (for `table`)")
+    ap.add_argument("--version", type=int, default=None, help="target version (for `table restore`)")
+    ap.add_argument("--retain", type=int, default=1, help="versions to retain (for `table vacuum`)")
+    ap.add_argument("--by", default=None, help="two comma-separated columns (for `table zorder`)")
     args = ap.parse_args(argv)
 
     if args.command == "bench":
@@ -71,6 +82,37 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 2
         qd.spark_fn(spark, sf_dir).show(100, truncate=False)
+        return 0
+
+    if args.command == "table":
+        import json
+
+        from lhbench_spark.tables import ManagedTable
+
+        if not args.root or not args.name:
+            ap.error("table requires an op name and --root <table-root>")
+        t = ManagedTable(spark, args.root)
+        op = args.name
+        if op == "history":
+            t.history().show(100, truncate=False)
+        elif op == "detail":
+            t.detail().show(truncate=False)
+        elif op == "optimize":
+            print(json.dumps(t.optimize()))
+        elif op == "zorder":
+            if not args.by or len(args.by.split(",")) != 2:
+                ap.error("table zorder requires --by colA,colB")
+            print(json.dumps(t.zorder(tuple(args.by.split(",")))))
+        elif op == "vacuum":
+            print(json.dumps(t.vacuum(retain_versions=args.retain)))
+        elif op == "vacuum-orphans":
+            print(json.dumps(t.vacuum_orphans()))
+        elif op == "restore":
+            if args.version is None:
+                ap.error("table restore requires --version N")
+            print(json.dumps(t.restore(args.version)))
+        else:
+            ap.error(f"unknown table op {op!r}")
         return 0
 
     if args.command == "compare":

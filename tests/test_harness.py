@@ -63,3 +63,24 @@ def test_report_round_trips_json_and_csv(spark, tmp_path):
     header = csv_text.splitlines()[0]
     assert header == "name,iteration,duration_ms,planning_ms,row_count,error"
     assert (tmp_path / "r.json").exists() and (tmp_path / "r.csv").exists()
+
+
+def test_table_cli_lifecycle(spark, tmp_path):
+    """`python -m lhbench_spark table <op> --root …`: the maintenance CLI
+    drives history/optimize/restore/vacuum against a real table."""
+    from lhbench_spark.__main__ import main
+    from lhbench_spark.tables import ManagedTable
+
+    root = str(tmp_path / "clit")
+    t = ManagedTable.create(
+        spark, root, spark.range(0, 50).selectExpr("id AS k"), num_files=4
+    )
+    t.delete("k >= 40")
+    assert main(["table", "history", "--root", root]) == 0
+    assert main(["table", "detail", "--root", root]) == 0
+    assert main(["table", "optimize", "--root", root]) == 0
+    assert main(["table", "restore", "--root", root, "--version", "0"]) == 0
+    assert main(["table", "vacuum-orphans", "--root", root]) == 0
+    t2 = ManagedTable(spark, root)
+    assert t2.read().count() == 50  # restore brought the rows back
+    assert t2.current.operation == "RESTORE"
