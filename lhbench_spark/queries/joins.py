@@ -347,3 +347,63 @@ def join_asof_last_event(spark, sf_dir):
         build_ts="ts",
         payload_cols=["last_event_id", "last_event_type"],
     )
+
+
+@query(
+    "join_asof_next_event",
+    tags=("join", "asof", "forward", "tolerance", "extension"),
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts,
+           MAX_BY(event_id, event_id) AS next_event_id,
+           MAX_BY(event_type, event_id) AS next_event_type
+    FROM events GROUP BY user_id, ts
+), j AS (
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.next_event_id, e.next_event_type, e.ts AS matched_ts
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate
+          FROM orders WHERE o_orderpriority = '2-HIGH') o
+    ASOF LEFT JOIN ev e
+      ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CASE WHEN matched_ts <= o_orderdate + INTERVAL 30 DAY
+            THEN next_event_id END AS next_event_id,
+       CASE WHEN matched_ts <= o_orderdate + INTERVAL 30 DAY
+            THEN next_event_type END AS next_event_type,
+       CASE WHEN matched_ts <= o_orderdate + INTERVAL 30 DAY
+            THEN matched_ts END AS asof_ts
+FROM j
+""",
+)
+def join_asof_next_event(spark, sf_dir):
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward' parity — the 'what happened next within 30
+    days?' lookup): for each high-priority order, the EARLIEST event by
+    the same user at or after the order date, nulled when it is more
+    than 30 days out. Same single-shuffle union+window plan as the
+    backward as-of; DuckDB's native forward ASOF JOIN plus an interval
+    gate is the oracle."""
+    from lhbench_spark.operators.asof import asof_join_forward
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_id", "event_id").alias("next_event_id"),
+            F.max_by("event_type", "event_id").alias("next_event_type"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    return asof_join_forward(
+        orders,
+        ev,
+        on="o_custkey",
+        build_on="user_id",
+        probe_ts="o_orderdate",
+        build_ts="ts",
+        payload_cols=["next_event_id", "next_event_type"],
+        tolerance_sec=30 * 24 * 3600,
+    )
