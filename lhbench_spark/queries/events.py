@@ -437,3 +437,96 @@ def adhoc_gapfill_locf(spark, sf_dir):
         F.col("cnt").isNull().alias("is_gap"),
         F.round(F.last("value_sum", ignorenulls=True).over(w), 6).alias("locf_value"),
     )
+
+
+_LTTB_BUCKET_US = 7 * 86_400 * 1_000_000  # weekly buckets, microseconds
+
+_LTTB_ORACLE = f"""
+WITH pts AS (
+    SELECT user_id, ts, event_id, value,
+           epoch_us(ts) AS x,
+           epoch_us(ts) // {_LTTB_BUCKET_US} AS bkt
+    FROM events
+), baggs AS (
+    SELECT user_id, bkt,
+           SUM(x) AS sx, {dsum_sql("value")} AS sy, COUNT(*) AS n
+    FROM pts GROUP BY user_id, bkt
+), ctx AS (
+    SELECT user_id, bkt,
+           LAG(sx)  OVER w / LAG(n)  OVER w AS xp,
+           LAG(sy)  OVER w / LAG(n)  OVER w AS yp,
+           LEAD(sx) OVER w / LEAD(n) OVER w AS xn,
+           LEAD(sy) OVER w / LEAD(n) OVER w AS yn
+    FROM baggs
+    WINDOW w AS (PARTITION BY user_id ORDER BY bkt)
+), scored AS (
+    SELECT p.user_id, p.ts, p.event_id, p.value, p.bkt,
+           abs((c.xp - c.xn) * (p.value - c.yp)
+               - (c.xp - p.x) * (c.yn - c.yp)) AS area
+    FROM pts p JOIN ctx c ON p.user_id = c.user_id AND p.bkt = c.bkt
+    WHERE c.xp IS NOT NULL AND c.xn IS NOT NULL
+)
+SELECT user_id, bkt, ts, event_id, ROUND(value, 6) AS value
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY user_id, bkt ORDER BY area DESC, ts, event_id) = 1
+"""
+
+
+@query(
+    "events_downsample_lttb",
+    tags=("events", "timeseries", "downsample", "extension"),
+    oracle=_LTTB_ORACLE,
+)
+def events_downsample_lttb(spark, sf_dir):
+    """Largest-triangle-three-buckets downsampling (the standard
+    visual-fidelity decimation for dashboards), distributed form: per
+    (series, weekly bucket) pick the point maximizing the triangle area
+    against the NEIGHBOR BUCKETS' centroids — the classic sequential
+    LTTB's selected-point dependency is replaced by bucket averages, the
+    standard parallel approximation. Exactness across engines: bucket
+    centroids divide an exact integer-µs sum and a decimal value sum, so
+    the per-point area math runs on bit-identical doubles; selection is
+    fully tie-broken (area DESC, ts, event_id). Shape: one bucket
+    aggregation + lag/lead + one windowed top-1 — all linear, partitioned
+    by series."""
+    ev = table(spark, sf_dir, "events")
+    # ts may read as TIMESTAMP_NTZ; session TZ is UTC so the cast to
+    # TIMESTAMP is value-identical and unix_micros accepts it
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(
+        "user_id", "ts", "event_id", "value",
+        ep.alias("x"),
+        (ep / F.lit(_LTTB_BUCKET_US)).cast("bigint").alias("bkt"),
+    )
+    baggs = pts.groupBy("user_id", "bkt").agg(
+        F.sum("x").alias("sx"), dsum("value").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("bkt")
+    ctx = baggs.select(
+        "user_id", "bkt",
+        (F.lag("sx").over(w) / F.lag("n").over(w)).alias("xp"),
+        (F.lag("sy").over(w) / F.lag("n").over(w)).alias("yp"),
+        (F.lead("sx").over(w) / F.lead("n").over(w)).alias("xn"),
+        (F.lead("sy").over(w) / F.lead("n").over(w)).alias("yn"),
+    )
+    scored = (
+        pts.join(ctx, ["user_id", "bkt"])
+        .filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+        .withColumn(
+            "area",
+            F.abs(
+                (F.col("xp") - F.col("xn")) * (F.col("value") - F.col("yp"))
+                - (F.col("xp") - F.col("x")) * (F.col("yn") - F.col("yp"))
+            ),
+        )
+    )
+    sel = Window.partitionBy("user_id", "bkt").orderBy(
+        F.desc("area"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(sel))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bkt", "ts", "event_id", F.round("value", 6).alias("value"))
+    )
