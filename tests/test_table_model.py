@@ -108,3 +108,14 @@ def test_dml_random_walk_matches_model(spark, tmp_path, seed):
             }
             assert hist == snapshots[hv], f"seed {seed} step {step} v{hv}"
     assert _table_state(t) == model, f"seed {seed} final"
+
+    # CDC epilogue: a replica built from the v0 snapshot and synced with
+    # ONE apply_changes over the whole walk's feed must land on the same
+    # final state — whatever sequence of merges/deletes/updates/restores
+    # the walk produced, the feed replay is lossless.
+    rep = ManagedTable.create(
+        spark, str(tmp_path / f"rep{seed}"), _rows_df(spark, snapshots[0]),
+        cluster_by=("k",), num_files=2, primary_keys=("k",),
+    )
+    rep.apply_changes(t.changes(from_version=0))
+    assert _table_state(rep) == model, f"seed {seed} replica"
