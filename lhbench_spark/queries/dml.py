@@ -35,10 +35,15 @@ def _tmp() -> str:
 
 
 # Shared target/source definitions (Spark + DuckDB must agree exactly):
-# target = orders with o_orderkey % 4 != 0
-# source = orders with o_orderkey % 3 == 0, price doubled, status 'M'
-_TARGET_PRED = "o_orderkey % 4 <> 0"
-_SOURCE_PRED = "o_orderkey % 3 = 0"
+# target = a 25% modulo slice of orders; source = a 1/6 slice whose keys
+# half-overlap the target (k ≡ 9 mod 12 matches, k ≡ 3 mod 12 inserts),
+# price doubled, status 'M'. The slices are deliberately SMALL: every
+# DML query measures commit machinery (touch detection, file-level CoW,
+# manifest IO) whose cost is O(touched files + source), not fact-scan
+# volume — and the suite pays each lifecycle every iteration. Scan-bound
+# coverage lives in the join/agg families.
+_TARGET_PRED = "o_orderkey % 4 = 1"
+_SOURCE_PRED = "o_orderkey % 6 = 3"
 
 
 def _target(spark, sf_dir):
@@ -767,8 +772,8 @@ def acid_restore(spark, sf_dir):
 # CDC-apply working set: a modulo slice of orders (~12.5%) — the point
 # is the 6-commit lifecycle + feed replay, not fact-scan volume; the
 # suite pays for this query every iteration.
-_CDC_TARGET_PRED = "o_orderkey % 8 = 1"
-_CDC_SOURCE_PRED = "o_orderkey % 16 = 1"
+_CDC_TARGET_PRED = "o_orderkey % 16 = 1"
+_CDC_SOURCE_PRED = "o_orderkey % 32 = 1"
 
 _APPLY_ORACLE = f"""
 WITH target AS (

@@ -404,11 +404,14 @@ def sim_kmeans_recall(spark, sf_dir):
     exact = similarity.brute_force_topk(emb, queries, k=_TOPK).select(
         "query_id", "neighbor_id"
     )
+    # probes=1 for BOTH tiers: the comparison isolates the CODEBOOK
+    # effect (only the centroids differ), and single-probe halves the two
+    # extra IVF pipelines this query pays per suite iteration
     base = similarity.ivf_topk(
-        emb, queries, dim=_DIM, k=_TOPK, probes=2, cents=base_cents
+        emb, queries, dim=_DIM, k=_TOPK, probes=1, cents=base_cents
     ).select(F.col("query_id").alias("b_qid"), F.col("neighbor_id").alias("b_nid"))
     ref = similarity.ivf_topk(
-        emb, queries, dim=_DIM, k=_TOPK, probes=2, cents=refined
+        emb, queries, dim=_DIM, k=_TOPK, probes=1, cents=refined
     ).select(F.col("query_id").alias("r_qid"), F.col("neighbor_id").alias("r_nid"))
     per_q = (
         exact.join(
