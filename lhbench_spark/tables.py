@@ -458,8 +458,16 @@ class ManagedTable:
         on: list[str],
         validate_unique: bool = True,
         track_matches: bool = True,
+        when_matched: str = "update",
     ) -> dict[str, int]:
         """Upsert: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
+
+        ``when_matched="delete"`` switches the matched clause to Delta's
+        WHEN MATCHED DELETE: rows the source names are removed, source
+        rows naming nothing are still inserted (the tombstone-merge shape
+        CDC appliers use). CoW only — a MoR delete would need tombstone
+        markers in the delta files, which this format does not carry; use
+        apply_changes() for feed-driven deletes instead.
 
         File-level copy-on-write: only files containing a matched key are
         rewritten; the rest carry over by reference. Like Delta, a source
@@ -490,9 +498,17 @@ class ManagedTable:
                     f"merge source has duplicate keys on {on} "
                     "(would produce duplicate rows; Delta raises here too)"
                 )
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
         if self.checks:
             _enforce_checks(source, self.checks)
         if self.table_mode == "mor":
+            if when_matched == "delete":
+                raise ValueError(
+                    "when_matched='delete' requires a cow table (MoR deltas "
+                    "carry no tombstones); use apply_changes() for "
+                    "feed-driven deletes"
+                )
             return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
 
@@ -513,18 +529,36 @@ class ManagedTable:
         rewritten = [e for e in m.files if self._abs(e) in touched]
         rewritten_rows = sum(e.rows for e in rewritten)
 
-        # One counting job (the source); matched/inserted are derived from
-        # parquet footer row counts after the write:
-        #   new_rows = (rewritten_rows - matched) + source_rows
-        #   matched  = rewritten_rows + source_rows - new_rows
-        # (exact given unique keys on both sides — validated above).
-        source_rows = _count_job(source)
-        if rewritten:
-            touched_df = self._read_conformed(rewritten)
-            kept = touched_df.select(*target.columns).join(skeys, on, "left_anti")
-            new_data = kept.unionByName(source.select(*target.columns))
+        if when_matched == "delete":
+            # WHEN MATCHED DELETE: drop matched rows from the touched
+            # files; insert only the source rows that matched NOTHING
+            # (one anti-join against the target's pruned key columns).
+            inserts = source.select(*target.columns).join(
+                target.select(*on), on, "left_anti"
+            )
+            inserted_rows = _count_job(inserts)
+            if rewritten:
+                touched_df = self._read_conformed(rewritten)
+                kept = touched_df.select(*target.columns).join(
+                    skeys, on, "left_anti"
+                )
+                new_data = kept.unionByName(inserts)
+            else:
+                new_data = inserts
+            source_rows = inserted_rows  # sizing: only inserts land
         else:
-            new_data = source.select(*target.columns)
+            # One counting job (the source); matched/inserted are derived
+            # from parquet footer row counts after the write:
+            #   new_rows = (rewritten_rows - matched) + source_rows
+            #   matched  = rewritten_rows + source_rows - new_rows
+            # (exact given unique keys on both sides — validated above).
+            source_rows = _count_job(source)
+            if rewritten:
+                touched_df = self._read_conformed(rewritten)
+                kept = touched_df.select(*target.columns).join(skeys, on, "left_anti")
+                new_data = kept.unionByName(source.select(*target.columns))
+            else:
+                new_data = source.select(*target.columns)
 
         version = m.version + 1
         data_dir = self._claim_data_dir(version)
@@ -538,20 +572,30 @@ class ManagedTable:
             for p in _list_parquet(data_dir, self.fs)
         ]
         new_rows = sum(e.rows for e in new_entries)
-        matched = rewritten_rows + source_rows - new_rows
-        inserted = source_rows - matched
+        if when_matched == "delete":
+            # new_rows = kept + inserted; kept = rewritten - deleted
+            inserted = source_rows
+            metrics = {
+                "matched_deleted": rewritten_rows + inserted - new_rows,
+                "inserted": inserted,
+                "files_rewritten": len(rewritten),
+                "files_added": len(new_entries),
+            }
+        else:
+            matched = rewritten_rows + source_rows - new_rows
+            metrics = {
+                "matched_updated": matched,
+                "inserted": source_rows - matched,
+                "files_rewritten": len(rewritten),
+                "files_added": len(new_entries),
+            }
         manifest = Manifest(
             version=version,
             operation="MERGE",
             timestamp_ms=int(time.time() * 1000),
             files=untouched + new_entries,
             cluster_by=m.cluster_by,
-            metrics={
-                "matched_updated": matched,
-                "inserted": inserted,
-                "files_rewritten": len(rewritten),
-                "files_added": len(new_entries),
-            },
+            metrics=metrics,
             properties=m.properties,
         )
         _write_manifest(self.root, manifest, self.fs)

@@ -1051,3 +1051,36 @@ def test_vacuum_orphans_removes_loser_debris_only(spark, tmp_path):
     # all versions still readable
     assert t.read().count() == 120
     assert t.read(version=0).count() == 100
+
+
+def test_merge_when_matched_delete(spark, tmp_path):
+    """WHEN MATCHED DELETE (Delta clause parity): matched keys vanish,
+    unmatched source rows insert, untouched files carry by reference,
+    and the metrics record deletions rather than updates."""
+    import pytest as _pytest
+
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "md"), _base_df(spark, 1000),
+        cluster_by=("key",), num_files=8,
+    )
+    files_before = {e.path for e in t.current.files}
+    # 10 tombstones that exist (keys 0..9) + 5 fresh rows (1000..1004)
+    src = _base_df(spark, 1005).filter(
+        (F.col("key") < 10) | (F.col("key") >= 1000)
+    )
+    m = t.merge(src, on=["key"], when_matched="delete")
+    assert m["matched_deleted"] == 10 and m["inserted"] == 5
+    got = t.read()
+    assert got.count() == 995
+    assert got.filter(F.col("key") < 10).count() == 0
+    assert got.filter(F.col("key") >= 1000).count() == 5
+    assert {e.path for e in t.current.files} & files_before, "no carry-over"
+    # MoR tables refuse the delete clause (no tombstones in delta files)
+    tm = ManagedTable.create(
+        spark, str(tmp_path / "mdm"), _base_df(spark, 50), num_files=1,
+        table_mode="mor", primary_keys=("key",),
+    )
+    with _pytest.raises(ValueError, match="cow"):
+        tm.merge(_base_df(spark, 10), on=["key"], when_matched="delete")
