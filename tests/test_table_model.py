@@ -80,6 +80,21 @@ def test_dml_random_walk_matches_model(spark, tmp_path, seed):
             for k, (v, tag) in model.items()
         }
 
+    def op_merge_delete():
+        nonlocal next_key, model
+        existing = rng.sample(sorted(model), min(len(model), rng.randint(2, 15)))
+        fresh = [next_key + i for i in range(rng.randint(0, 5))]
+        src = {k: (0.5 * k, "del") for k in existing + fresh}
+        if fresh:
+            next_key = fresh[-1] + 1
+        t.merge(
+            _rows_df(spark, src), on=["k"], validate_unique=False,
+            when_matched="delete",
+        )
+        for k in existing:
+            model.pop(k, None)
+        model.update({k: src[k] for k in fresh})
+
     def op_restore():
         nonlocal model
         v = rng.choice(sorted(snapshots))
@@ -91,7 +106,10 @@ def test_dml_random_walk_matches_model(spark, tmp_path, seed):
     def op_optimize():
         t.optimize(target_file_rows=500)
 
-    ops = [op_append, op_merge, op_delete, op_update, op_restore, op_optimize]
+    ops = [
+        op_append, op_merge, op_merge_delete, op_delete, op_update,
+        op_restore, op_optimize,
+    ]
     for step in range(10):
         rng.choice(ops)()
         ver = t.current.version
