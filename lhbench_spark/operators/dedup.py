@@ -436,9 +436,14 @@ def containment_pairs(
         F.col(id_col).alias("_id"),
         F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
     )
-    sh = hashed.select(
-        "_id", F.array_distinct("_hs").alias("_hset")
-    ).withColumn("_sz", F.size("_hset")).cache()
+    # localCheckpoint (not cache): materialized once, storage released
+    # when the plan is GC'd — a cache() here leaked executor blocks
+    # across bench iterations because nothing unpersisted it.
+    sh = (
+        hashed.select("_id", F.array_distinct("_hs").alias("_hset"))
+        .withColumn("_sz", F.size("_hset"))
+        .localCheckpoint(eager=False)
+    )
     posts = _capped_buckets(
         sh.select("_id", F.explode("_hset").alias("_h")), "_h"
     )

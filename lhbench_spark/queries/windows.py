@@ -77,7 +77,10 @@ def win_ratio_to_report(spark, sf_dir):
     window stage is negligible at any scale. nation_rev is decimal-exact
     → the double division is engine-exact."""
     li = table(spark, sf_dir, "lineitem")
-    supp = F.broadcast(table(spark, sf_dir, "supplier"))
+    # supplier grows linearly with SF — no forced broadcast hint (AQE
+    # re-broadcasts it at bench SFs; at 100 TB it becomes a shuffle join).
+    # nation/region are fixed-cardinality (25/5 rows): hint is safe.
+    supp = table(spark, sf_dir, "supplier")
     nat = F.broadcast(table(spark, sf_dir, "nation"))
     reg = F.broadcast(table(spark, sf_dir, "region"))
     per_nation = (
@@ -122,7 +125,8 @@ def win_avg_deviation(spark, sf_dir):
     operates on aggregated data; engine-exact inputs keep the filter
     boundary deterministic."""
     li = table(spark, sf_dir, "lineitem")
-    part = F.broadcast(table(spark, sf_dir, "part"))
+    # part is SF-scaled — no forced broadcast (AQE decides per actual size).
+    part = table(spark, sf_dir, "part")
     bt = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")

@@ -124,6 +124,10 @@ class TableFS:
         """Parquet footer metadata (row counts + column min/max stats)."""
         return pq.ParquetFile(path).metadata
 
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds) — the GC grace-period clock."""
+        return os.path.getmtime(path)
+
 
 LOCAL_FS = TableFS()
 
@@ -485,7 +489,12 @@ class ManagedTable:
         the upsert key)."""
         m = self.current
         target = self.read()
-        if validate_unique:
+        # On MoR the check is NOT skippable: a duplicate-key source would
+        # write a delta commit whose within-version ties resolve
+        # nondeterministically at read time (latest-per-key has no order
+        # inside one version), silently dropping arbitrary rows. CoW
+        # callers may opt out when they already guarantee uniqueness.
+        if validate_unique or self.table_mode == "mor":
             dups = (
                 source.groupBy(*on)
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -1013,7 +1022,7 @@ class ManagedTable:
         self.manifests = retained
         return {"files_removed": len(drop), "manifests_removed": len(expired)}
 
-    def vacuum_orphans(self) -> dict[str, int]:
+    def vacuum_orphans(self, retention_seconds: float = 3600.0) -> dict[str, int]:
         """Directory-scan garbage collection: delete every file under
         ``data/`` that NO manifest references — the write-path debris of
         crashed or commit-losing writers (their tokened staging dirs are
@@ -1022,7 +1031,19 @@ class ManagedTable:
         the directory the same way), so it is separate from the
         manifest-driven retention ``vacuum()``: run it on a maintenance
         cadence, not per commit. Only whole-dir listing + deletes — no
-        Spark job. Empty staging dirs are removed too."""
+        Spark job. Empty staging dirs are removed too.
+
+        ``retention_seconds`` is the in-flight-writer grace period
+        (Delta's VACUUM retention window, same reason): a writer's
+        tokened staging dir is BY DESIGN unreferenced until its manifest
+        commits, so files younger than the window are never touched —
+        without it, a concurrent GC could delete a writer's staged
+        parquet mid-write and the later manifest commit would reference
+        deleted files. Manifests are also reloaded from disk first, so a
+        stale in-memory handle cannot orphan-collect files committed by
+        a newer writer."""
+        self.manifests = _load_manifests(self.root, self.fs)
+        cutoff = time.time() - max(0.0, retention_seconds)
         referenced = {
             e.path for m in self.manifests for e in m.files
             if not os.path.isabs(e.path)
@@ -1039,11 +1060,15 @@ class ManagedTable:
             kept_any = False
             for f in self.fs.listdir(dpath):
                 rel = os.path.join("data", d, f)
+                fpath = os.path.join(dpath, f)
                 if rel in referenced:
                     kept_any = True
                 elif f.endswith(".parquet") or f.startswith(("_", ".")):
-                    self.fs.remove(os.path.join(dpath, f))
-                    removed_files += 1
+                    if self.fs.mtime(fpath) > cutoff:
+                        kept_any = True  # inside the grace window
+                    else:
+                        self.fs.remove(fpath)
+                        removed_files += 1
                 else:
                     kept_any = True  # unknown file kind: never delete
             if not kept_any and not self.fs.listdir(dpath):

@@ -286,11 +286,14 @@ def refresh_view_parts(
     TPCDSRefreshSchema.scala:614-845): the staged fact delta joined
     through the part AND supplier dimensions simultaneously — the
     compound-dimension chain whose join keys come from different delta
-    columns. Both dimensions broadcast; the delta never shuffles."""
+    columns. part/supplier are SF-scaled, so no forced broadcast hints —
+    at bench SFs AQE broadcasts them from measured size; at 100 TB the
+    delta (the small side after a refresh round) is the broadcast
+    candidate, and a forced hint on the dimensions would OOM executors."""
     return (
-        li_delta.join(F.broadcast(part), li_delta.l_partkey == part.p_partkey, "left")
+        li_delta.join(part, li_delta.l_partkey == part.p_partkey, "left")
         .join(
-            F.broadcast(supplier),
+            supplier,
             li_delta.l_suppkey == supplier.s_suppkey,
             "left",
         )

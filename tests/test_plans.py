@@ -12,6 +12,8 @@ any result at sf0.01 but would sink a 100 TB run:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from lhbench_spark.catalog import table
@@ -21,6 +23,70 @@ from tests.conftest import SMOKE_SF
 
 def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Per-query (physical, analyzed) plan strings, built once per session:
+# three parametrized lints share the build (DML queries run a whole
+# table lifecycle at DataFrame-construction time, so each avoided
+# rebuild saves real suite seconds).
+_PLAN_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def plans_for(spark, name: str) -> tuple[str, str]:
+    if name not in _PLAN_CACHE:
+        df = all_queries()[name].spark_fn(spark, SMOKE_SF)
+        qe = df._jdf.queryExecution()
+        _PLAN_CACHE[name] = (qe.executedPlan().toString(), qe.analyzed().toString())
+    return _PLAN_CACHE[name]
+
+
+# ---- forced-broadcast lint (the r4/r5 scale-killer class) ----
+# SF-scaled base relations, identified by their key column in the
+# analyzed plan's Relation lines. nation/region (25/5 rows at every SF)
+# are the only hint-safe bases.
+_SF_MARKERS = (
+    "l_orderkey#", "o_orderkey#", "c_custkey#", "s_suppkey#",
+    "p_partkey#", "doc_id#", "vec_id#",
+)
+# Nodes that bound the broadcast side's cardinality below the base
+# relation's: an aggregate/limit/distinct (hard reduction) or a literal
+# filter/sample/semi-join (the caller selected a bounded slice). A bare
+# full-table hint has none of these between the hint and the Relation.
+_REDUCERS = (
+    "Aggregate", "GlobalLimit", "Deduplicate", "Filter", "Sample",
+    "Intersect", "Join LeftSemi",
+)
+
+
+def _tree_depth(line: str) -> int | None:
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else (0 if line.strip() else None)
+
+
+def forced_sf_broadcasts(analyzed: str) -> list[str]:
+    """ResolvedHint(broadcast) nodes whose subtree scans an SF-scaled
+    base with no cardinality-reducing node in between."""
+    lines = analyzed.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        depth = _tree_depth(ln) or 0
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            dj = _tree_depth(lines[j])
+            if dj is None or dj <= depth:
+                break
+            subtree.append(lines[j])
+        scans_sf = any(
+            any(mk in s for mk in _SF_MARKERS)
+            for s in subtree
+            if "Relation" in s
+        )
+        reduced = any(any(r in s for r in _REDUCERS) for s in subtree)
+        if scans_sf and not reduced:
+            hits.append(ln.strip())
+    return hits
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -61,8 +127,7 @@ def test_no_python_row_udf(spark, name):
     (BatchEvalPython). multimodal_features is excluded: it uses
     MapInPandas, the sanctioned Arrow-batched path, which this test
     verifies by its absence of BatchEvalPython too."""
-    q = all_queries()[name]
-    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    plan, _ = plans_for(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
 
 
@@ -80,9 +145,36 @@ def test_no_unbroadcast_cartesian(spark, name):
     cross join of bounded frames plans as BroadcastNestedLoopJoin (tiny
     side broadcast); a CartesianProduct means a full n×m shuffle product
     slipped in — fine at sf0.01, fatal at 100 TB."""
-    q = all_queries()[name]
-    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    plan, _ = plans_for(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_forced_broadcast_of_sf_scaled_base(spark, name):
+    """No registered query may put a broadcast hint on an unreduced
+    SF-scaled base relation (lineitem/orders/customer/supplier/part/
+    documents/embeddings): the hint bypasses autoBroadcastJoinThreshold,
+    so a side that fits at sf0.1 OOMs every executor at the reference's
+    3 TB. Fixed-cardinality dims (nation/region) and bounded slices
+    (aggregated / limited / literal-filtered frames) stay hintable; full
+    tables belong to AQE. This is the lint that would have caught the
+    r4 (joins/complex/merge) and r5 (windows/refresh) regressions when
+    they were introduced."""
+    _, analyzed = plans_for(spark, name)
+    hits = forced_sf_broadcasts(analyzed)
+    assert not hits, f"{name} force-broadcasts an SF-scaled base: {hits}"
+
+
+def test_forced_broadcast_lint_fires(spark):
+    """Self-check: the lint must actually flag the bug class it guards —
+    a bare F.broadcast(supplier) joined to lineitem."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, SMOKE_SF, "lineitem")
+    supp = F.broadcast(table(spark, SMOKE_SF, "supplier"))
+    bad = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    analyzed = bad._jdf.queryExecution().analyzed().toString()
+    assert forced_sf_broadcasts(analyzed), analyzed
 
 
 def test_fan_out_is_conditional(spark):

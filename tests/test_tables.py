@@ -1042,7 +1042,16 @@ def test_vacuum_orphans_removes_loser_debris_only(spark, tmp_path):
     with open(keepme, "w") as f:
         f.write("not ours to delete")
 
-    m = t.vacuum_orphans()
+    # Default grace window: freshly-staged files are NEVER deleted — an
+    # in-flight writer's tokened staging dir is by design unreferenced
+    # until its manifest commits (ADVICE r5: a concurrent GC must not
+    # delete staged parquet mid-write).
+    m0 = t.vacuum_orphans()
+    assert m0["orphan_files_removed"] == 0
+    assert any(f.endswith(".parquet") for f in os.listdir(loser))
+
+    # Zero retention (the known-quiescent maintenance call): debris goes.
+    m = t.vacuum_orphans(retention_seconds=0.0)
     assert m["orphan_files_removed"] > 0
     assert not any(
         f.endswith(".parquet") for f in os.listdir(loser)
