@@ -20,6 +20,7 @@ from lhbench_spark.queries import (  # noqa: F401
     text,
     multimodal,
     streamq,
+    tpcds_queries,
 )
 
 __all__ = ["QueryDef", "all_queries", "get_query"]

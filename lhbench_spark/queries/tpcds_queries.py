@@ -1,0 +1,499 @@
+"""The reference's primary workload — real TPC-DS query texts — runnable
+end-to-end on the generated TPC-DS tables (tpcds_data.py), on Spark AND
+on the DuckDB oracle over the same deterministic data.
+
+Texts are the public TPC-DS specification's queries (the reference
+carries the same texts: TPCDSBenchmarkQueries.scala:104 q3, :391 q7,
+:705 q12, :999 q15, :1125 q19, :1149 q20, :1487 q26, :2094 q42, :2115
+q43, :2521 q51, :2565 q52, :2668 q55, :3205 q65, :3495 q68, :4386 q87,
+:4682 q96, :4697 q97, :4721 q98; dispatch TPCDSBenchmark.scala:89-110),
+re-expressed here — not copied — with four documented, shape-preserving
+adaptations:
+
+1. **Literals retargeted to the generated data's value domains** (e.g.
+   month-seq windows anchored at 1176 = 1998-01, store/city/category
+   names from the generator's vocabularies) so every predicate selects a
+   non-empty, SF-scaled subset.
+2. **Engine-exact aggregation**: money SUMs are DECIMAL-native (exact in
+   both engines) and cast to DOUBLE at output; AVG uses the repo's davg
+   form (decimal SUM / COUNT). Integer SUMs are cast to BIGINT (DuckDB
+   widens to HUGEINT otherwise). Same convention as every other
+   registered query (functions/numeric.py).
+3. **Total-order ORDER BY under LIMIT**: the spec's sort keys are kept
+   and extended with the remaining output columns so the LIMIT boundary
+   is deterministic across engines (the driver compares order-insensitive
+   row SETS, so ties at the cut would flap).
+4. **Date arithmetic constant-folded** (``DATE '1999-02-22' + 30 days``
+   → the literal end date) so one text parses in both dialects.
+
+Scale: every query here is the sql-path plan Catalyst builds from the
+text — star joins over parquet scans with AQE sizing the dim broadcasts,
+no hints, no collects. The same text would run unchanged against real
+dsdgen parquet at any SF.
+"""
+
+from __future__ import annotations
+
+from lhbench_spark.queries.registry import query
+from lhbench_spark.tpcds_data import compose_oracle, register_views
+
+# davg/dsum renderings shared by both engines (identical text).
+def _dsum(e: str) -> str:
+    return f"CAST(SUM({e}) AS DOUBLE)"
+
+
+def _davg(e: str) -> str:
+    return f"CAST(SUM(CAST({e} AS DECIMAL(18,8))) AS DOUBLE) / COUNT({e})"
+
+
+_TEXTS: dict[str, tuple[str, str]] = {}
+
+
+def _q(name: str, doc: str, text: str) -> None:
+    _TEXTS[name] = (text, doc)
+
+
+_q(
+    "tpcds_q03",
+    "TPC-DS q3: year×brand sales of one manufacturer's items in November "
+    "— the canonical 3-way star probe (date_dim × store_sales × item).",
+    f"""
+SELECT dt.d_year AS d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       {_dsum("ss_ext_sales_price")} AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id = 128
+  AND dt.d_moy = 11
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY d_year, sum_agg DESC, brand_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q07",
+    "TPC-DS q7: per-item average quantity/price/coupon for one customer "
+    "demographic under non-event promotions — 5-way star with two dim "
+    "filters.",
+    f"""
+SELECT i_item_id,
+       {_davg("ss_quantity")} AS agg1,
+       {_davg("ss_list_price")} AS agg2,
+       {_davg("ss_coupon_amt")} AS agg3,
+       {_davg("ss_sales_price")} AS agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q12",
+    "TPC-DS q12: 30-day web revenue by item with ratio-to-report over "
+    "the item class (SUM(SUM()) OVER window on an aggregated child).",
+    f"""
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       {_dsum("ws_ext_sales_price")} AS itemrevenue,
+       {_dsum("ws_ext_sales_price")} * 100 /
+         CAST(SUM(SUM(ws_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio,
+         i_current_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q15",
+    "TPC-DS q15: catalog sales by customer zip for Q2/2001, zip/state/"
+    "price disjunctive filter through customer→address.",
+    f"""
+SELECT ca_zip, {_dsum("cs_sales_price")} AS sum_sales
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('10000', '10037', '10074', '10111', '10148')
+       OR ca_state IN ('CA', 'WA', 'GA')
+       OR cs_sales_price > 180)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q19",
+    "TPC-DS q19: brand revenue for November/1998 from customers shopping "
+    "outside their home zip — 6-way star with a cross-dimension residual "
+    "predicate (customer zip <> store zip).",
+    f"""
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       i_manufact_id, i_manufact,
+       {_dsum("ss_ext_sales_price")} AS ext_price
+FROM date_dim, store_sales, item, customer, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, brand_id, i_manufact_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q20",
+    "TPC-DS q20: q12's ratio-to-report shape over catalog_sales.",
+    f"""
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       {_dsum("cs_ext_sales_price")} AS itemrevenue,
+       {_dsum("cs_ext_sales_price")} * 100 /
+         CAST(SUM(SUM(cs_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio,
+         i_current_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q26",
+    "TPC-DS q26: q7's demographic-average shape over catalog_sales "
+    "(bill-side demographics).",
+    f"""
+SELECT i_item_id,
+       {_davg("cs_quantity")} AS agg1,
+       {_davg("cs_list_price")} AS agg2,
+       {_davg("cs_coupon_amt")} AS agg3,
+       {_davg("cs_sales_price")} AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'F' AND cd_marital_status = 'W'
+  AND cd_education_status = 'Primary'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q42",
+    "TPC-DS q42: category revenue for one manager's items in Nov/2000.",
+    f"""
+SELECT dt.d_year AS d_year, item.i_category_id AS i_category_id,
+       item.i_category AS i_category,
+       {_dsum("ss_ext_sales_price")} AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_category_id, item.i_category
+ORDER BY sum_agg DESC, d_year, i_category_id, i_category
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q43",
+    "TPC-DS q43: per-store day-of-week sales pivot (conditional SUMs on "
+    "d_day_name) for one GMT offset and year.",
+    "SELECT s_store_name, s_store_id,\n"
+    + ",\n".join(
+        "       "
+        + _dsum("CASE WHEN d_day_name = '%s' THEN ss_sales_price ELSE NULL END" % day)
+        + " AS %s_sales" % day[:3].lower()
+        for day in [
+            "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday",
+        ]
+    )
+    + """
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5 AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q51",
+    "TPC-DS q51: cumulative web-vs-store revenue per item/day — two "
+    "windowed CTEs FULL OUTER JOINed, running max over the cumulative "
+    "sums, filter where web overtakes store.",
+    """
+WITH web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         CAST(SUM(SUM(ws_sales_price))
+              OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1188 AND 1199
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date
+), store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1188 AND 1199
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date
+)
+SELECT item_sk, d_date, web_sales, store_sales,
+       web_cumulative, store_cumulative
+FROM (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         MAX(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         MAX(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM (
+    SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                ELSE store.item_sk END AS item_sk,
+           CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                ELSE store.d_date END AS d_date,
+           web.cume_sales AS web_sales,
+           store.cume_sales AS store_sales
+    FROM web_v1 web FULL OUTER JOIN store_v1 store
+      ON web.item_sk = store.item_sk AND web.d_date = store.d_date
+  ) x
+) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q52",
+    "TPC-DS q52: q42's probe grouped by brand instead of category.",
+    f"""
+SELECT dt.d_year AS d_year, item.i_brand_id AS brand_id,
+       item.i_brand AS brand,
+       {_dsum("ss_ext_sales_price")} AS ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11 AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+ORDER BY d_year, ext_price DESC, brand_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q55",
+    "TPC-DS q55: brand revenue for one manager, Nov/1999.",
+    f"""
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       {_dsum("ss_ext_sales_price")} AS ext_price
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+  AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+GROUP BY i_brand_id, i_brand
+ORDER BY ext_price DESC, brand_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q65",
+    "TPC-DS q65: per-store items whose 12-month revenue is <= 10% of the "
+    "store's average item revenue — correlated-aggregate-via-join shape "
+    "(two scans of the same windowed aggregate).",
+    """
+SELECT s_store_name, i_item_desc, CAST(sc.revenue AS DOUBLE) AS revenue,
+       i_current_price, i_wholesale_cost, i_brand
+FROM store, item,
+     (SELECT ss_store_sk,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(revenue) AS ave
+      FROM (SELECT ss_store_sk, ss_item_sk,
+                   SUM(ss_sales_price) AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_month_seq BETWEEN 1176 AND 1187
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk,
+             SUM(ss_sales_price) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1176 AND 1187
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND CAST(sc.revenue AS DOUBLE) <= 0.1 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc, revenue, i_current_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q68",
+    "TPC-DS q68: per-ticket spends for first-two-days-of-month shoppers "
+    "in two cities, keeping customers whose home city differs from the "
+    "bought city — aggregate subquery joined back through customer.",
+    f"""
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         {_dsum("ss_ext_sales_price")} AS extended_price,
+         {_dsum("ss_ext_list_price")} AS list_price,
+         {_dsum("ss_ext_tax")} AS extended_tax
+  FROM store_sales, date_dim, store, household_demographics, customer_address
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND ss_addr_sk = ca_address_sk
+    AND d_dom BETWEEN 1 AND 2
+    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+    AND d_year IN (1998, 1999, 2000)
+    AND s_city IN ('Midway', 'Fairview')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+) dn, customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number, c_first_name, ca_city, bought_city,
+         extended_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q87",
+    "TPC-DS q87: customers×dates in store sales but in neither catalog "
+    "nor web — double EXCEPT chain over three DISTINCT projections.",
+    """
+SELECT COUNT(*) AS num_cool
+FROM (
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1176 AND 1187)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1176 AND 1187)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1176 AND 1187)
+) cool_cust""",
+)
+
+_q(
+    "tpcds_q96",
+    "TPC-DS q96: count of half-past-eight-PM sales for one dependent "
+    "count at one store — pure selective star COUNT.",
+    """
+SELECT COUNT(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20 AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'Store 1'""",
+)
+
+_q(
+    "tpcds_q97",
+    "TPC-DS q97: store/catalog purchase-overlap matrix — two DISTINCT "
+    "(customer, item) CTEs FULL OUTER JOINed, three conditional counts.",
+    """
+WITH ssci AS (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1176 AND 1187
+  GROUP BY ss_customer_sk, ss_item_sk
+), csci AS (
+  SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1176 AND 1187
+  GROUP BY cs_bill_customer_sk, cs_item_sk
+)
+SELECT CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS catalog_only,
+       CAST(SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                      AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+  ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk""",
+)
+
+_q(
+    "tpcds_q98",
+    "TPC-DS q98: q12's ratio-to-report shape over store_sales (no "
+    "LIMIT in the spec text — full grouped output).",
+    f"""
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       {_dsum("ss_ext_sales_price")} AS itemrevenue,
+       {_dsum("ss_ext_sales_price")} * 100 /
+         CAST(SUM(SUM(ss_ext_sales_price)) OVER (PARTITION BY i_class) AS DOUBLE)
+         AS revenueratio
+FROM store_sales, item, date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price""",
+)
+
+
+def _make_spark_fn(text: str):
+    def fn(spark, sf_dir, _t=text):
+        register_views(spark, sf_dir)
+        return spark.sql(_t)
+
+    return fn
+
+
+for _name, (_text, _doc) in _TEXTS.items():
+    _fn = _make_spark_fn(_text)
+    _fn.__doc__ = _doc
+    _fn.__name__ = _name
+    query(_name, oracle=compose_oracle(_text), tags=("tpcds", "sqlpath"))(_fn)
+
+
+def query_text(name: str) -> str:
+    """The raw SQL text of a registered tpcds_* query (for plan dumps)."""
+    return _TEXTS[name][0]

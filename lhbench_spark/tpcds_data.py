@@ -1,0 +1,412 @@
+"""Deterministic dual-dialect TPC-DS data generator.
+
+The reference's primary workload is the TPC-DS query set over dsdgen
+output (TPCDSDataLoad.scala:91-129 load; TPCDSBenchmarkQueries.scala
+query bank). The driver's testdata is TPC-H-shaped, so to make the real
+TPC-DS query texts EXECUTABLE — on Spark and on the DuckDB oracle, over
+identical data — this module generates the 12 tables those queries touch
+from a single column-expression spec rendered into BOTH dialects:
+
+- Spark: ``spark.range(n).selectExpr(...)`` per table, written once per
+  (process, sf_dir) to parquet and registered as temp views — queries
+  then scan parquet like any other fact table (pushdown, pruning, AQE).
+- DuckDB: the same expressions as CTEs over ``range(n)`` / the ``orders``
+  view, prepended to the oracle query text (``compose_oracle``) — the
+  oracle never depends on Spark-side writes.
+
+Determinism rules that make the two renders value-identical:
+- Row identity is ``id`` (0-based). Dimensions use a constant row count;
+  facts scale with SF by deriving ``n = COUNT(orders)`` (Spark: one
+  count job + ``spark.range(n)``; DuckDB: ``row_number() OVER (ORDER BY
+  o_orderkey) - 1`` — constant-free, so one oracle string serves every
+  SF).
+- Integer arithmetic only (multiplier mixing ``(id*p) % m``), except one
+  explicit ``CAST(… AS DOUBLE)/100`` per money column: bare decimal
+  literals like ``/100.0`` trigger DECIMAL-typed arithmetic whose
+  precision propagation differs between engines, while integer-cents →
+  one double division → ``DECIMAL(12,2)`` cast is bit-identical in both.
+- The only dialect-split expression is date arithmetic
+  (``date_add(d, n)`` vs ``d + n``), handled by the ``@`` spec entries.
+
+This is generation of synthetic TEST data, mirroring the technique the
+reference's own micro-benchmarks use to synthesize inputs
+(MergeMicroBenchmark.scala:225-229: spark.range + column expressions);
+100 TB scale concerns apply to the registered queries, not to this
+harness-side generator. Columns are the subset the registered
+``tpcds_q*`` queries read (types conforming to the full TPCDS_TABLES
+spec in tpcds.py); extending a table is one line per column.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Spec helpers: every expression is a portable SQL string over `id`, or a
+# ("@date", "<int expr>") pair for the one dialect-split operation.
+
+
+def _mix(mult: int, mod: int, off: int = 1) -> str:
+    """1 + (id*mult) % mod — a decorrelated deterministic column mixer."""
+    return f"({off} + (id*{mult}) % {mod})"
+
+
+def _cents(cents_expr: str) -> str:
+    """Money column: integer cents → one double division → DECIMAL(12,2).
+    Exact and engine-identical (see module docstring)."""
+    return f"CAST(CAST({cents_expr} AS DOUBLE)/100 AS DECIMAL(12,2))"
+
+
+def _int(e: str) -> str:
+    return f"CAST({e} AS INT)"
+
+
+def _nullable(e: str, null_every: int, mult: int = 7) -> str:
+    """NULL one row in ~null_every (deterministic), else e."""
+    return f"CASE WHEN (id*{mult}) % {null_every} = 0 THEN NULL ELSE {e} END"
+
+
+def _case(selector: str, values: list[str]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
+    )
+    return f"CASE {selector} {arms} END"
+
+
+_D0 = "DATE '1998-01-01'"
+
+
+def _render(expr, dialect: str) -> str:
+    if isinstance(expr, tuple) and expr[0] == "@date":
+        inner = f"CAST({expr[1]} AS INT)"
+        if dialect == "spark":
+            return f"date_add({_D0}, {inner})"
+        return f"({_D0} + {inner})"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Table specs. Dimension sizes are SF-constant (like TPC-DS's static dims);
+# the three fact tables have n = COUNT(orders) rows each.
+
+_N_DAYS = 1826  # 1998-01-01 .. 2002-12-31
+_N_ITEM = 2000
+_N_STORE = 12
+_N_CUST = 10_000
+_N_ADDR = 5_000
+_N_CDEMO = 7_200
+_N_HDEMO = 720
+_N_PROMO = 300
+_N_TIME = 86_400
+
+_CATEGORIES = [
+    "Books", "Home", "Electronics", "Jewelry", "Sports",
+    "Women", "Men", "Children", "Music", "Shoes",
+]
+_DAY_NAMES = [
+    "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+    "Saturday",
+]
+_EDU = [
+    "Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+    "Advanced Degree", "Unknown",
+]
+_MARITAL = ["M", "S", "D", "W", "U"]
+_CREDIT = ["Low Risk", "Good", "High Risk", "Unknown"]
+_BUY_POTENTIAL = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500", "Unknown"]
+_CITIES = [
+    "Midway", "Fairview", "Oakland", "Salem", "Georgetown", "Ashland",
+    "Marion", "Riverside",
+]
+_STATES = ["TN", "SC", "CA", "WA", "TX", "GA", "OH", "NY", "VA"]
+
+# 1998-01-01 is a Thursday; dow 0 = Sunday.
+_DOW = "((id + 4) % 7)"
+_DDATE = ("@date", "id")
+_YEAR_S = f"year(date_add({_D0}, CAST(id AS INT)))"
+_YEAR_D = f"year({_D0} + CAST(id AS INT))"
+
+
+def _date_dim(dialect):
+    yr = _YEAR_S if dialect == "spark" else _YEAR_D
+    mo = yr.replace("year(", "month(", 1)
+    dom = yr.replace("year(", "day(", 1)
+    qoy = yr.replace("year(", "quarter(", 1)
+    return [
+        ("d_date_sk", _int("2450815 + id")),
+        ("d_date", _DDATE),
+        ("d_year", _int(yr)),
+        ("d_moy", _int(mo)),
+        ("d_dom", _int(dom)),
+        ("d_qoy", _int(qoy)),
+        ("d_dow", _int(_DOW)),
+        ("d_day_name", _case(_DOW, _DAY_NAMES)),
+        ("d_month_seq", _int(f"1176 + ({yr} - 1998)*12 + {mo} - 1")),
+        ("d_week_seq", _int("5270 + CAST(FLOOR((id + 4)/7) AS INT)")),
+        ("d_quarter_name", f"CAST({yr} AS STRING) || 'Q' || CAST({qoy} AS STRING)"),
+    ]
+
+
+_QTY = _mix(17, 100)  # 1..100
+_WHOLESALE_C = f"(100 + (id*23) % 9900)"  # cents 1.00..99.99
+_LIST_C = f"(200 + (id*29) % 19800)"  # 2.00..199.99
+_SALES_C = f"(100 + (id*31) % 19900)"  # 1.00..199.99
+_COUPON_C = f"(CASE WHEN (id*67) % 10 = 0 THEN (id*71) % 5000 ELSE 0 END)"
+_TAX_C = f"(((({_SALES_C}) * ({_QTY})) * 8) / 100)"  # 8% of ext sales, int cents
+_DISC_C = f"(CASE WHEN (id*73) % 5 = 0 THEN ((({_LIST_C}) - ({_SALES_C})) * ({_QTY})) ELSE 0 END)"
+
+
+def _sales_money(prefix: str) -> list[tuple[str, str]]:
+    """Shared money columns for the three fact tables (integer-cents
+    composition keeps every derived column exactly 2-decimal)."""
+    ext_sales = f"(({_SALES_C}) * ({_QTY}))"
+    ext_list = f"(({_LIST_C}) * ({_QTY}))"
+    ext_wholesale = f"(({_WHOLESALE_C}) * ({_QTY}))"
+    net_paid = f"({ext_sales} - ({_COUPON_C}))"
+    net_profit = f"({net_paid} - {ext_wholesale})"
+    p = prefix
+    return [
+        (f"{p}_quantity", _int(_QTY)),
+        (f"{p}_wholesale_cost", _cents(_WHOLESALE_C)),
+        (f"{p}_list_price", _cents(_LIST_C)),
+        (f"{p}_sales_price", _cents(_SALES_C)),
+        (f"{p}_ext_discount_amt", _cents(_DISC_C)),
+        (f"{p}_ext_sales_price", _cents(ext_sales)),
+        (f"{p}_ext_wholesale_cost", _cents(ext_wholesale)),
+        (f"{p}_ext_list_price", _cents(ext_list)),
+        (f"{p}_ext_tax", _cents(_TAX_C)),
+        (f"{p}_coupon_amt", _cents(_COUPON_C)),
+        (f"{p}_net_paid", _cents(net_paid)),
+        (f"{p}_net_profit", _cents(net_profit)),
+    ]
+
+
+def _specs(dialect: str) -> dict[str, tuple[int | None, list]]:
+    """{table: (n_rows or None for fact-sized, [(col, expr), ...])}"""
+    return {
+        "date_dim": (_N_DAYS, _date_dim(dialect)),
+        "time_dim": (
+            _N_TIME,
+            [
+                ("t_time_sk", _int("id")),
+                ("t_time", _int("id")),
+                ("t_hour", _int("FLOOR(id/3600)")),
+                ("t_minute", _int("FLOOR(id/60) % 60")),
+                ("t_second", _int("id % 60")),
+            ],
+        ),
+        "item": (
+            _N_ITEM,
+            [
+                ("i_item_sk", _int("1 + id")),
+                # item_id is NOT unique (SCD: ~2 sks per id), like TPC-DS
+                ("i_item_id", f"'ITEM' || lpad(CAST({_mix(1, 1000)} AS STRING), 8, '0')"),
+                ("i_item_desc", f"'Description ' || CAST(id % 997 AS STRING)"),
+                ("i_current_price", _cents("(1 + (id*19) % 9900)")),
+                ("i_wholesale_cost", _cents("(1 + (id*23) % 6600)")),
+                ("i_brand_id", _int(_mix(7, 500))),
+                ("i_brand", f"'Brand#' || CAST({_mix(7, 500)} AS STRING)"),
+                ("i_class_id", _int(_mix(3, 50))),
+                ("i_class", f"'class' || CAST({_mix(3, 50)} AS STRING)"),
+                ("i_category_id", _int(_mix(1, 10))),
+                ("i_category", _case(f"(id % 10)", _CATEGORIES)),
+                ("i_manufact_id", _int(_mix(11, 1000))),
+                ("i_manufact", f"'Mfg#' || CAST({_mix(11, 1000)} AS STRING)"),
+                ("i_manager_id", _int(_mix(13, 100))),
+                ("i_product_name", "'Product ' || CAST(1 + id AS STRING)"),
+            ],
+        ),
+        "store": (
+            _N_STORE,
+            [
+                ("s_store_sk", _int("1 + id")),
+                ("s_store_id", "'STORE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("s_store_name", "'Store ' || CAST(1 + id AS STRING)"),
+                ("s_number_employees", _int("200 + id*7")),
+                ("s_floor_space", _int("5000000 + id*250000")),
+                ("s_city", _case("(id % 4)", _CITIES[:4])),
+                ("s_county", _case("(id % 3)", ["Williamson County", "Ziebach County", "Walker County"])),
+                ("s_state", _case("(id % 5)", _STATES[:5])),
+                ("s_zip", "CAST(35000 + id*137 AS STRING)"),
+                ("s_gmt_offset", "CAST(CASE WHEN id % 2 = 0 THEN -5 ELSE -6 END AS DECIMAL(5,2))"),
+            ],
+        ),
+        "customer": (
+            _N_CUST,
+            [
+                ("c_customer_sk", _int("1 + id")),
+                ("c_customer_id", "'CUST' || lpad(CAST(1 + id AS STRING), 10, '0')"),
+                ("c_first_name", f"'First' || CAST({_mix(3, 500)} AS STRING)"),
+                ("c_last_name", f"'Last' || CAST({_mix(7, 750)} AS STRING)"),
+                ("c_preferred_cust_flag", "CASE WHEN (id*11) % 3 = 0 THEN 'N' ELSE 'Y' END"),
+                ("c_current_addr_sk", _int(_mix(23, _N_ADDR))),
+                ("c_current_cdemo_sk", _int(_mix(29, _N_CDEMO))),
+                ("c_current_hdemo_sk", _int(_mix(31, _N_HDEMO))),
+                ("c_birth_country", _case("((id*13) % 6)", ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN", "BRAZIL"])),
+            ],
+        ),
+        "customer_address": (
+            _N_ADDR,
+            [
+                ("ca_address_sk", _int("1 + id")),
+                ("ca_city", _case("((id*7) % 8)", _CITIES)),
+                ("ca_county", f"'County ' || CAST({_mix(3, 30)} AS STRING)"),
+                ("ca_state", _case("((id*11) % 9)", _STATES)),
+                ("ca_zip", "CAST(10000 + (id*37) % 90000 AS STRING)"),
+                ("ca_country", "'United States'"),
+                ("ca_gmt_offset", "CAST(-5 - (id % 4) AS DECIMAL(5,2))"),
+            ],
+        ),
+        "customer_demographics": (
+            _N_CDEMO,
+            [
+                ("cd_demo_sk", _int("1 + id")),
+                ("cd_gender", "CASE WHEN id % 2 = 0 THEN 'M' ELSE 'F' END"),
+                ("cd_marital_status", _case("CAST(FLOOR(id/2) AS INT) % 5", _MARITAL)),
+                ("cd_education_status", _case("CAST(FLOOR(id/10) AS INT) % 7", _EDU)),
+                ("cd_purchase_estimate", _int(f"500 * {_mix(7, 20)}")),
+                ("cd_credit_rating", _case("((id*11) % 4)", _CREDIT)),
+                ("cd_dep_count", _int("(id*13) % 7")),
+                ("cd_dep_employed_count", _int("(id*17) % 7")),
+                ("cd_dep_college_count", _int("(id*19) % 7")),
+            ],
+        ),
+        "household_demographics": (
+            _N_HDEMO,
+            [
+                ("hd_demo_sk", _int("1 + id")),
+                ("hd_income_band_sk", _int(_mix(1, 20))),
+                ("hd_buy_potential", _case("((id*7) % 6)", _BUY_POTENTIAL)),
+                ("hd_dep_count", _int("id % 10")),
+                ("hd_vehicle_count", _int("(id*3) % 5")),
+            ],
+        ),
+        "promotion": (
+            _N_PROMO,
+            [
+                ("p_promo_sk", _int("1 + id")),
+                ("p_promo_id", "'PROMO' || lpad(CAST(1 + id AS STRING), 6, '0')"),
+                ("p_channel_dmail", "CASE WHEN id % 2 = 0 THEN 'Y' ELSE 'N' END"),
+                ("p_channel_email", "CASE WHEN CAST(FLOOR(id/2) AS INT) % 2 = 0 THEN 'Y' ELSE 'N' END"),
+                ("p_channel_tv", "CASE WHEN CAST(FLOOR(id/4) AS INT) % 2 = 0 THEN 'Y' ELSE 'N' END"),
+                ("p_channel_event", "CASE WHEN CAST(FLOOR(id/8) AS INT) % 2 = 0 THEN 'Y' ELSE 'N' END"),
+            ],
+        ),
+        "store_sales": (
+            None,
+            [
+                ("ss_sold_date_sk", _nullable(_int(f"2450815 + (id*131) % {_N_DAYS}"), 97)),
+                ("ss_sold_time_sk", _int("(id*7919) % 86400")),
+                ("ss_item_sk", _int(_mix(37, _N_ITEM))),
+                ("ss_customer_sk", _nullable(_int(_mix(41, _N_CUST)), 89, mult=11)),
+                ("ss_cdemo_sk", _int(_mix(43, _N_CDEMO))),
+                ("ss_hdemo_sk", _int(_mix(47, _N_HDEMO))),
+                ("ss_addr_sk", _int(_mix(53, _N_ADDR))),
+                ("ss_store_sk", _nullable(_int(_mix(59, _N_STORE)), 101, mult=13)),
+                ("ss_promo_sk", _int(_mix(61, _N_PROMO))),
+                ("ss_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
+            ]
+            + _sales_money("ss"),
+        ),
+        "web_sales": (
+            None,
+            [
+                ("ws_sold_date_sk", _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89)),
+                ("ws_sold_time_sk", _int("(id*7877) % 86400")),
+                ("ws_item_sk", _int(_mix(149, _N_ITEM))),
+                ("ws_bill_customer_sk", _nullable(_int(_mix(151, _N_CUST)), 83, mult=11)),
+                ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
+                ("ws_promo_sk", _int(_mix(163, _N_PROMO))),
+                ("ws_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
+            ]
+            + _sales_money("ws"),
+        ),
+        "catalog_sales": (
+            None,
+            [
+                ("cs_sold_date_sk", _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93)),
+                ("cs_sold_time_sk", _int("(id*7873) % 86400")),
+                ("cs_item_sk", _int(_mix(167, _N_ITEM))),
+                ("cs_bill_customer_sk", _nullable(_int(_mix(173, _N_CUST)), 87, mult=11)),
+                ("cs_bill_cdemo_sk", _int(_mix(179, _N_CDEMO))),
+                ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
+                ("cs_promo_sk", _int(_mix(191, _N_PROMO))),
+                ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
+            ]
+            + _sales_money("cs"),
+        ),
+    }
+
+
+TPCDS_GEN_TABLES = tuple(_specs("spark").keys())
+
+
+# ---------------------------------------------------------------------------
+# Spark side: generate → parquet (once per process+sf_dir) → temp views.
+
+_MATERIALIZED: dict[str, str] = {}
+
+
+def _fact_rows(spark: SparkSession, sf_dir: str) -> int:
+    from lhbench_spark.catalog import table
+
+    return table(spark, sf_dir, "orders").count()
+
+
+def generate_frame(spark: SparkSession, name: str, n_fact: int) -> DataFrame:
+    n, cols = _specs("spark")[name]
+    exprs = [f"{_render(e, 'spark')} AS {c}" for c, e in cols]
+    return spark.range(n if n is not None else n_fact).selectExpr(*exprs)
+
+
+def materialize(spark: SparkSession, sf_dir: str) -> str:
+    """Write all generated tables as parquet once per (process, sf_dir);
+    returns the directory. Facts get a handful of files so scans
+    parallelize; dims one file each."""
+    key = os.path.abspath(sf_dir)
+    if key in _MATERIALIZED:
+        return _MATERIALIZED[key]
+    out = tempfile.mkdtemp(prefix="lhbench_tpcds_")
+    n_fact = _fact_rows(spark, sf_dir)
+    for name in TPCDS_GEN_TABLES:
+        df = generate_frame(spark, name, n_fact)
+        n, _ = _specs("spark")[name]
+        files = 1 if n is not None else max(4, min(32, n_fact // 50_000 + 1))
+        df.repartition(files).write.mode("overwrite").parquet(f"{out}/{name}")
+    _MATERIALIZED[key] = out
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for every generated table (parquet-backed scans)."""
+    out = materialize(spark, sf_dir)
+    for name in TPCDS_GEN_TABLES:
+        spark.read.parquet(f"{out}/{name}").createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB side: the same tables as CTEs prepended to a query text.
+
+
+def gen_ctes() -> str:
+    """CTE definitions for all generated tables (DuckDB dialect).
+    Fact row count derives from the ``orders`` view, so one string is
+    correct at every SF."""
+    parts = ["_fact_ids AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS id FROM orders)"]
+    for name, (n, cols) in _specs("duckdb").items():
+        sel = ", ".join(f"{_render(e, 'duckdb')} AS {c}" for c, e in cols)
+        src = f"range({n}) t(id)" if n is not None else "_fact_ids"
+        parts.append(f"{name} AS (SELECT {sel} FROM {src})")
+    return ",\n".join(parts)
+
+
+def compose_oracle(query_text: str) -> str:
+    """Prepend the generation CTEs to a (possibly WITH-prefixed) query."""
+    stripped = query_text.lstrip()
+    if stripped.upper().startswith("WITH"):
+        body = stripped[4:].lstrip()
+        return f"WITH {gen_ctes()},\n{body}"
+    return f"WITH {gen_ctes()}\n{stripped}"

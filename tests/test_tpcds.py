@@ -1,0 +1,97 @@
+"""TPC-DS surface tests: generator dual-dialect parity, schema
+conformance to the TPCDS_TABLES spec bank, and plan quality of the
+sql-path star joins.
+
+(The tpcds_q* query-vs-oracle checks run through the registry-driven
+test_oracle_queries sweep at both SFs, like every other query.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lhbench_spark import tpcds_data as td
+from lhbench_spark.tpcds import TPCDS_TABLES, struct_type
+from tests.compare import compare
+from tests.conftest import SMOKE_SF
+
+
+@pytest.mark.parametrize("name", sorted(td.TPCDS_GEN_TABLES))
+def test_generated_table_matches_duckdb_render(spark, oracle, name):
+    """Every generated table must be row-identical between the Spark
+    render (range+selectExpr) and the DuckDB render (CTE over range /
+    orders row_numbers) — table-level parity makes any query-level
+    mismatch attributable to the query text, not the data."""
+    con = oracle(SMOKE_SF)
+    n_fact = td._fact_rows(spark, SMOKE_SF)
+    sdf = td.generate_frame(spark, name, n_fact)
+    rel = con.sql(td.compose_oracle(f"SELECT * FROM {name}"))
+    ok, msg = compare(sdf, rel)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(td.TPCDS_GEN_TABLES))
+def test_generated_schema_conforms_to_spec(spark, name):
+    """Generated columns must be a subset of the full TPCDS_TABLES DDL
+    (tpcds.py, mirroring TPCDSDataLoad.scala:163-702) with compatible
+    types — same family: any int width for int, any precision for
+    decimal, string for char/varchar."""
+    assert name in TPCDS_TABLES, name
+    spec_fields = {f.name: f.dataType.simpleString() for f in struct_type(name).fields}
+    gen = td.generate_frame(spark, name, 10)
+    for f in gen.schema.fields:
+        assert f.name in spec_fields, f"{name}.{f.name} not in TPC-DS spec"
+        spec_t = spec_fields[f.name]
+        got = f.dataType.simpleString()
+        if spec_t.startswith("decimal"):
+            assert got.startswith("decimal"), (f.name, got, spec_t)
+        elif spec_t in ("int", "bigint", "smallint"):
+            assert got in ("int", "bigint", "smallint"), (f.name, got, spec_t)
+        else:
+            assert got == spec_t, (f.name, got, spec_t)
+
+
+def test_fact_rows_scale_with_sf(spark):
+    """Fact tables derive their row count from orders, so the generated
+    volume scales with the driver's SF instead of being fixed."""
+    n = td._fact_rows(spark, SMOKE_SF)
+    assert n > 0
+    df = td.generate_frame(spark, "store_sales", n)
+    assert df.count() == n
+
+
+def test_materialize_is_cached_per_sf(spark):
+    """materialize() writes once per (process, sf_dir) and reuses the
+    directory afterwards — queries share one parquet copy."""
+    d1 = td.materialize(spark, SMOKE_SF)
+    d2 = td.materialize(spark, SMOKE_SF)
+    assert d1 == d2
+
+
+def test_star_join_plan_broadcasts_dims(spark):
+    """tpcds_q03's physical plan: the date_dim/item sides must broadcast
+    (AQE/size-based — no hints in the text), and the filters must reach
+    the parquet scans as PushedFilters."""
+    from lhbench_spark.queries import all_queries
+
+    df = all_queries()["tpcds_q03"].spark_fn(spark, SMOKE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters" in plan and "i_manufact_id" in plan, plan
+
+
+def test_query_text_identical_both_engines(spark):
+    """The oracle is the SAME text with generation CTEs prepended — no
+    per-dialect query rewriting (the adaptation surface is confined to
+    the generator's two dialect renders)."""
+    from lhbench_spark.queries import all_queries
+    from lhbench_spark.queries.tpcds_queries import query_text
+
+    for name, qd in all_queries().items():
+        if not name.startswith("tpcds_"):
+            continue
+        text = query_text(name).strip()
+        if text.upper().startswith("WITH"):
+            # compose_oracle merges the query's WITH into the gen CTEs
+            text = text[4:].lstrip()
+        assert text in qd.oracle, name
