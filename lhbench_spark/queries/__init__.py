@@ -21,6 +21,7 @@ from lhbench_spark.queries import (  # noqa: F401
     multimodal,
     streamq,
     tpcds_queries,
+    tpcds_refresh,
 )
 
 __all__ = ["QueryDef", "all_queries", "get_query"]

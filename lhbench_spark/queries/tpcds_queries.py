@@ -479,6 +479,182 @@ GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price""",
 )
 
 
+_q(
+    "tpcds_q21",
+    "TPC-DS q21: warehouse inventory before/after a recall date with a "
+    "HAVING ratio band — conditional SUMs over a date window "
+    "(reference TPCDSBenchmarkQueries.scala:1178).",
+    """
+SELECT w_warehouse_name, i_item_id,
+       CAST(SUM(CASE WHEN d_date < DATE '2000-07-01'
+                     THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+         AS inv_before,
+       CAST(SUM(CASE WHEN d_date >= DATE '2000-07-01'
+                     THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT)
+         AS inv_after
+FROM inventory, warehouse, item, date_dim
+WHERE i_current_price BETWEEN 10 AND 60
+  AND i_item_sk = inv_item_sk
+  AND inv_warehouse_sk = w_warehouse_sk
+  AND inv_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-01-01' AND DATE '2000-12-31'
+GROUP BY w_warehouse_name, i_item_id
+HAVING (CASE WHEN SUM(CASE WHEN d_date < DATE '2000-07-01'
+                           THEN inv_quantity_on_hand ELSE 0 END) > 0
+             THEN CAST(SUM(CASE WHEN d_date >= DATE '2000-07-01'
+                                THEN inv_quantity_on_hand ELSE 0 END) AS DOUBLE)
+                  / SUM(CASE WHEN d_date < DATE '2000-07-01'
+                             THEN inv_quantity_on_hand ELSE 0 END)
+             ELSE NULL END) BETWEEN CAST(2 AS DOUBLE)/3 AND CAST(3 AS DOUBLE)/2
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q37",
+    "TPC-DS q37: catalog items in a price/manufacturer band with "
+    "in-stock inventory over a 60-day window "
+    "(reference TPCDSBenchmarkQueries.scala:1925).",
+    """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 10 AND 80
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-05-01'
+  AND i_manufact_id IN (800, 801, 802, 803, 804, 805, 806, 807, 808, 809)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id, i_item_desc, i_current_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q73",
+    "TPC-DS q73: customers with 1-5 store tickets on month-start days, "
+    "buy-potential household filter with a dep/vehicle ratio predicate "
+    "(reference TPCDSBenchmarkQueries.scala:3686).",
+    """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND date_dim.d_dom BETWEEN 1 AND 2
+    AND (household_demographics.hd_buy_potential = '>10000'
+         OR household_demographics.hd_buy_potential = 'Unknown')
+    AND household_demographics.hd_vehicle_count > 0
+    AND CASE WHEN household_demographics.hd_vehicle_count > 0
+             THEN household_demographics.hd_dep_count
+                  / household_demographics.hd_vehicle_count
+             ELSE NULL END > 1
+    AND date_dim.d_year IN (1998, 1999, 2000)
+    AND store.s_county IN ('Williamson County', 'Ziebach County')
+  GROUP BY ss_ticket_number, ss_customer_sk
+) dj, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name ASC, ss_ticket_number, c_first_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q82",
+    "TPC-DS q82: q37's in-stock-items shape over store_sales "
+    "(reference TPCDSBenchmarkQueries.scala:4176).",
+    """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 10 AND 80
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-08-24'
+  AND i_manufact_id IN (400, 401, 402, 403, 404, 405, 406, 407, 408, 409)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id, i_item_desc, i_current_price
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q84",
+    "TPC-DS q84: customers in one city within an income band, reached "
+    "through returns demographics — 6-way dimension-only join "
+    "(reference TPCDSBenchmarkQueries.scala:4258).",
+    """
+SELECT c_customer_id AS customer_id,
+       COALESCE(c_last_name, '') || ', ' || COALESCE(c_first_name, '')
+         AS customername
+FROM customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'Oakland'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000
+  AND ib_upper_bound <= 80000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id, customername
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q90",
+    "TPC-DS q90: AM/PM ratio of web sales through time_dim, "
+    "household_demographics and web_page — two scalar-aggregate "
+    "subqueries crossed (reference TPCDSBenchmarkQueries.scala:4526).",
+    """
+SELECT CAST(amc AS DOUBLE) / NULLIF(pmc, 0) AS am_pm_ratio
+FROM (SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 9
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 4000 AND 6000) at_sub,
+     (SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 20
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 4000 AND 6000) pt_sub
+ORDER BY am_pm_ratio
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q93",
+    "TPC-DS q93: actual sales net of returns for one return reason — "
+    "fact-to-returns left join on (item, ticket) with a CASE measure "
+    "(reference TPCDSBenchmarkQueries.scala:4606).",
+    """
+SELECT ss_customer_sk,
+       CAST(SUM(act_sales) AS DOUBLE) AS sumsales
+FROM (
+  SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+         CASE WHEN sr_return_quantity IS NOT NULL
+              THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+              ELSE ss_quantity * ss_sales_price END AS act_sales
+  FROM store_sales
+  LEFT OUTER JOIN store_returns
+    ON sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number
+  JOIN reason ON sr_reason_sk = r_reason_sk
+  WHERE r_reason_desc = 'reason 28'
+) t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk NULLS FIRST
+LIMIT 100""",
+)
+
+
 def _make_spark_fn(text: str):
     def fn(spark, sf_dir, _t=text):
         register_views(spark, sf_dir)

@@ -101,6 +101,10 @@ _N_CDEMO = 7_200
 _N_HDEMO = 720
 _N_PROMO = 300
 _N_TIME = 86_400
+_N_WAREHOUSE = 5
+_N_WEBPAGE = 60
+_N_INCOME = 20
+_N_REASON = 35
 
 _CATEGORIES = [
     "Books", "Home", "Electronics", "Jewelry", "Sports",
@@ -184,8 +188,11 @@ def _sales_money(prefix: str) -> list[tuple[str, str]]:
     ]
 
 
-def _specs(dialect: str) -> dict[str, tuple[int | None, list]]:
-    """{table: (n_rows or None for fact-sized, [(col, expr), ...])}"""
+def _specs(dialect: str) -> dict[str, tuple]:
+    """{table: (n_rows | None for fact-sized, [(col, expr), ...]) or
+    (None, cols, where) — a fact-sized id stream filtered by ``where``
+    (store_returns: the returned subset of store_sales' id space, so
+    return rows join back to their sale by construction)."""
     return {
         "date_dim": (_N_DAYS, _date_dim(dialect)),
         "time_dim": (
@@ -239,6 +246,7 @@ def _specs(dialect: str) -> dict[str, tuple[int | None, list]]:
             [
                 ("c_customer_sk", _int("1 + id")),
                 ("c_customer_id", "'CUST' || lpad(CAST(1 + id AS STRING), 10, '0')"),
+                ("c_salutation", _case("(id % 6)", ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"])),
                 ("c_first_name", f"'First' || CAST({_mix(3, 500)} AS STRING)"),
                 ("c_last_name", f"'Last' || CAST({_mix(7, 750)} AS STRING)"),
                 ("c_preferred_cust_flag", "CASE WHEN (id*11) % 3 = 0 THEN 'N' ELSE 'Y' END"),
@@ -319,6 +327,8 @@ def _specs(dialect: str) -> dict[str, tuple[int | None, list]]:
                 ("ws_item_sk", _int(_mix(149, _N_ITEM))),
                 ("ws_bill_customer_sk", _nullable(_int(_mix(151, _N_CUST)), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
+                ("ws_ship_hdemo_sk", _int(_mix(193, _N_HDEMO))),
+                ("ws_web_page_sk", _int(_mix(197, _N_WEBPAGE))),
                 ("ws_promo_sk", _int(_mix(163, _N_PROMO))),
                 ("ws_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
             ]
@@ -337,6 +347,72 @@ def _specs(dialect: str) -> dict[str, tuple[int | None, list]]:
                 ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
             ]
             + _sales_money("cs"),
+        ),
+        "inventory": (
+            None,
+            [
+                # Snapshots span 1999-2000 only (dense enough that a
+                # (warehouse, item) group has rows on both sides of a
+                # recall date — q21's HAVING needs before>0 AND after>0)
+                ("inv_date_sk", _int("2450815 + 365 + (id*113) % 731")),
+                ("inv_item_sk", _int(_mix(211, _N_ITEM))),
+                ("inv_warehouse_sk", _int(_mix(1, _N_WAREHOUSE))),
+                ("inv_quantity_on_hand", _int("(id*7) % 1000")),
+            ],
+        ),
+        # The returned subset of store_sales' id space: every 13th sale,
+        # so sr_item_sk/sr_ticket_number reuse the sale's own formulas
+        # and return rows join back to their sale by construction.
+        "store_returns": (
+            None,
+            [
+                ("sr_returned_date_sk", _int(f"2450815 + ((id*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
+                ("sr_item_sk", _int(_mix(37, _N_ITEM))),
+                ("sr_customer_sk", _nullable(_int(_mix(41, _N_CUST)), 89, mult=11)),
+                ("sr_cdemo_sk", _int(_mix(43, _N_CDEMO))),
+                ("sr_reason_sk", _int(_mix(23, _N_REASON))),
+                ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
+                ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
+                ("sr_return_amt", _cents(f"(({_SALES_C}) * (1 + (id*5) % (1 + (id*17) % 100)))")),
+            ],
+            "id % 13 = 0",
+        ),
+        "warehouse": (
+            _N_WAREHOUSE,
+            [
+                ("w_warehouse_sk", _int("1 + id")),
+                ("w_warehouse_name", "'Warehouse ' || CAST(1 + id AS STRING)"),
+                ("w_warehouse_sq_ft", _int("100000 + id*50000")),
+                ("w_city", _case("(id % 4)", _CITIES[:4])),
+                ("w_state", _case("(id % 5)", _STATES[:5])),
+                ("w_country", "'United States'"),
+            ],
+        ),
+        "web_page": (
+            _N_WEBPAGE,
+            [
+                ("wp_web_page_sk", _int("1 + id")),
+                ("wp_web_page_id", "'PAGE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("wp_char_count", _int("2500 + (id*131) % 5000")),
+                ("wp_link_count", _int("2 + (id*3) % 25")),
+                ("wp_autogen_flag", "CASE WHEN id % 3 = 0 THEN 'Y' ELSE 'N' END"),
+            ],
+        ),
+        "income_band": (
+            _N_INCOME,
+            [
+                ("ib_income_band_sk", _int("1 + id")),
+                ("ib_lower_bound", _int("id * 10000")),
+                ("ib_upper_bound", _int("(id + 1) * 10000")),
+            ],
+        ),
+        "reason": (
+            _N_REASON,
+            [
+                ("r_reason_sk", _int("1 + id")),
+                ("r_reason_id", "'REASON' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("r_reason_desc", "'reason ' || CAST(1 + id AS STRING)"),
+            ],
         ),
     }
 
@@ -357,9 +433,14 @@ def _fact_rows(spark: SparkSession, sf_dir: str) -> int:
 
 
 def generate_frame(spark: SparkSession, name: str, n_fact: int) -> DataFrame:
-    n, cols = _specs("spark")[name]
+    spec = _specs("spark")[name]
+    n, cols = spec[0], spec[1]
+    where = spec[2] if len(spec) > 2 else None
+    df = spark.range(n if n is not None else n_fact)
+    if where:
+        df = df.where(where)
     exprs = [f"{_render(e, 'spark')} AS {c}" for c, e in cols]
-    return spark.range(n if n is not None else n_fact).selectExpr(*exprs)
+    return df.selectExpr(*exprs)
 
 
 def materialize(spark: SparkSession, sf_dir: str) -> str:
@@ -373,7 +454,7 @@ def materialize(spark: SparkSession, sf_dir: str) -> str:
     n_fact = _fact_rows(spark, sf_dir)
     for name in TPCDS_GEN_TABLES:
         df = generate_frame(spark, name, n_fact)
-        n, _ = _specs("spark")[name]
+        n = _specs("spark")[name][0]
         files = 1 if n is not None else max(4, min(32, n_fact // 50_000 + 1))
         df.repartition(files).write.mode("overwrite").parquet(f"{out}/{name}")
     _MATERIALIZED[key] = out
@@ -396,10 +477,12 @@ def gen_ctes() -> str:
     Fact row count derives from the ``orders`` view, so one string is
     correct at every SF."""
     parts = ["_fact_ids AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS id FROM orders)"]
-    for name, (n, cols) in _specs("duckdb").items():
+    for name, spec in _specs("duckdb").items():
+        n, cols = spec[0], spec[1]
+        where = f" WHERE {spec[2]}" if len(spec) > 2 else ""
         sel = ", ".join(f"{_render(e, 'duckdb')} AS {c}" for c, e in cols)
         src = f"range({n}) t(id)" if n is not None else "_fact_ids"
-        parts.append(f"{name} AS (SELECT {sel} FROM {src})")
+        parts.append(f"{name} AS (SELECT {sel} FROM {src}{where})")
     return ",\n".join(parts)
 
 

@@ -85,11 +85,10 @@ def test_query_text_identical_both_engines(spark):
     per-dialect query rewriting (the adaptation surface is confined to
     the generator's two dialect renders)."""
     from lhbench_spark.queries import all_queries
-    from lhbench_spark.queries.tpcds_queries import query_text
+    from lhbench_spark.queries.tpcds_queries import _TEXTS, query_text
 
-    for name, qd in all_queries().items():
-        if not name.startswith("tpcds_"):
-            continue
+    for name in _TEXTS:
+        qd = all_queries()[name]
         text = query_text(name).strip()
         if text.upper().startswith("WITH"):
             # compose_oracle merges the query's WITH into the gen CTEs

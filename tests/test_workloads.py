@@ -116,6 +116,22 @@ def test_refresh_runner(spark):
     }
 
 
+def test_refresh_tpcds_multifact_runner(spark):
+    """Multi-fact refresh breadth (refresh_tpcds.py): 2 rounds across
+    the three generated TPC-DS facts — every load/view/merge/compact
+    step error-free, and each fact's merge actually rewrote files
+    (CoW touched the delta's clustered key range)."""
+    from lhbench_spark.workloads import refresh_tpcds as rt
+
+    rep = rt.run(spark, SMOKE_SF, rt.MultiRefreshConfig(rounds=2))
+    errs = [(r.name, r.error_msg) for r in rep.query_results if r.error_msg]
+    assert not errs
+    names = {r.name for r in rep.query_results}
+    for fact in ("store_sales", "web_sales", "catalog_sales"):
+        assert {f"load-{fact}", f"view-{fact}-1", f"merge-{fact}-2",
+                f"compact-{fact}"} <= names
+
+
 def test_rand_sample_fraction_sane(spark):
     """rand(42) < 0.01 over lineitem samples ~1% (rows-only registry entry's
     sanity bound lives here)."""
