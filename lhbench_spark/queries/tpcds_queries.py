@@ -655,6 +655,164 @@ LIMIT 100""",
 )
 
 
+def _bucket(lo: int, hi: int, threshold: int) -> str:
+    """One q9 bucket: COUNT-gated choice between two aggregates."""
+    base = f"FROM store_sales WHERE ss_quantity BETWEEN {lo} AND {hi}"
+    return (
+        f"CASE WHEN (SELECT COUNT(*) {base}) > {threshold}\n"
+        f"            THEN (SELECT {_davg('ss_ext_list_price')} {base})\n"
+        f"            ELSE (SELECT {_davg('ss_net_profit')} {base}) END\n"
+        f"         AS bucket{(lo - 1) // 20 + 1}"
+    )
+
+
+_q(
+    "tpcds_q9",
+    "TPC-DS q9: five quantity buckets, each choosing between two "
+    "averages by a COUNT threshold — 15 uncorrelated scalar subqueries "
+    "in one projection (reference TPCDSBenchmarkQueries.scala:518; part "
+    "of the refresh benchmark's query set, README.md:33-36). Thresholds "
+    "retargeted to the generated volume; averages in the engine-exact "
+    "davg form.",
+    "SELECT "
+    + ",\n       ".join(
+        _bucket(lo, lo + 19, th)
+        for lo, th in [(1, 1000), (21, 2000), (41, 3000), (61, 4000), (81, 5000)]
+    )
+    + "\nFROM reason WHERE r_reason_sk = 1",
+)
+
+_q(
+    "tpcds_q32",
+    "TPC-DS q32: excess catalog discounts — rows beating 1.3x their "
+    "item's average discount via a correlated scalar subquery "
+    "(reference TPCDSBenchmarkQueries.scala:1708).",
+    f"""
+SELECT CAST(SUM(cs_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM catalog_sales, item, date_dim
+WHERE i_manufact_id = 977
+  AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = cs_sold_date_sk
+  AND cs_ext_discount_amt >
+      (SELECT CAST(1.3 AS DOUBLE) * ({_davg("cs_ext_discount_amt")})
+       FROM catalog_sales, date_dim
+       WHERE cs_item_sk = i_item_sk
+         AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+         AND d_date_sk = cs_sold_date_sk)
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q34",
+    "TPC-DS q34: q73's shape with a wider ticket-size band and vehicle "
+    "count filter (part of the refresh benchmark's query set; reference "
+    "TPCDSBenchmarkQueries.scala:1809). Count band retargeted to the "
+    "generated ~4-line tickets (the spec's 15-20 band assumes dsdgen "
+    "ticket sizes).",
+    """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_store_sk = store.s_store_sk
+    AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+    AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+    AND (household_demographics.hd_buy_potential = '>10000'
+         OR household_demographics.hd_buy_potential = 'Unknown')
+    AND household_demographics.hd_vehicle_count > 0
+    AND CASE WHEN household_demographics.hd_vehicle_count > 0
+             THEN household_demographics.hd_dep_count
+                  / household_demographics.hd_vehicle_count
+             ELSE NULL END > 1.2
+    AND date_dim.d_year IN (1998, 1999, 2000)
+    AND store.s_county IN ('Williamson County', 'Ziebach County',
+                           'Walker County')
+  GROUP BY ss_ticket_number, ss_customer_sk
+) dn, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 5
+ORDER BY c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC,
+         ss_ticket_number
+LIMIT 100""",
+)
+
+
+def _wss_cols(alias_suffix: str) -> str:
+    days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)
+
+
+_q(
+    "tpcds_q59",
+    "TPC-DS q59: year-over-year weekly per-store sales ratios — the "
+    "wss day-of-week pivot CTE self-joined at a 52-week offset (part of "
+    "the refresh benchmark's query set; reference "
+    "TPCDSBenchmarkQueries.scala:2860). Per-day ratios are double-cast "
+    "at the division (decimal division precision rules differ between "
+    "engines).",
+    "WITH wss AS (\n"
+    "  SELECT d_week_seq, ss_store_sk,\n"
+    + ",\n".join(
+        "         "
+        + "SUM(CASE WHEN d_day_name = '%s' THEN ss_sales_price ELSE NULL END)"
+        % day
+        + " AS %s_sales" % day[:3].lower()
+        for day in [
+            "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday",
+        ]
+    )
+    + """
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk
+)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+"""
+    + ",\n".join(
+        f"       CAST({d}_sales1 AS DOUBLE) / CAST({d}_sales2 AS DOUBLE)"
+        f" AS {d}_ratio"
+        for d in ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    )
+    + f"""
+FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1, {_wss_cols("1")}
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1176 AND 1187) y,
+     (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+             s_store_id AS s_store_id2, {_wss_cols("2")}
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1188 AND 1199) x
+WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q92",
+    "TPC-DS q92: q32's correlated-average discount shape over "
+    "web_sales (reference TPCDSBenchmarkQueries.scala:4577).",
+    f"""
+SELECT CAST(SUM(ws_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 350
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt >
+      (SELECT CAST(1.3 AS DOUBLE) * ({_davg("ws_ext_discount_amt")})
+       FROM web_sales, date_dim
+       WHERE ws_item_sk = i_item_sk
+         AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+         AND d_date_sk = ws_sold_date_sk)
+LIMIT 100""",
+)
+
+
 def _make_spark_fn(text: str):
     def fn(spark, sf_dir, _t=text):
         register_views(spark, sf_dir)

@@ -306,14 +306,14 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "store_sales": (
             None,
             [
-                ("ss_sold_date_sk", _nullable(_int(f"2450815 + (id*131) % {_N_DAYS}"), 97)),
-                ("ss_sold_time_sk", _int("(id*7919) % 86400")),
+                ("ss_sold_date_sk", _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97)),
+                ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
                 ("ss_item_sk", _int(_mix(37, _N_ITEM))),
-                ("ss_customer_sk", _nullable(_int(_mix(41, _N_CUST)), 89, mult=11)),
-                ("ss_cdemo_sk", _int(_mix(43, _N_CDEMO))),
-                ("ss_hdemo_sk", _int(_mix(47, _N_HDEMO))),
-                ("ss_addr_sk", _int(_mix(53, _N_ADDR))),
-                ("ss_store_sk", _nullable(_int(_mix(59, _N_STORE)), 101, mult=13)),
+                ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*41) % " + str(_N_CUST) + ")"), 89, mult=11)),
+                ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
+                ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
+                ("ss_addr_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
+                ("ss_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
                 ("ss_promo_sk", _int(_mix(61, _N_PROMO))),
                 ("ss_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
             ]
@@ -325,7 +325,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ws_sold_date_sk", _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89)),
                 ("ws_sold_time_sk", _int("(id*7877) % 86400")),
                 ("ws_item_sk", _int(_mix(149, _N_ITEM))),
-                ("ws_bill_customer_sk", _nullable(_int(_mix(151, _N_CUST)), 83, mult=11)),
+                ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*151) % " + str(_N_CUST) + ")"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_ship_hdemo_sk", _int(_mix(193, _N_HDEMO))),
                 ("ws_web_page_sk", _int(_mix(197, _N_WEBPAGE))),
@@ -340,8 +340,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_sold_date_sk", _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93)),
                 ("cs_sold_time_sk", _int("(id*7873) % 86400")),
                 ("cs_item_sk", _int(_mix(167, _N_ITEM))),
-                ("cs_bill_customer_sk", _nullable(_int(_mix(173, _N_CUST)), 87, mult=11)),
-                ("cs_bill_cdemo_sk", _int(_mix(179, _N_CDEMO))),
+                ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*173) % " + str(_N_CUST) + ")"), 87, mult=11)),
+                ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
                 ("cs_promo_sk", _int(_mix(191, _N_PROMO))),
                 ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
@@ -366,10 +366,10 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "store_returns": (
             None,
             [
-                ("sr_returned_date_sk", _int(f"2450815 + ((id*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
+                ("sr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
                 ("sr_item_sk", _int(_mix(37, _N_ITEM))),
-                ("sr_customer_sk", _nullable(_int(_mix(41, _N_CUST)), 89, mult=11)),
-                ("sr_cdemo_sk", _int(_mix(43, _N_CDEMO))),
+                ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*41) % " + str(_N_CUST) + ")"), 89, mult=11)),
+                ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("sr_reason_sk", _int(_mix(23, _N_REASON))),
                 ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
