@@ -739,6 +739,163 @@ LIMIT 100""",
 )
 
 
+_q(
+    "tpcds_q1",
+    "TPC-DS q1: customers returning more than 1.2x their store's "
+    "average total return — CTE re-used on both sides of a correlated "
+    "scalar-average subquery (reference TPCDSBenchmarkQueries.scala:21).",
+    """
+WITH customer_total_return AS (
+  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+         CAST(SUM(sr_return_amt) AS DOUBLE) AS ctr_total_return
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk
+)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(1.2 AS DOUBLE) *
+              (CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(18,8)))
+                    AS DOUBLE) / COUNT(ctr2.ctr_total_return))
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q2",
+    "TPC-DS q2: week-over-next-year weekly sales ratios for the union "
+    "of web and catalog channels — UNION ALL feeding a day-of-week "
+    "pivot self-joined at a 53-week offset "
+    "(reference TPCDSBenchmarkQueries.scala:45).",
+    """
+WITH wscs AS (
+  SELECT sold_date_sk, sales_price
+  FROM (SELECT ws_sold_date_sk AS sold_date_sk,
+               ws_ext_sales_price AS sales_price FROM web_sales
+        UNION ALL
+        SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales) x
+), wswscs AS (
+  SELECT d_week_seq,
+"""
+    + ",\n".join(
+        "         "
+        + "SUM(CASE WHEN d_day_name = '%s' THEN sales_price ELSE NULL END)"
+        % day
+        + " AS %s_sales" % day[:3].lower()
+        for day in [
+            "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday",
+        ]
+    )
+    + """
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq
+)
+SELECT d_week_seq1,
+"""
+    + ",\n".join(
+        f"       ROUND(CAST({d}_sales1 AS DOUBLE) / CAST({d}_sales2 AS DOUBLE), 2)"
+        f" AS {d}_ratio"
+        for d in ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    )
+    + """
+FROM (SELECT wswscs.d_week_seq AS d_week_seq1,
+             sun_sales AS sun_sales1, mon_sales AS mon_sales1,
+             tue_sales AS tue_sales1, wed_sales AS wed_sales1,
+             thu_sales AS thu_sales1, fri_sales AS fri_sales1,
+             sat_sales AS sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1998) y,
+     (SELECT wswscs.d_week_seq AS d_week_seq2,
+             sun_sales AS sun_sales2, mon_sales AS mon_sales2,
+             tue_sales AS tue_sales2, wed_sales AS wed_sales2,
+             thu_sales AS thu_sales2, fri_sales AS fri_sales2,
+             sat_sales AS sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1999) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1""",
+)
+
+_q(
+    "tpcds_q6",
+    "TPC-DS q6: customer states buying items priced over 1.2x their "
+    "category average in one month — two nested scalar subqueries "
+    "(uncorrelated month lookup + correlated category average; "
+    "reference TPCDSBenchmarkQueries.scala:366). HAVING threshold "
+    "retargeted to generated volume.",
+    """
+SELECT a.ca_state AS state, COUNT(*) AS cnt
+FROM customer_address a, customer c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq =
+      (SELECT DISTINCT d_month_seq FROM date_dim
+       WHERE d_year = 2001 AND d_moy = 1)
+  AND i.i_current_price > CAST(1.2 AS DOUBLE) *
+      (SELECT CAST(SUM(CAST(j.i_current_price AS DECIMAL(18,8))) AS DOUBLE)
+              / COUNT(j.i_current_price)
+       FROM item j WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 5
+ORDER BY cnt, state
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q33",
+    "TPC-DS q33: per-manufacturer Electronics revenue across the three "
+    "channels for one month and GMT offset — three per-channel "
+    "aggregate CTEs UNION ALLed and re-aggregated "
+    "(reference TPCDSBenchmarkQueries.scala:1735).",
+    """
+WITH ss AS (
+  SELECT i_manufact_id, CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category IN ('Electronics'))
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+), cs AS (
+  SELECT i_manufact_id, CAST(SUM(cs_ext_sales_price) AS DOUBLE) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category IN ('Electronics'))
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+), ws AS (
+  SELECT i_manufact_id, CAST(SUM(ws_ext_sales_price) AS DOUBLE) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category IN ('Electronics'))
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+)
+SELECT i_manufact_id,
+       CAST(SUM(CAST(total_sales AS DECIMAL(18,8))) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

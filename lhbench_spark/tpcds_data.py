@@ -327,6 +327,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ws_item_sk", _int(_mix(149, _N_ITEM))),
                 ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*151) % " + str(_N_CUST) + ")"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
+                ("ws_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")")),
                 ("ws_ship_hdemo_sk", _int(_mix(193, _N_HDEMO))),
                 ("ws_web_page_sk", _int(_mix(197, _N_WEBPAGE))),
                 ("ws_promo_sk", _int(_mix(163, _N_PROMO))),
@@ -343,6 +344,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*173) % " + str(_N_CUST) + ")"), 87, mult=11)),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
+                ("cs_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*227) % " + str(_N_ADDR) + ")")),
                 ("cs_promo_sk", _int(_mix(191, _N_PROMO))),
                 ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
             ]
@@ -370,6 +372,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("sr_item_sk", _int(_mix(37, _N_ITEM))),
                 ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*41) % " + str(_N_CUST) + ")"), 89, mult=11)),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
+                ("sr_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
                 ("sr_reason_sk", _int(_mix(23, _N_REASON))),
                 ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
