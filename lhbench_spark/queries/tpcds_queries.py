@@ -667,7 +667,7 @@ def _bucket(lo: int, hi: int, threshold: int) -> str:
 
 
 _q(
-    "tpcds_q9",
+    "tpcds_q09",
     "TPC-DS q9: five quantity buckets, each choosing between two "
     "averages by a COUNT threshold — 15 uncorrelated scalar subqueries "
     "in one projection (reference TPCDSBenchmarkQueries.scala:518; part "
@@ -740,7 +740,7 @@ LIMIT 100""",
 
 
 _q(
-    "tpcds_q1",
+    "tpcds_q01",
     "TPC-DS q1: customers returning more than 1.2x their store's "
     "average total return — CTE re-used on both sides of a correlated "
     "scalar-average subquery (reference TPCDSBenchmarkQueries.scala:21).",
@@ -768,7 +768,7 @@ LIMIT 100""",
 )
 
 _q(
-    "tpcds_q2",
+    "tpcds_q02",
     "TPC-DS q2: week-over-next-year weekly sales ratios for the union "
     "of web and catalog channels — UNION ALL feeding a day-of-week "
     "pivot self-joined at a 53-week offset "
@@ -825,7 +825,7 @@ ORDER BY d_week_seq1""",
 )
 
 _q(
-    "tpcds_q6",
+    "tpcds_q06",
     "TPC-DS q6: customer states buying items priced over 1.2x their "
     "category average in one month — two nested scalar subqueries "
     "(uncorrelated month lookup + correlated category average; "
@@ -892,6 +892,177 @@ FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
       UNION ALL SELECT * FROM ws) tmp1
 GROUP BY i_manufact_id
 ORDER BY total_sales, i_manufact_id
+LIMIT 100""",
+)
+
+
+def _channel_arm(fact: str, p: str) -> str:
+    """One q14a channel arm: sales of cross-channel items in the target
+    month, kept only above the global average (uncorrelated subquery)."""
+    prod = (
+        f"SUM(CAST({p}_quantity AS DECIMAL(9,2)) * "
+        f"CAST({p}_list_price AS DECIMAL(9,2)))"
+    )
+    return f"""
+  SELECT '{fact}' AS channel, i_brand_id, i_class_id, i_category_id,
+         {prod} AS sales, COUNT(*) AS number_sales
+  FROM {fact}, item, date_dim
+  WHERE {p}_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND {p}_item_sk = i_item_sk
+    AND {p}_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING {prod} > (SELECT average_sales FROM avg_sales)"""
+
+
+_q(
+    "tpcds_q14a",
+    "TPC-DS q14a: cross-channel items (3-way INTERSECT over brand/"
+    "class/category), global average-sales gate, three channel arms "
+    "UNION ALLed under a ROLLUP — the workload's heaviest multi-CTE "
+    "shape (reference TPCDSBenchmarkQueries.scala q14a entry; 23a/14b "
+    "share the skeleton). NULLS FIRST pinned on the rollup sort keys "
+    "(the engines' default null ordering differs under LIMIT).",
+    """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item, (
+    SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+           iss.i_category_id AS category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1999 AND 2001
+    INTERSECT
+    SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1999 AND 2001
+    INTERSECT
+    SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1999 AND 2001
+  ) sq
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id
+), avg_sales AS (
+  SELECT CAST(SUM(CAST(quantity AS DECIMAL(9,2))
+                  * CAST(list_price AS DECIMAL(9,2))) AS DOUBLE)
+         / COUNT(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x
+)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       CAST(SUM(sales) AS DOUBLE) AS sum_sales,
+       CAST(SUM(number_sales) AS BIGINT) AS sum_number_sales
+FROM ("""
+    + _channel_arm("store_sales", "ss")
+    + "\n  UNION ALL"
+    + _channel_arm("catalog_sales", "cs")
+    + "\n  UNION ALL"
+    + _channel_arm("web_sales", "ws")
+    + """
+) y
+GROUP BY ROLLUP(channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+         i_class_id NULLS FIRST, i_category_id NULLS FIRST
+LIMIT 100""",
+)
+
+
+_CS_UI_REFUND = "SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)"
+
+_q(
+    "tpcds_q64",
+    "TPC-DS q64: the workload's biggest join — 17 relations in the "
+    "cross_sales CTE (two demographic roles, two household roles, two "
+    "address roles, two income bands, three date roles, returns-matched "
+    "sales, catalog-return-profitable items), self-joined across two "
+    "years (reference TPCDSBenchmarkQueries.scala:3085). Color/price "
+    "literals retargeted to the generated item vocabulary.",
+    f"""
+WITH cs_ui AS (
+  SELECT cs_item_sk,
+         SUM(cs_ext_list_price) AS sale,
+         {_CS_UI_REFUND} AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING SUM(cs_ext_list_price) > 2 * {_CS_UI_REFUND}
+), cross_sales AS (
+  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+         s_store_name AS store_name, s_zip AS store_zip,
+         ad1.ca_street_number AS b_street_number,
+         ad1.ca_street_name AS b_street_name,
+         ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         ad2.ca_street_number AS c_street_number,
+         ad2.ca_street_name AS c_street_name,
+         ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         COUNT(*) AS cnt,
+         CAST(SUM(ss_wholesale_cost) AS DOUBLE) AS s1,
+         CAST(SUM(ss_list_price) AS DOUBLE) AS s2,
+         CAST(SUM(ss_coupon_amt) AS DOUBLE) AS s3
+  FROM store_sales, store_returns, cs_ui,
+       date_dim d1, date_dim d2, date_dim d3,
+       store, customer,
+       customer_demographics cd1, customer_demographics cd2,
+       promotion, household_demographics hd1, household_demographics hd2,
+       customer_address ad1, customer_address ad2,
+       income_band ib1, income_band ib2, item
+  WHERE ss_store_sk = s_store_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_cdemo_sk = cd1.cd_demo_sk
+    AND ss_hdemo_sk = hd1.hd_demo_sk
+    AND ss_addr_sk = ad1.ca_address_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = cs_ui.cs_item_sk
+    AND c_current_cdemo_sk = cd2.cd_demo_sk
+    AND c_current_hdemo_sk = hd2.hd_demo_sk
+    AND c_current_addr_sk = ad2.ca_address_sk
+    AND c_first_sales_date_sk = d2.d_date_sk
+    AND c_first_shipto_date_sk = d3.d_date_sk
+    AND ss_promo_sk = p_promo_sk
+    AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+    AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+    AND cd1.cd_marital_status <> cd2.cd_marital_status
+    AND i_color IN ('purple', 'burlywood', 'indian',
+                    'spring', 'floral', 'medium')
+    AND i_current_price BETWEEN 15 AND 70
+    AND i_current_price BETWEEN 20 AND 80
+  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+           ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+           ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+           ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year
+)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear AS syear1, cs1.cnt AS cnt1,
+       cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+       cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1999 AND cs2.syear = 2000
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt,
+         cs1.b_street_number, cs1.c_street_number, cs1.b_zip, cs1.c_zip,
+         syear1, syear2, cnt1, s11, s21, s31, s12, s22, s32
 LIMIT 100""",
 )
 

@@ -223,6 +223,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("i_manufact_id", _int(_mix(11, 1000))),
                 ("i_manufact", f"'Mfg#' || CAST({_mix(11, 1000)} AS STRING)"),
                 ("i_manager_id", _int(_mix(13, 100))),
+                ("i_color", _case("((id*23) % 12)", ["purple", "burlywood", "indian", "spring", "floral", "medium", "almond", "azure", "beige", "chartreuse", "cream", "dim"])),
                 ("i_product_name", "'Product ' || CAST(1 + id AS STRING)"),
             ],
         ),
@@ -253,6 +254,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("c_current_addr_sk", _int(_mix(23, _N_ADDR))),
                 ("c_current_cdemo_sk", _int(_mix(29, _N_CDEMO))),
                 ("c_current_hdemo_sk", _int(_mix(31, _N_HDEMO))),
+                ("c_first_sales_date_sk", _int("2450815 + (id*17) % 1826")),
+                ("c_first_shipto_date_sk", _int("2450815 + (id*19) % 1826")),
                 ("c_birth_country", _case("((id*13) % 6)", ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN", "BRAZIL"])),
             ],
         ),
@@ -260,6 +263,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
             _N_ADDR,
             [
                 ("ca_address_sk", _int("1 + id")),
+                ("ca_street_number", "CAST(1 + (id*13) % 999 AS STRING)"),
+                ("ca_street_name", "'Street ' || CAST(1 + (id*11) % 200 AS STRING)"),
                 ("ca_city", _case("((id*7) % 8)", _CITIES)),
                 ("ca_county", f"'County ' || CAST({_mix(3, 30)} AS STRING)"),
                 ("ca_state", _case("((id*11) % 9)", _STATES)),
@@ -378,7 +383,19 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
                 ("sr_return_amt", _cents(f"(({_SALES_C}) * (1 + (id*5) % (1 + (id*17) % 100)))")),
             ],
-            "id % 13 = 0",
+            "id % 3 = 0",
+        ),
+        # Returned subset of catalog_sales' id space (1-in-5 orders)
+        "catalog_returns": (
+            None,
+            [
+                ("cr_item_sk", _int(_mix(167, _N_ITEM))),
+                ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
+                ("cr_refunded_cash", _cents("(100 + (id*7) % 2900)")),
+                ("cr_reversed_charge", _cents("((id*11) % 1500)")),
+                ("cr_store_credit", _cents("((id*13) % 1000)")),
+            ],
+            "id % 5 = 0",
         ),
         "warehouse": (
             _N_WAREHOUSE,
