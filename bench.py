@@ -68,6 +68,15 @@ def main() -> int:
         table(spark, sf_dir, "nation").filter("n_nationkey >= 0").collect()
     except Exception as exc:  # noqa: BLE001 — warmup must never kill the bench
         print(f"bench: warmup read skipped: {exc}", file=sys.stderr)
+    # TPC-DS dataset materialization is a once-per-process harness cost
+    # (generate + write parquet), not a query cost — doing it here keeps
+    # it out of the alphabetically-first tpcds_* query's timing.
+    try:
+        from lhbench_spark.tpcds_data import materialize
+
+        materialize(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: tpcds warmup skipped: {exc}", file=sys.stderr)
 
     suite = {
         name: (lambda qd=qd: qd.spark_fn(spark, sf_dir))

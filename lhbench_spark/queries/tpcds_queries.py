@@ -1067,6 +1067,141 @@ LIMIT 100""",
 )
 
 
+def _ship_buckets(delta: str) -> str:
+    """q62/q99 shipping-delay buckets over (ship date − sold date)."""
+    return ",\n".join(
+        f"       CAST(SUM(CASE WHEN {cond.format(d=delta)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {name}"
+        for cond, name in [
+            ("({d}) <= 30", "d30"),
+            ("({d}) > 30 AND ({d}) <= 60", "d31_60"),
+            ("({d}) > 60 AND ({d}) <= 90", "d61_90"),
+            ("({d}) > 90 AND ({d}) <= 120", "d91_120"),
+            ("({d}) > 120", "dgt120"),
+        ]
+    )
+
+
+_q(
+    "tpcds_q16",
+    "TPC-DS q16: catalog orders shipped from one county's call centers "
+    "to one state, spanning multiple warehouses (correlated EXISTS) and "
+    "never returned (NOT EXISTS) — the semi/anti-join pair over order "
+    "numbers (reference TPCDSBenchmarkQueries.scala:1018).",
+    """
+SELECT COUNT(DISTINCT cs1.cs_order_number) AS order_count,
+       CAST(SUM(cs_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(cs_net_profit) AS DOUBLE) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-01'
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'CA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county = 'Williamson County'
+  AND EXISTS (SELECT * FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q62",
+    "TPC-DS q62: web shipping-delay buckets per warehouse × ship mode × "
+    "site (reference TPCDSBenchmarkQueries.scala:3023).",
+    """
+SELECT substr(w_warehouse_name, 1, 20) AS wname, sm_type, web_name,
+"""
+    + _ship_buckets("ws_ship_date_sk - ws_sold_date_sk")
+    + """
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 1176 AND 1187
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY wname, sm_type, web_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q94",
+    "TPC-DS q94: q16's multi-warehouse / never-returned semi/anti pair "
+    "over web orders (reference TPCDSBenchmarkQueries.scala:4623).",
+    """
+SELECT COUNT(DISTINCT ws1.ws_order_number) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-01'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'CA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS (SELECT * FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q95",
+    "TPC-DS q95: q94 with the EXISTS pair replaced by IN-subqueries "
+    "over a shared multi-warehouse-order CTE — returned orders must "
+    "ALSO be multi-warehouse (reference "
+    "TPCDSBenchmarkQueries.scala:4651).",
+    """
+WITH ws_wh AS (
+  SELECT ws1.ws_order_number AS ws_order_number,
+         ws1.ws_warehouse_sk AS wh1, ws2.ws_warehouse_sk AS wh2
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk
+)
+SELECT COUNT(DISTINCT ws1.ws_order_number) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-01'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'CA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q99",
+    "TPC-DS q99: catalog shipping-delay buckets per warehouse × ship "
+    "mode × call center (reference TPCDSBenchmarkQueries.scala:4753).",
+    """
+SELECT substr(w_warehouse_name, 1, 20) AS wname, sm_type, cc_name,
+"""
+    + _ship_buckets("cs_ship_date_sk - cs_sold_date_sk")
+    + """
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 1176 AND 1187
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY wname, sm_type, cc_name
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

@@ -105,6 +105,10 @@ _N_WAREHOUSE = 5
 _N_WEBPAGE = 60
 _N_INCOME = 20
 _N_REASON = 35
+_N_SHIPMODE = 20
+_N_WEBSITE = 8
+_N_CALLCENTER = 6
+_N_CATALOGPAGE = 120
 
 _CATEGORIES = [
     "Books", "Home", "Electronics", "Jewelry", "Sports",
@@ -333,6 +337,12 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*151) % " + str(_N_CUST) + ")"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")")),
+                ("ws_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
+                ("ws_ship_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {_N_DAYS} + 1 + (id*5) % 60) % {_N_DAYS}")),
+                ("ws_warehouse_sk", _int(_mix(7, _N_WAREHOUSE))),
+                ("ws_ship_mode_sk", _int(_mix(11, _N_SHIPMODE))),
+                ("ws_web_site_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*233) % " + str(_N_WEBSITE) + ")")),
+                ("ws_ext_ship_cost", _cents("(50 + (id*37) % 4950)")),
                 ("ws_ship_hdemo_sk", _int(_mix(193, _N_HDEMO))),
                 ("ws_web_page_sk", _int(_mix(197, _N_WEBPAGE))),
                 ("ws_promo_sk", _int(_mix(163, _N_PROMO))),
@@ -350,6 +360,12 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
                 ("cs_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*227) % " + str(_N_ADDR) + ")")),
+                ("cs_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
+                ("cs_ship_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {_N_DAYS} + 1 + (id*5) % 60) % {_N_DAYS}")),
+                ("cs_warehouse_sk", _int(_mix(13, _N_WAREHOUSE))),
+                ("cs_ship_mode_sk", _int(_mix(17, _N_SHIPMODE))),
+                ("cs_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
+                ("cs_ext_ship_cost", _cents("(50 + (id*41) % 4950)")),
                 ("cs_promo_sk", _int(_mix(191, _N_PROMO))),
                 ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
             ]
@@ -396,6 +412,65 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cr_store_credit", _cents("((id*13) % 1000)")),
             ],
             "id % 5 = 0",
+        ),
+        # Returned subset of web_sales' id space (1-in-6 orders)
+        "web_returns": (
+            None,
+            [
+                ("wr_item_sk", _int(_mix(149, _N_ITEM))),
+                ("wr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
+                ("wr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
+                ("wr_return_amt", _cents("((id*43) % 9900)")),
+            ],
+            "id % 6 = 0",
+        ),
+        "ship_mode": (
+            _N_SHIPMODE,
+            [
+                ("sm_ship_mode_sk", _int("1 + id")),
+                ("sm_ship_mode_id", "'SHIP' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("sm_type", _case("(id % 5)", ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"])),
+                ("sm_code", _case("(id % 4)", ["AIR", "SURFACE", "SEA", "RAIL"])),
+                ("sm_carrier", _case("(id % 6)", ["UPS", "FEDEX", "USPS", "DHL", "AIRBORNE", "TBS"])),
+            ],
+        ),
+        "web_site": (
+            _N_WEBSITE,
+            [
+                ("web_site_sk", _int("1 + id")),
+                ("web_site_id", "'SITE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("web_name", "'site_' || CAST(id % 4 AS STRING)"),
+                ("web_company_name", _case("(id % 3)", ["pri", "ese", "able"])),
+            ],
+        ),
+        "call_center": (
+            _N_CALLCENTER,
+            [
+                ("cc_call_center_sk", _int("1 + id")),
+                ("cc_call_center_id", "'CC' || lpad(CAST(1 + id AS STRING), 4, '0')"),
+                ("cc_name", "'Call Center ' || CAST(1 + id AS STRING)"),
+                ("cc_county", _case("(id % 3)", ["Williamson County", "Ziebach County", "Walker County"])),
+                ("cc_manager", "'Manager ' || CAST(1 + (id*7) % 20 AS STRING)"),
+            ],
+        ),
+        "catalog_page": (
+            _N_CATALOGPAGE,
+            [
+                ("cp_catalog_page_sk", _int("1 + id")),
+                ("cp_catalog_page_id", "'PAGE' || lpad(CAST(1 + id AS STRING), 6, '0')"),
+                ("cp_catalog_number", _int("1 + (id*3) % 10")),
+                ("cp_catalog_page_number", _int("1 + id % 100")),
+                ("cp_type", _case("(id % 3)", ["bi-annual", "quarterly", "monthly"])),
+            ],
+        ),
+        "dbgen_version": (
+            1,
+            [
+                ("dv_version", "'lhbench-spark-tpcds-gen 1.0'"),
+                ("dv_create_date", ("@date", "0")),
+                ("dv_create_time", "'00:00:00'"),
+                ("dv_cmdline_args", "'deterministic dual-dialect spec'"),
+            ],
         ),
         "warehouse": (
             _N_WAREHOUSE,
