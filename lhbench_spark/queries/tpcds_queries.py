@@ -1202,6 +1202,162 @@ LIMIT 100""",
 )
 
 
+def _v1_windowed(fact: str, dims: str, joins: str, group_cols: str) -> str:
+    """q47/q57 v1 CTE: monthly sums with a deterministic whole-partition
+    average (decimal SUM(SUM()) / COUNT over the window — the engines'
+    native windowed AVG(decimal) diverges in type and accumulation) and
+    a RANK month sequence."""
+    part = group_cols
+    return f"""
+  SELECT {group_cols}, d_year, d_moy,
+         CAST(SUM({fact}) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM({fact})) OVER (PARTITION BY {part}, d_year) AS DOUBLE)
+           / COUNT(SUM({fact})) OVER (PARTITION BY {part}, d_year)
+           AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY {part} ORDER BY d_year, d_moy) AS rn
+  FROM {dims}
+  WHERE {joins}
+    AND (d_year = 1999 OR (d_year = 1998 AND d_moy = 12)
+         OR (d_year = 2000 AND d_moy = 1))
+  GROUP BY {group_cols}, d_year, d_moy"""
+
+
+def _v2_select(keys: list) -> str:
+    k = ", ".join(f"v1.{c}" for c in keys)
+    return f"""
+SELECT {k}, v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+       v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+FROM v1, v1 v1_lag, v1 v1_lead
+WHERE """ + " AND ".join(
+        f"v1.{c} = v1_lag.{c} AND v1.{c} = v1_lead.{c}" for c in keys
+    ) + """
+  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1"""
+
+
+_Q47_57_TAIL = """
+WHERE d_year = 1999
+  AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, {tiebreak}
+LIMIT 100"""
+
+_q(
+    "tpcds_q47",
+    "TPC-DS q47: months deviating >10% from the category/brand/store "
+    "year average, with previous and next month via a rank self-join "
+    "(reference TPCDSBenchmarkQueries.scala:2220). Windowed average in "
+    "the deterministic SUM/COUNT form (see _v1_windowed).",
+    "WITH v1 AS ("
+    + _v1_windowed(
+        "ss_sales_price",
+        "item, store_sales, date_dim, store",
+        "ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk\n"
+        "    AND ss_store_sk = s_store_sk",
+        "i_category, i_brand, s_store_name, s_company_name",
+    )
+    + "\n), v2 AS ("
+    + _v2_select(["i_category", "i_brand", "s_store_name", "s_company_name"])
+    + "\n)\nSELECT * FROM v2"
+    + _Q47_57_TAIL.format(
+        tiebreak="i_category, i_brand, s_store_name, d_moy, d_year"
+    ),
+)
+
+_q(
+    "tpcds_q57",
+    "TPC-DS q57: q47's deviation/lag/lead shape over catalog_sales "
+    "through call_center (reference TPCDSBenchmarkQueries.scala:2749).",
+    "WITH v1 AS ("
+    + _v1_windowed(
+        "cs_sales_price",
+        "item, catalog_sales, date_dim, call_center",
+        "cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk\n"
+        "    AND cs_call_center_sk = cc_call_center_sk",
+        "i_category, i_brand, cc_name",
+    )
+    + "\n), v2 AS ("
+    + _v2_select(["i_category", "i_brand", "cc_name"])
+    + "\n)\nSELECT * FROM v2"
+    + _Q47_57_TAIL.format(tiebreak="i_category, i_brand, cc_name, d_moy, d_year"),
+)
+
+
+def _year_total_arm(fact: str, p: str, cust_fk: str, sale_type: str) -> str:
+    profit = (
+        f"CAST(SUM((({p}_ext_list_price - {p}_ext_wholesale_cost"
+        f" - {p}_ext_discount_amt) + {p}_ext_sales_price)) AS DOUBLE) / 2"
+    )
+    return f"""
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_login AS customer_login,
+         c_email_address AS customer_email_address,
+         d_year AS dyear, {profit} AS year_total, '{sale_type}' AS sale_type
+  FROM customer, {fact}, date_dim
+  WHERE c_customer_sk = {cust_fk} AND {p}_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_login, c_email_address, d_year"""
+
+
+_q(
+    "tpcds_q04",
+    "TPC-DS q4: the year_total CTE (per-customer yearly profit in all "
+    "three channels) self-joined six ways — customers whose catalog AND "
+    "web year-over-year growth both beat store growth (reference "
+    "TPCDSBenchmarkQueries.scala:124). Profit totals decimal-summed and "
+    "double-cast; growth ratios are double divisions of those exact "
+    "totals.",
+    "WITH year_total AS ("
+    + _year_total_arm("store_sales", "ss", "ss_customer_sk", "s")
+    + "\n  UNION ALL"
+    + _year_total_arm("catalog_sales", "cs", "cs_bill_customer_sk", "c")
+    + "\n  UNION ALL"
+    + _year_total_arm("web_sales", "ws", "ws_bill_customer_sk", "w")
+    + """
+)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_c_firstyear.dyear = 1999 AND t_c_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

@@ -218,8 +218,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("i_item_desc", f"'Description ' || CAST(id % 997 AS STRING)"),
                 ("i_current_price", _cents("(1 + (id*19) % 9900)")),
                 ("i_wholesale_cost", _cents("(1 + (id*23) % 6600)")),
-                ("i_brand_id", _int(_mix(7, 500))),
-                ("i_brand", f"'Brand#' || CAST({_mix(7, 500)} AS STRING)"),
+                ("i_brand_id", _int(_mix(7, 60))),
+                ("i_brand", f"'Brand#' || CAST({_mix(7, 60)} AS STRING)"),
                 ("i_class_id", _int(_mix(3, 50))),
                 ("i_class", f"'class' || CAST({_mix(3, 50)} AS STRING)"),
                 ("i_category_id", _int(_mix(1, 10))),
@@ -237,6 +237,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("s_store_sk", _int("1 + id")),
                 ("s_store_id", "'STORE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
                 ("s_store_name", "'Store ' || CAST(1 + id AS STRING)"),
+                ("s_company_name", "'Company ' || CAST(1 + id % 2 AS STRING)"),
                 ("s_number_employees", _int("200 + id*7")),
                 ("s_floor_space", _int("5000000 + id*250000")),
                 ("s_city", _case("(id % 4)", _CITIES[:4])),
@@ -260,6 +261,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("c_current_hdemo_sk", _int(_mix(31, _N_HDEMO))),
                 ("c_first_sales_date_sk", _int("2450815 + (id*17) % 1826")),
                 ("c_first_shipto_date_sk", _int("2450815 + (id*19) % 1826")),
+                ("c_login", "'login' || CAST(1 + id AS STRING)"),
+                ("c_email_address", "'c' || CAST(1 + id AS STRING) || '@example.com'"),
                 ("c_birth_country", _case("((id*13) % 6)", ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN", "BRAZIL"])),
             ],
         ),
@@ -318,7 +321,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ss_sold_date_sk", _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97)),
                 ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
                 ("ss_item_sk", _int(_mix(37, _N_ITEM))),
-                ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*41) % " + str(_N_CUST) + ")"), 89, mult=11)),
+                ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
                 ("ss_addr_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
@@ -334,7 +337,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ws_sold_date_sk", _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89)),
                 ("ws_sold_time_sk", _int("(id*7877) % 86400")),
                 ("ws_item_sk", _int(_mix(149, _N_ITEM))),
-                ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*151) % " + str(_N_CUST) + ")"), 83, mult=11)),
+                ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")")),
                 ("ws_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
@@ -356,7 +359,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_sold_date_sk", _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93)),
                 ("cs_sold_time_sk", _int("(id*7873) % 86400")),
                 ("cs_item_sk", _int(_mix(167, _N_ITEM))),
-                ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*173) % " + str(_N_CUST) + ")"), 87, mult=11)),
+                ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
                 ("cs_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*227) % " + str(_N_ADDR) + ")")),
@@ -391,7 +394,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
             [
                 ("sr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
                 ("sr_item_sk", _int(_mix(37, _N_ITEM))),
-                ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*41) % " + str(_N_CUST) + ")"), 89, mult=11)),
+                ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("sr_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
                 ("sr_reason_sk", _int(_mix(23, _N_REASON))),
