@@ -45,6 +45,28 @@ class QueryResult:
     # analysis/optimization/physical planning, before any job). Always
     # contained in duration_ms — a diagnostic split, not a second metric.
     planning_ms: float | None = None
+    # Catalyst's own per-phase clock (QueryPlanningTracker):
+    # {"analysis": ms, "optimization": ms, "planning": ms} — engine-native
+    # phase isolation, finer than the wall split above (which also counts
+    # Python-side DataFrame construction and py4j traffic).
+    phase_ms: dict | None = None
+
+
+def _tracker_phases(qe) -> dict | None:
+    """Catalyst QueryPlanningTracker phase durations (ms) — the
+    engine-native analog of the reference's listener-based planning
+    isolation (FileCountBenchmark.scala:305-336): instead of inferring
+    planning as query-start→first-job-start from SparkListener events,
+    read Catalyst's own per-phase clock. Diagnostic only; never raises."""
+    try:
+        out: dict[str, int] = {}
+        it = qe.tracker().phases().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[str(kv._1())] = int(kv._2().durationMs())
+        return out or None
+    except Exception:  # noqa: BLE001 — diagnostics must not fail a query
+        return None
 
 
 def upper_median(values: list[float]) -> float:
@@ -92,11 +114,15 @@ class BenchmarkRunner:
             # QueryExecution, so collect() below does not redo it); the
             # planning/execution split of metadata-heavy layouts is the
             # reference's file-count headline measurement.
-            df._jdf.queryExecution().executedPlan()
+            qe = df._jdf.queryExecution()
+            qe.executedPlan()
             planning_ms = (time.monotonic_ns() - t0) / 1e6
+            phase_ms = _tracker_phases(qe)
             rows = df.collect()
             dur_ms = (time.monotonic_ns() - t0) / 1e6
-            res = QueryResult(name, iteration, dur_ms, None, len(rows), planning_ms)
+            res = QueryResult(
+                name, iteration, dur_ms, None, len(rows), planning_ms, phase_ms
+            )
         except Exception as exc:  # noqa: BLE001 — per-query capture by design
             dur_ms = (time.monotonic_ns() - t0) / 1e6
             msg = "".join(

@@ -42,6 +42,15 @@ def test_runner_captures_errors_and_drops_errored_medians(spark):
         q.planning_ms is not None and q.planning_ms <= q.duration_ms
         for q in ok_results
     )
+    # Catalyst-native phase isolation (QueryPlanningTracker): analysis /
+    # optimization / planning durations recorded per measurement — the
+    # engine-side analog of the reference's SparkListener planning split
+    # (FileCountBenchmark.scala:305-336)
+    assert all(
+        q.phase_ms is not None
+        and {"analysis", "optimization", "planning"} <= set(q.phase_ms)
+        for q in ok_results
+    )
 
 
 def test_report_round_trips_json_and_csv(spark, tmp_path):
