@@ -1358,6 +1358,78 @@ LIMIT 100""",
 )
 
 
+_q(
+    "tpcds_q69",
+    "TPC-DS q69: demographic profile of customers who bought in stores "
+    "but not online in one quarter — correlated EXISTS + two NOT EXISTS "
+    "(reference TPCDSBenchmarkQueries.scala:3536).",
+    """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       COUNT(*) AS cnt1, cd_purchase_estimate, COUNT(*) AS cnt2,
+       cd_credit_rating, COUNT(*) AS cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('TX', 'GA', 'NY')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+                  WHERE c.c_customer_sk = ws_bill_customer_sk
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_bill_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q72",
+    "TPC-DS q72: the optimizer-stress catalog/inventory join — "
+    "9 inner joins + 2 left-outers, same-week inventory shortfall "
+    "(inv_quantity_on_hand < cs_quantity), late-shipping predicate "
+    "(reference TPCDSBenchmarkQueries.scala:3658). The spec's "
+    "``d3.d_date > d1.d_date + 5 days`` is expressed on the contiguous "
+    "date surrogate (d_date_sk + 5) — identical semantics, one text for "
+    "both dialects; year retargeted into the inventory snapshot domain.",
+    """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq AS d_week_seq,
+       CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS no_promo,
+       CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS promo,
+       COUNT(*) AS total_cnt
+FROM catalog_sales
+JOIN inventory ON (cs_item_sk = inv_item_sk)
+JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                    AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date_sk > d1.d_date_sk + 5
+  AND hd_buy_potential = '>10000'
+  AND d1.d_year = 2000
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d_week_seq
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

@@ -361,6 +361,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_item_sk", _int(_mix(167, _N_ITEM))),
                 ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
+                ("cs_bill_hdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*251) % " + str(_N_HDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
                 ("cs_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*227) % " + str(_N_ADDR) + ")")),
                 ("cs_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
