@@ -1430,6 +1430,511 @@ LIMIT 100""",
 )
 
 
+_q(
+    "tpcds_q13",
+    "TPC-DS q13: store averages under three OR'd demographic×price-band "
+    "arms and three OR'd state×profit-band arms "
+    "(reference TPCDSBenchmarkQueries.scala:738).",
+    f"""
+SELECT {_davg("ss_quantity")} AS avg1,
+       {_davg("ss_ext_sales_price")} AS avg2,
+       {_davg("ss_ext_wholesale_cost")} AS avg3,
+       CAST(SUM(ss_ext_wholesale_cost) AS DOUBLE) AS sum4
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M' AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 100 AND 150 AND hd_dep_count = 3)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S' AND cd_education_status = 'Primary'
+        AND ss_sales_price BETWEEN 50 AND 100 AND hd_dep_count = 1)
+    OR (ss_hdemo_sk = hd_demo_sk AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 150 AND 200 AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'OH', 'TN')
+        AND ss_net_paid BETWEEN 100 AND 200)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR', 'NM', 'KY')
+        AND ss_net_paid BETWEEN 150 AND 300)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('VA', 'TX', 'MS')
+        AND ss_net_paid BETWEEN 50 AND 250))""",
+)
+
+_q(
+    "tpcds_q27",
+    "TPC-DS q27: demographic item averages under ROLLUP(item, state) "
+    "with grouping() (reference TPCDSBenchmarkQueries.scala:1507).",
+    f"""
+SELECT i_item_id, s_state, CAST(GROUPING(s_state) AS INT) AS g_state,
+       {_davg("ss_quantity")} AS agg1,
+       {_davg("ss_list_price")} AS agg2,
+       {_davg("ss_coupon_amt")} AS agg3,
+       {_davg("ss_sales_price")} AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 2000 AND s_state IN ('TN', 'SC', 'CA', 'WA')
+GROUP BY ROLLUP(i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q28",
+    "TPC-DS q28: six price-bucket (avg, count distinct) probes of "
+    "store_sales crossed into one row "
+    "(reference TPCDSBenchmarkQueries.scala:1529).",
+    "SELECT * FROM "
+    + ",\n     ".join(
+        f"(SELECT {_davg('ss_list_price')} AS b{i}_lp,"
+        f" COUNT(ss_list_price) AS b{i}_cnt,"
+        f" COUNT(DISTINCT ss_list_price) AS b{i}_cntd"
+        f" FROM store_sales WHERE ss_quantity BETWEEN {lo} AND {hi}"
+        f" AND (ss_list_price BETWEEN {p} AND {p + 10}"
+        f" OR ss_coupon_amt BETWEEN {c} AND {c + 1000}"
+        f" OR ss_wholesale_cost BETWEEN {w} AND {w + 20})) b{i}"
+        for i, (lo, hi, p, c, w) in enumerate(
+            [(0, 5, 11, 0, 14), (6, 10, 91, 1, 17), (11, 15, 66, 2, 26),
+             (16, 20, 142, 3, 5), (21, 25, 135, 4, 14), (26, 30, 28, 5, 42)],
+            start=1,
+        )
+    ),
+)
+
+_q(
+    "tpcds_q41",
+    "TPC-DS q41: distinct product names whose manufacturer makes an "
+    "item matching an attribute disjunction — correlated COUNT over the "
+    "item dimension alone (reference TPCDSBenchmarkQueries.scala:2043; "
+    "disjunction restricted to the generated color attribute).",
+    """
+SELECT DISTINCT i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 700 AND 740
+  AND (SELECT COUNT(*) AS item_cnt FROM item
+       WHERE i_manufact = i1.i_manufact
+         AND ((i_category = 'Women' AND i_color IN ('purple', 'azure'))
+           OR (i_category = 'Men' AND i_color IN ('cream', 'dim'))
+           OR (i_category = 'Books' AND i_color IN ('spring', 'beige')))) > 0
+ORDER BY i_product_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q45",
+    "TPC-DS q45: web revenue by customer zip/city — zip-list OR "
+    "item-id-subquery disjunction "
+    "(reference TPCDSBenchmarkQueries.scala:2167).",
+    f"""
+SELECT ca_zip, ca_city, {_dsum("ws_sales_price")} AS sum_ws_sales_price
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN ('10000', '10037', '10074', '10111', '10148')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q48",
+    "TPC-DS q48: total store quantity under OR'd demographic×price and "
+    "state×net-paid bands (reference TPCDSBenchmarkQueries.scala:2270).",
+    """
+SELECT CAST(SUM(ss_quantity) AS BIGINT) AS total_quantity
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 100 AND 150)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 50 AND 100)
+    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 150 AND 200))
+  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('CA', 'OH', 'TX')
+        AND ss_net_profit BETWEEN 0 AND 2000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('OR', 'NM', 'KY')
+        AND ss_net_profit BETWEEN 150 AND 3000)
+    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+        AND ca_state IN ('VA', 'TN', 'GA')
+        AND ss_net_profit BETWEEN 50 AND 25000))""",
+)
+
+
+_q(
+    "tpcds_q46",
+    "TPC-DS q46: weekend ticket coupon/profit totals in chosen cities "
+    "for customers buying away from home — q68's walk with day-of-week "
+    "and household arms (reference TPCDSBenchmarkQueries.scala:2186).",
+    f"""
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+         {_dsum("ss_coupon_amt")} AS amt,
+         {_dsum("ss_net_profit")} AS profit
+  FROM store_sales, date_dim, store, household_demographics, customer_address
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND ss_addr_sk = ca_address_sk
+    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+    AND d_dow IN (6, 0)
+    AND d_year IN (1998, 1999, 2000)
+    AND s_city IN ('Midway', 'Fairview')
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+) dn, customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+         amt, profit
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q50",
+    "TPC-DS q50: sale→return latency buckets per store for returns "
+    "booked in one month — ss⋈sr on (ticket, item, customer) with "
+    "date-pair roles (reference TPCDSBenchmarkQueries.scala:2463).",
+    """
+SELECT s_store_name, s_store_id, s_city, s_county, s_state, s_zip,
+"""
+    + _ship_buckets("sr_returned_date_sk - ss_sold_date_sk")
+    + """
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 2000 AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_store_id, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_store_id, s_city, s_county, s_state, s_zip
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q71",
+    "TPC-DS q71: brand revenue by hour at breakfast/dinner across the "
+    "three channels UNION ALLed into one time join "
+    "(reference TPCDSBenchmarkQueries.scala:3619).",
+    f"""
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       {_dsum("ext_price")} AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price, ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 12 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk, cs_sold_time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 12 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk, ss_sold_time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 12 AND d_year = 1999
+     ) tmp, time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand_id, i_brand, t_hour, t_minute
+ORDER BY ext_price DESC, brand_id, t_hour, t_minute
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q76",
+    "TPC-DS q76: volume booked with a NULL foreign key per channel — "
+    "three UNION ALL arms counting null-FK rows (reference "
+    "TPCDSBenchmarkQueries.scala:3842; null columns retargeted to this "
+    "generator's nullable FKs: the customer keys).",
+    f"""
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       COUNT(*) AS sales_cnt,
+       {_dsum("ext_sales_price")} AS sales_amt
+FROM (
+  SELECT 'store' AS channel, 'ss_customer_sk' AS col_name,
+         d_year, d_qoy, i_category, ss_ext_sales_price AS ext_sales_price
+  FROM store_sales, item, date_dim
+  WHERE ss_customer_sk IS NULL
+    AND ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'web' AS channel, 'ws_bill_customer_sk' AS col_name,
+         d_year, d_qoy, i_category, ws_ext_sales_price
+  FROM web_sales, item, date_dim
+  WHERE ws_bill_customer_sk IS NULL
+    AND ws_sold_date_sk = d_date_sk AND ws_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'catalog' AS channel, 'cs_bill_customer_sk' AS col_name,
+         d_year, d_qoy, i_category, cs_ext_sales_price
+  FROM catalog_sales, item, date_dim
+  WHERE cs_bill_customer_sk IS NULL
+    AND cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q79",
+    "TPC-DS q79: Monday ticket coupon/profit per customer at "
+    "mid-size stores (reference TPCDSBenchmarkQueries.scala:4029).",
+    f"""
+SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city30,
+       ss_ticket_number, amt, profit
+FROM (
+  SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+         {_dsum("ss_coupon_amt")} AS amt,
+         {_dsum("ss_net_profit")} AS profit
+  FROM store_sales, date_dim, store, household_demographics
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = store.s_store_sk
+    AND ss_hdemo_sk = hd_demo_sk
+    AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+    AND d_dow = 1
+    AND d_year IN (1998, 1999, 2000)
+    AND store.s_number_employees BETWEEN 200 AND 295
+  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city
+) ms, customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city30, profit, ss_ticket_number, amt
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q88",
+    "TPC-DS q88: eight half-hour store traffic counts crossed into one "
+    "row (reference TPCDSBenchmarkQueries.scala:4407).",
+    "SELECT * FROM "
+    + ",\n     ".join(
+        f"(SELECT COUNT(*) AS h{h}_{m}\n"
+        f"      FROM store_sales, household_demographics, time_dim, store\n"
+        f"      WHERE ss_sold_time_sk = time_dim.t_time_sk\n"
+        f"        AND ss_hdemo_sk = household_demographics.hd_demo_sk\n"
+        f"        AND ss_store_sk = s_store_sk\n"
+        f"        AND time_dim.t_hour = {h} AND time_dim.t_minute {op} 30\n"
+        f"        AND ((household_demographics.hd_dep_count = 4\n"
+        f"              AND household_demographics.hd_vehicle_count <= 6)\n"
+        f"          OR (household_demographics.hd_dep_count = 2\n"
+        f"              AND household_demographics.hd_vehicle_count <= 4)\n"
+        f"          OR (household_demographics.hd_dep_count = 0\n"
+        f"              AND household_demographics.hd_vehicle_count <= 2))\n"
+        f"        AND store.s_store_name = 'Store 1') s{i}"
+        for i, (h, m, op) in enumerate(
+            [(8, 30, ">="), (9, 0, "<"), (9, 30, ">="), (10, 0, "<"),
+             (10, 30, ">="), (11, 0, "<"), (11, 30, ">="), (12, 0, "<")],
+            start=1,
+        )
+    ),
+)
+
+
+_q(
+    "tpcds_q36",
+    "TPC-DS q36: gross-margin ranking within the category/class ROLLUP "
+    "hierarchy (reference TPCDSBenchmarkQueries.scala:1896). The RANK "
+    "over grouping() runs in an outer select over the grouped subquery "
+    "(semantically identical; one text for both dialects), and the "
+    "margin ratio is double-cast (decimal division precision rules "
+    "differ between engines).",
+    """
+SELECT gross_margin, i_category, i_class, lochierarchy,
+       RANK() OVER (PARTITION BY lochierarchy,
+                    CASE WHEN g_class = 0 THEN i_category END
+                    ORDER BY gross_margin ASC) AS rank_within_parent
+FROM (
+  SELECT CAST(SUM(ss_net_profit) AS DOUBLE)
+           / CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+         i_category, i_class,
+         CAST(GROUPING(i_category) + GROUPING(i_class) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(i_class) AS INT) AS g_class
+  FROM store_sales, date_dim d1, item, store
+  WHERE d1.d_year = 2001
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND i_item_sk = ss_item_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN ('TN', 'SC', 'CA', 'WA')
+  GROUP BY ROLLUP(i_category, i_class)
+) g
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100""",
+)
+
+
+def _deviation_query(group_col: str, where_extra: str, ref_line: int) -> str:
+    """q53/q63 shared shape: per-manufacturer/manager quarterly or
+    monthly sums deviating >10% from the partition average."""
+    return f"""
+SELECT * FROM (
+  SELECT {group_col}, CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price)) OVER (PARTITION BY {group_col})
+              AS DOUBLE)
+           / COUNT(SUM(ss_sales_price)) OVER (PARTITION BY {group_col})
+           AS avg_periodic_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq BETWEEN 1188 AND 1199
+    AND ((i_category IN ('Books', 'Children', 'Electronics')
+          AND i_class IN ('class1', 'class2', 'class5'))
+      OR (i_category IN ('Women', 'Music', 'Men')
+          AND i_class IN ('class10', 'class20', 'class30')))
+    {where_extra}
+  GROUP BY {group_col}, d_qoy
+) tmp1
+WHERE CASE WHEN avg_periodic_sales > 0
+           THEN ABS(sum_sales - avg_periodic_sales) / avg_periodic_sales
+           ELSE NULL END > 0.1
+ORDER BY avg_periodic_sales, sum_sales, {group_col}
+LIMIT 100"""
+
+
+_q(
+    "tpcds_q53",
+    "TPC-DS q53: manufacturers whose quarterly sales deviate >10% from "
+    "their average (reference TPCDSBenchmarkQueries.scala:2586); "
+    "windowed average in the deterministic SUM/COUNT form.",
+    _deviation_query("i_manufact_id", "", 2586),
+)
+
+_q(
+    "tpcds_q63",
+    "TPC-DS q63: q53's deviation shape keyed by manager "
+    "(reference TPCDSBenchmarkQueries.scala:3057).",
+    _deviation_query("i_manager_id", "", 3057),
+)
+
+_q(
+    "tpcds_q67",
+    "TPC-DS q67: top-100 ranked sales over the full 8-level ROLLUP "
+    "hierarchy (category→class→brand→product→year→quarter→month→store) "
+    "— the heaviest rollup+window shape "
+    "(reference TPCDSBenchmarkQueries.scala:3452).",
+    """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_id, sumsales,
+         RANK() OVER (PARTITION BY i_category
+                      ORDER BY sumsales DESC) AS rk
+  FROM (
+    SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+           d_moy, s_store_id,
+           CAST(SUM(COALESCE(ss_sales_price * ss_quantity, 0)) AS DOUBLE)
+             AS sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 1176 AND 1187
+    GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name, d_year,
+                    d_qoy, d_moy, s_store_id)
+  ) dw1
+) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, rk, i_class NULLS FIRST,
+         i_brand NULLS FIRST, i_product_name NULLS FIRST,
+         d_year NULLS FIRST, d_qoy NULLS FIRST, d_moy NULLS FIRST,
+         s_store_id NULLS FIRST, sumsales
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q70",
+    "TPC-DS q70: profit ranking within the state/county ROLLUP for "
+    "top-ranked states (windowed subquery inside the WHERE; reference "
+    "TPCDSBenchmarkQueries.scala:3582).",
+    """
+SELECT total_sum, s_state, s_county, lochierarchy,
+       RANK() OVER (PARTITION BY lochierarchy,
+                    CASE WHEN g_county = 0 THEN s_state END
+                    ORDER BY total_sum DESC) AS rank_within_parent
+FROM (
+  SELECT CAST(SUM(ss_net_profit) AS DOUBLE) AS total_sum,
+         s_state, s_county,
+         CAST(GROUPING(s_state) + GROUPING(s_county) AS INT)
+           AS lochierarchy,
+         CAST(GROUPING(s_county) AS INT) AS g_county
+  FROM store_sales, date_dim d1, store
+  WHERE d1.d_month_seq BETWEEN 1176 AND 1187
+    AND d1.d_date_sk = ss_sold_date_sk
+    AND s_store_sk = ss_store_sk
+    AND s_state IN (SELECT s_state FROM (
+          SELECT s_state,
+                 RANK() OVER (PARTITION BY s_state
+                              ORDER BY SUM(ss_net_profit) DESC) AS ranking
+          FROM store_sales, store, date_dim
+          WHERE d_month_seq BETWEEN 1176 AND 1187
+            AND d_date_sk = ss_sold_date_sk
+            AND s_store_sk = ss_store_sk
+          GROUP BY s_state
+        ) tmp1 WHERE ranking <= 5)
+  GROUP BY ROLLUP(s_state, s_county)
+) g
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q89",
+    "TPC-DS q89: monthly brand/store sums deviating >10% from the "
+    "year average (reference TPCDSBenchmarkQueries.scala:4499).",
+    """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+         d_moy, CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY i_category, i_brand, s_store_name,
+                    s_company_name) AS DOUBLE)
+           / COUNT(SUM(ss_sales_price))
+             OVER (PARTITION BY i_category, i_brand, s_store_name,
+                   s_company_name)
+           AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year = 1999
+    AND ((i_category IN ('Books', 'Electronics', 'Sports')
+          AND i_class IN ('class1', 'class3', 'class15'))
+      OR (i_category IN ('Men', 'Jewelry', 'Women')
+          AND i_class IN ('class8', 'class25', 'class40')))
+  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+           d_moy
+) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category,
+         i_class, i_brand, d_moy
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

@@ -207,6 +207,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("t_hour", _int("FLOOR(id/3600)")),
                 ("t_minute", _int("FLOOR(id/60) % 60")),
                 ("t_second", _int("id % 60")),
+                ("t_meal_time", "CASE WHEN FLOOR(id/3600) BETWEEN 6 AND 8 THEN 'breakfast' WHEN FLOOR(id/3600) BETWEEN 17 AND 19 THEN 'dinner' ELSE NULL END"),
             ],
         ),
         "item": (
