@@ -1935,6 +1935,502 @@ LIMIT 100""",
 )
 
 
+_q(
+    "tpcds_q08",
+    "TPC-DS q8: store profits in zip prefixes that both appear in a "
+    "given list AND host >10 preferred customers — INTERSECT of a "
+    "literal zip set with a HAVING-gated aggregate "
+    "(reference TPCDSBenchmarkQueries.scala:411).",
+    f"""
+SELECT s_store_name, {_dsum("ss_net_profit")} AS net_profit
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip FROM (
+        (SELECT substr(ca_zip, 1, 5) AS ca_zip FROM customer_address
+         WHERE substr(ca_zip, 1, 5) IN
+           ('10000', '10037', '10074', '10111', '10148', '10185',
+            '10222', '10259', '10296', '10333'))
+        INTERSECT
+        (SELECT ca_zip FROM (
+           SELECT substr(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
+           FROM customer_address, customer
+           WHERE ca_address_sk = c_current_addr_sk
+             AND c_preferred_cust_flag = 'Y'
+           GROUP BY ca_zip HAVING COUNT(*) > 10) a1)
+      ) a2) v1
+WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND substr(s_zip, 1, 2) = substr(v1.ca_zip, 1, 2)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q31",
+    "TPC-DS q31: counties where web sales grew faster than store sales "
+    "in consecutive quarters — two per-county quarterly CTEs, each "
+    "consumed three times, with cross-channel growth-ratio predicates "
+    "(reference TPCDSBenchmarkQueries.scala:1657).",
+    f"""
+WITH ss AS (
+  SELECT ca_county, d_qoy, d_year,
+         {_dsum("ss_ext_sales_price")} AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year
+), ws AS (
+  SELECT ca_county, d_qoy, d_year,
+         {_dsum("ws_ext_sales_price")} AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year
+)
+SELECT ss1.ca_county, ss1.d_year,
+       ws2.web_sales / ws1.web_sales AS web_q1_q2_increase,
+       ss2.store_sales / ss1.store_sales AS store_q1_q2_increase,
+       ws3.web_sales / ws2.web_sales AS web_q2_q3_increase,
+       ss3.store_sales / ss2.store_sales AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+  AND ss1.ca_county = ss2.ca_county AND ss2.d_qoy = 2
+  AND ss2.d_year = 2000
+  AND ss2.ca_county = ss3.ca_county AND ss3.d_qoy = 3
+  AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1
+  AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2
+  AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3
+  AND ws3.d_year = 2000
+  AND CASE WHEN ws1.web_sales > 0 THEN ws2.web_sales / ws1.web_sales
+           ELSE NULL END
+    > CASE WHEN ss1.store_sales > 0 THEN ss2.store_sales / ss1.store_sales
+           ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0 THEN ws3.web_sales / ws2.web_sales
+           ELSE NULL END
+    > CASE WHEN ss2.store_sales > 0 THEN ss3.store_sales / ss2.store_sales
+           ELSE NULL END
+ORDER BY ss1.ca_county""",
+)
+
+_q(
+    "tpcds_q54",
+    "TPC-DS q54: revenue segments of customers who bought a category "
+    "online in one month, from stores in their own county, in the "
+    "following quarter — month-seq window via scalar subqueries "
+    "(reference TPCDSBenchmarkQueries.scala:2613). Segmentation uses "
+    "FLOOR before the INT cast: a bare double→INT cast truncates in "
+    "Spark but rounds in DuckDB.",
+    f"""
+WITH my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_bill_customer_sk AS customer_sk,
+               cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+    AND i_category = 'Music' AND i_class = 'class5'
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_moy = 12 AND d_year = 1998
+), my_revenue AS (
+  SELECT c_customer_sk, {_dsum("ss_ext_sales_price")} AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_county = s_county AND ca_state = s_state
+    AND ss_customer_sk = c_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN
+        (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+         WHERE d_year = 1998 AND d_moy = 12)
+        AND
+        (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+         WHERE d_year = 1998 AND d_moy = 12)
+  GROUP BY c_customer_sk
+), segments AS (
+  SELECT CAST(FLOOR(revenue / 50) AS INT) AS segment FROM my_revenue
+)
+SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q58",
+    "TPC-DS q58: items with near-equal revenue in all three channels "
+    "over one week — three per-channel CTEs joined with ±10% BETWEEN "
+    "bands; the week resolved by nested scalar subqueries "
+    "(reference TPCDSBenchmarkQueries.scala:2796).",
+    "WITH "
+    + ", ".join(
+        f"""{p}_items AS (
+  SELECT i_item_id AS item_id,
+         CAST(SUM({p}_ext_sales_price) AS DOUBLE) AS {p}_item_rev
+  FROM {fact}, item, date_dim
+  WHERE {p}_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '1999-02-22'))
+    AND {p}_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)"""
+        for p, fact in [("ss", "store_sales"), ("cs", "catalog_sales"),
+                        ("ws", "web_sales")]
+    )
+    + """
+SELECT ss_items.item_id, ss_item_rev,
+       ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS ss_dev,
+       cs_item_rev,
+       cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS cs_dev,
+       ws_item_rev,
+       ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS ws_dev,
+       (ss_item_rev + cs_item_rev + ws_item_rev) / 3 AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100""",
+)
+
+
+_ZERO = "CAST(0 AS DECIMAL(12,2))"
+_Q5_WINDOW = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'"
+
+
+def _dsum8(e: str) -> str:
+    """Decimal-exact SUM of an already-double expression (outer rollups
+    over per-group doubles: cast to DECIMAL(18,8) so accumulation order
+    cannot diverge between engines)."""
+    return f"CAST(SUM(CAST({e} AS DECIMAL(18,8))) AS DOUBLE)"
+
+
+_q(
+    "tpcds_q05",
+    "TPC-DS q5: two-week channel P&L — per-channel sales∪returns UNION "
+    "arms aggregated per entity, re-aggregated under ROLLUP(channel, id) "
+    "(reference TPCDSBenchmarkQueries.scala:239).",
+    f"""
+WITH ssr AS (
+  SELECT s_store_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+               ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+               {_ZERO} AS return_amt, {_ZERO} AS net_loss
+        FROM store_sales
+        UNION ALL
+        SELECT sr_store_sk, sr_returned_date_sk, {_ZERO}, {_ZERO},
+               sr_return_amt, sr_net_loss
+        FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk AND {_Q5_WINDOW} AND store_sk = s_store_sk
+  GROUP BY s_store_id
+), csr AS (
+  SELECT cp_catalog_page_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+               cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+               {_ZERO} AS return_amt, {_ZERO} AS net_loss
+        FROM catalog_sales
+        UNION ALL
+        SELECT cr_catalog_page_sk, cr_returned_date_sk, {_ZERO}, {_ZERO},
+               cr_return_amount, cr_net_loss
+        FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk AND {_Q5_WINDOW}
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id
+), wsr AS (
+  SELECT web_site_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT ws_web_site_sk AS wsr_web_site_sk,
+               ws_sold_date_sk AS date_sk,
+               ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+               {_ZERO} AS return_amt, {_ZERO} AS net_loss
+        FROM web_sales
+        UNION ALL
+        SELECT ws_web_site_sk, wr_returned_date_sk, {_ZERO}, {_ZERO},
+               wr_return_amt, wr_net_loss
+        FROM web_returns LEFT OUTER JOIN web_sales
+          ON (wr_item_sk = ws_item_sk
+              AND wr_order_number = ws_order_number)) salesreturns,
+       date_dim, web_site
+  WHERE date_sk = d_date_sk AND {_Q5_WINDOW}
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id
+)
+SELECT channel, id, {_dsum8("sales")} AS sales,
+       {_dsum8("returns_amt")} AS returns_amt,
+       {_dsum8("profit")} AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             CAST(sales AS DOUBLE) AS sales,
+             CAST(returns_amt AS DOUBLE) AS returns_amt,
+             CAST(profit - profit_loss AS DOUBLE) AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel', 'catalog_page' || cp_catalog_page_id,
+             CAST(sales AS DOUBLE), CAST(returns_amt AS DOUBLE),
+             CAST(profit - profit_loss AS DOUBLE)
+      FROM csr
+      UNION ALL
+      SELECT 'web channel', 'web_site' || web_site_id,
+             CAST(sales AS DOUBLE), CAST(returns_amt AS DOUBLE),
+             CAST(profit - profit_loss AS DOUBLE)
+      FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100""",
+)
+
+
+def _q33_arm(fact: str, p: str, addr_fk: str, item_pred: str) -> str:
+    return f"""
+  SELECT i_item_id, CAST(SUM({p}_ext_sales_price) AS DOUBLE) AS total_sales
+  FROM {fact}, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE {item_pred})
+    AND {p}_item_sk = i_item_sk AND {p}_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND {addr_fk} = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id"""
+
+
+def _q33_family(item_pred: str) -> str:
+    return (
+        "WITH ss AS ("
+        + _q33_arm("store_sales", "ss", "ss_addr_sk", item_pred)
+        + "), cs AS ("
+        + _q33_arm("catalog_sales", "cs", "cs_bill_addr_sk", item_pred)
+        + "), ws AS ("
+        + _q33_arm("web_sales", "ws", "ws_bill_addr_sk", item_pred)
+        + f""")
+SELECT i_item_id, {_dsum8("total_sales")} AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales, i_item_id
+LIMIT 100"""
+    )
+
+
+_q(
+    "tpcds_q56",
+    "TPC-DS q56: three-channel item revenue for chosen colors in one "
+    "month/GMT offset (reference TPCDSBenchmarkQueries.scala:2681).",
+    _q33_family("i_color IN ('almond', 'azure', 'beige')"),
+)
+
+_q(
+    "tpcds_q60",
+    "TPC-DS q60: q56's shape for one category "
+    "(reference TPCDSBenchmarkQueries.scala:2903).",
+    _q33_family("i_category IN ('Music')"),
+)
+
+_q(
+    "tpcds_q61",
+    "TPC-DS q61: promotional share of one category's store revenue — "
+    "two scalar-aggregate subqueries crossed into a ratio "
+    "(reference TPCDSBenchmarkQueries.scala:2980).",
+    f"""
+SELECT promotions, total,
+       promotions / NULLIF(total, 0) * 100 AS ratio
+FROM (SELECT {_dsum("ss_ext_sales_price")} AS promotions
+      FROM store_sales, store, promotion, date_dim, customer,
+           customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+             OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11
+     ) promotional_sales,
+     (SELECT {_dsum("ss_ext_sales_price")} AS total
+      FROM store_sales, store, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5 AND i_category = 'Jewelry'
+        AND s_gmt_offset = -5 AND d_year = 1998 AND d_moy = 11
+     ) all_sales
+ORDER BY promotions, total
+LIMIT 100""",
+)
+
+_Q77_WINDOW = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'"
+
+_q(
+    "tpcds_q77",
+    "TPC-DS q77: 30-day channel P&L — per-entity sales CTEs outer-joined "
+    "to their returns CTEs (the catalog arm cross-joins, as in the "
+    "spec), re-aggregated under ROLLUP "
+    "(reference TPCDSBenchmarkQueries.scala:3865).",
+    f"""
+WITH ss AS (
+  SELECT s_store_sk, {_dsum("ss_ext_sales_price")} AS sales,
+         {_dsum("ss_net_profit")} AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk AND {_Q77_WINDOW}
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk
+), sr AS (
+  SELECT s_store_sk, {_dsum("sr_return_amt")} AS returns_amt,
+         {_dsum("sr_net_loss")} AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk AND {_Q77_WINDOW}
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk
+), cs AS (
+  SELECT cs_call_center_sk, {_dsum("cs_ext_sales_price")} AS sales,
+         {_dsum("cs_net_profit")} AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk AND {_Q77_WINDOW}
+  GROUP BY cs_call_center_sk
+), cr AS (
+  SELECT cr_call_center_sk, {_dsum("cr_return_amount")} AS returns_amt,
+         {_dsum("cr_net_loss")} AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk AND {_Q77_WINDOW}
+  GROUP BY cr_call_center_sk
+), ws AS (
+  SELECT wp_web_page_sk, {_dsum("ws_ext_sales_price")} AS sales,
+         {_dsum("ws_net_profit")} AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk AND {_Q77_WINDOW}
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk
+), wr AS (
+  SELECT wp_web_page_sk, {_dsum("wr_return_amt")} AS returns_amt,
+         {_dsum("wr_net_loss")} AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk AND {_Q77_WINDOW}
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk
+)
+SELECT channel, id, {_dsum8("sales")} AS sales,
+       {_dsum8("returns_amt")} AS returns_amt,
+       {_dsum8("profit")} AS profit
+FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+             COALESCE(returns_amt, 0) AS returns_amt,
+             profit - COALESCE(profit_loss, 0) AS profit
+      FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+      UNION ALL
+      SELECT 'catalog channel', cs_call_center_sk, sales, returns_amt,
+             profit - profit_loss
+      FROM cs, cr
+      UNION ALL
+      SELECT 'web channel', ws.wp_web_page_sk, sales,
+             COALESCE(returns_amt, 0),
+             profit - COALESCE(profit_loss, 0)
+      FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100""",
+)
+
+_Q80_WINDOW = "d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'"
+
+
+def _q80_arm(channel, fact, p, returns, rp, sale_date, entity_join, entity_id):
+    return f"""
+  SELECT '{channel}' AS channel, {entity_id} AS id,
+         CAST(SUM({p}_ext_sales_price) AS DOUBLE) AS sales,
+         CAST(SUM(COALESCE({rp}_return_amt, 0)) AS DOUBLE) AS returns_amt,
+         CAST(SUM({p}_net_profit - COALESCE({rp}_net_loss, 0)) AS DOUBLE)
+           AS profit
+  FROM {fact}
+  LEFT OUTER JOIN {returns} ON ({p}_item_sk = {rp}_item_sk
+                                AND {sale_date})
+  , date_dim, item, promotion{entity_join}
+  WHERE {p}_sold_date_sk = d_date_sk AND {_Q80_WINDOW}
+    AND {p}_item_sk = i_item_sk AND i_current_price > 50
+    AND {p}_promo_sk = p_promo_sk AND p_channel_tv = 'N'
+  GROUP BY {entity_id}"""
+
+
+_q(
+    "tpcds_q80",
+    "TPC-DS q80: 30-day promo P&L for pricey items under non-TV "
+    "promotions — three channel arms with returns outer-joined on the "
+    "sale identity, ROLLUP over channel × entity "
+    "(reference TPCDSBenchmarkQueries.scala:4051).",
+    "SELECT channel, id, "
+    + _dsum8("sales")
+    + " AS sales, "
+    + _dsum8("returns_amt")
+    + " AS returns_amt, "
+    + _dsum8("profit")
+    + " AS profit\nFROM ("
+    + _q80_arm(
+        "store channel", "store_sales", "ss", "store_returns", "sr",
+        "ss_ticket_number = sr_ticket_number",
+        ", store", "'store' || s_store_id",
+    ).replace("GROUP BY 'store' || s_store_id",
+              "AND ss_store_sk = s_store_sk\n  GROUP BY s_store_id")
+    .replace("'store' || s_store_id AS id", "'store' || s_store_id AS id")
+    + "\n  UNION ALL"
+    + _q80_arm(
+        "catalog channel", "catalog_sales", "cs", "catalog_returns", "cr",
+        "cs_order_number = cr_order_number",
+        ", catalog_page", "'catalog_page' || cp_catalog_page_id",
+    ).replace("GROUP BY 'catalog_page' || cp_catalog_page_id",
+              "AND cs_catalog_page_sk = cp_catalog_page_sk\n"
+              "  GROUP BY cp_catalog_page_id")
+    .replace("cr_return_amt", "cr_return_amount")
+    + "\n  UNION ALL"
+    + _q80_arm(
+        "web channel", "web_sales", "ws", "web_returns", "wr",
+        "ws_order_number = wr_order_number",
+        ", web_site", "'web_site' || web_site_id",
+    ).replace("GROUP BY 'web_site' || web_site_id",
+              "AND ws_web_site_sk = web_site_sk\n  GROUP BY web_site_id")
+    + """
+) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q91",
+    "TPC-DS q91: call-center return losses from one demographic in one "
+    "month — returns walked through the full customer dimension chain "
+    "(reference TPCDSBenchmarkQueries.scala:4547).",
+    """
+SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+       cc_manager AS manager,
+       CAST(SUM(cr_net_loss) AS DOUBLE) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer, customer_address,
+     customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998 AND d_moy = 11
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+ORDER BY returns_loss DESC""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

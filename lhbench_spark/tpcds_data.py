@@ -244,7 +244,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("s_city", _case("(id % 4)", _CITIES[:4])),
                 ("s_county", _case("(id % 3)", ["Williamson County", "Ziebach County", "Walker County"])),
                 ("s_state", _case("(id % 5)", _STATES[:5])),
-                ("s_zip", "CAST(35000 + id*137 AS STRING)"),
+                ("s_zip", "CAST(10000 + id*37 AS STRING)"),
                 ("s_gmt_offset", "CAST(CASE WHEN id % 2 = 0 THEN -5 ELSE -6 END AS DECIMAL(5,2))"),
             ],
         ),
@@ -274,9 +274,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ca_street_number", "CAST(1 + (id*13) % 999 AS STRING)"),
                 ("ca_street_name", "'Street ' || CAST(1 + (id*11) % 200 AS STRING)"),
                 ("ca_city", _case("((id*7) % 8)", _CITIES)),
-                ("ca_county", f"'County ' || CAST({_mix(3, 30)} AS STRING)"),
+                ("ca_county", _case("((id*3) % 5)", ["Williamson County", "Ziebach County", "Walker County", "Luce County", "Dauphin County"])),
                 ("ca_state", _case("((id*11) % 9)", _STATES)),
-                ("ca_zip", "CAST(10000 + (id*37) % 90000 AS STRING)"),
+                ("ca_zip", "CAST(10000 + (id*37) % 500 AS STRING)"),
                 ("ca_country", "'United States'"),
                 ("ca_gmt_offset", "CAST(-5 - (id % 4) AS DECIMAL(5,2))"),
             ],
@@ -370,6 +370,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_warehouse_sk", _int(_mix(13, _N_WAREHOUSE))),
                 ("cs_ship_mode_sk", _int(_mix(17, _N_SHIPMODE))),
                 ("cs_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
+                ("cs_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
                 ("cs_ext_ship_cost", _cents("(50 + (id*41) % 4950)")),
                 ("cs_promo_sk", _int(_mix(191, _N_PROMO))),
                 ("cs_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
@@ -403,6 +404,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
                 ("sr_return_amt", _cents(f"(({_SALES_C}) * (1 + (id*5) % (1 + (id*17) % 100)))")),
+                ("sr_net_loss", _cents("(50 + (id*19) % 4950)")),
             ],
             "id % 3 = 0",
         ),
@@ -412,6 +414,12 @@ def _specs(dialect: str) -> dict[str, tuple]:
             [
                 ("cr_item_sk", _int(_mix(167, _N_ITEM))),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
+                ("cr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
+                ("cr_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
+                ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
+                ("cr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
+                ("cr_return_amount", _cents("((id*43) % 9900)")),
+                ("cr_net_loss", _cents("(50 + (id*23) % 4950)")),
                 ("cr_refunded_cash", _cents("(100 + (id*7) % 2900)")),
                 ("cr_reversed_charge", _cents("((id*11) % 1500)")),
                 ("cr_store_credit", _cents("((id*13) % 1000)")),
@@ -425,7 +433,10 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("wr_item_sk", _int(_mix(149, _N_ITEM))),
                 ("wr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 ("wr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
+                ("wr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {{_N_DAYS}} + 1 + (id*11) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
+                ("wr_web_page_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*197) % " + str(_N_WEBPAGE) + ")")),
                 ("wr_return_amt", _cents("((id*43) % 9900)")),
+                ("wr_net_loss", _cents("(50 + (id*29) % 4950)")),
             ],
             "id % 6 = 0",
         ),
