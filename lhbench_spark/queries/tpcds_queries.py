@@ -2431,6 +2431,1079 @@ ORDER BY returns_loss DESC""",
 )
 
 
+_q(
+    "tpcds_q10",
+    "TPC-DS q10: demographic counts for county residents active in "
+    "stores AND (web OR catalog) in one quarter — EXISTS plus an OR of "
+    "two EXISTS (reference TPCDSBenchmarkQueries.scala:567).",
+    """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       COUNT(*) AS cnt1, cd_purchase_estimate, COUNT(*) AS cnt2,
+       cd_credit_rating, COUNT(*) AS cnt3, cd_dep_count, COUNT(*) AS cnt4,
+       cd_dep_employed_count, COUNT(*) AS cnt5,
+       cd_dep_college_count, COUNT(*) AS cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Williamson County', 'Ziebach County', 'Walker County')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy BETWEEN 1 AND 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_bill_customer_sk
+                 AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100""",
+)
+
+
+def _yt2_arm(fact, p, cust_fk, formula, sale_type):
+    return f"""
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         d_year AS dyear,
+         CAST(SUM({formula}) AS DOUBLE) AS year_total,
+         '{sale_type}' AS sale_type
+  FROM customer, {fact}, date_dim
+  WHERE c_customer_sk = {cust_fk} AND {p}_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, d_year"""
+
+
+def _yt2_query(formula_ss, formula_ws, out_cols, order_cols):
+    return (
+        "WITH year_total AS ("
+        + _yt2_arm("store_sales", "ss", "ss_customer_sk", formula_ss, "s")
+        + "\n  UNION ALL"
+        + _yt2_arm("web_sales", "ws", "ws_bill_customer_sk", formula_ws, "w")
+        + f"""
+)
+SELECT {out_cols}
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+ORDER BY {order_cols}
+LIMIT 100"""
+    )
+
+
+_q(
+    "tpcds_q11",
+    "TPC-DS q11: q4's year_total growth comparison for the store/web "
+    "pair on list-minus-discount profit "
+    "(reference TPCDSBenchmarkQueries.scala:625).",
+    _yt2_query(
+        "ss_ext_list_price - ss_ext_discount_amt",
+        "ws_ext_list_price - ws_ext_discount_amt",
+        "t_s_secyear.customer_id, t_s_secyear.customer_first_name,\n"
+        "       t_s_secyear.customer_last_name,\n"
+        "       t_s_secyear.customer_preferred_cust_flag",
+        "t_s_secyear.customer_id, t_s_secyear.customer_first_name,\n"
+        "         t_s_secyear.customer_last_name,\n"
+        "         t_s_secyear.customer_preferred_cust_flag",
+    ),
+)
+
+_q(
+    "tpcds_q74",
+    "TPC-DS q74: the year_total pair comparison on net paid "
+    "(reference TPCDSBenchmarkQueries.scala:3713).",
+    _yt2_query(
+        "ss_net_paid",
+        "ws_net_paid",
+        "t_s_secyear.customer_id, t_s_secyear.customer_first_name,\n"
+        "       t_s_secyear.customer_last_name",
+        "t_s_secyear.customer_id, t_s_secyear.customer_first_name,\n"
+        "         t_s_secyear.customer_last_name",
+    ),
+)
+
+_q(
+    "tpcds_q18",
+    "TPC-DS q18: catalog demographic averages under a 4-level ROLLUP "
+    "(item → country → state → county) with dual demographic roles "
+    "(reference TPCDSBenchmarkQueries.scala:1092).",
+    f"""
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       {_davg("cs_quantity")} AS agg1,
+       {_davg("cs_list_price")} AS agg2,
+       {_davg("cs_coupon_amt")} AS agg3,
+       {_davg("cs_sales_price")} AS agg4,
+       {_davg("cs_net_profit")} AS agg5,
+       {_davg("c_birth_year")} AS agg6,
+       {_davg("cd1.cd_dep_count")} AS agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F' AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+  AND d_year = 1998
+  AND ca_state IN ('TN', 'SC', 'CA', 'WA', 'TX', 'GA', 'OH')
+GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+         ca_county NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q22",
+    "TPC-DS q22: average inventory on hand over the product ROLLUP "
+    "hierarchy (reference TPCDSBenchmarkQueries.scala:1207).",
+    f"""
+SELECT i_product_name, i_brand, i_class, i_category,
+       {_davg("inv_quantity_on_hand")} AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 1188 AND 1199
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q30",
+    "TPC-DS q30: customers returning >1.2x their state's average web "
+    "return (q1's shape over web_returns through the returning "
+    "address; reference TPCDSBenchmarkQueries.scala:1627; output "
+    "restricted to generated customer columns).",
+    """
+WITH customer_total_return AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         CAST(SUM(wr_return_amt) AS DOUBLE) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state
+)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_month, c_birth_year,
+       c_birth_country, ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(1.2 AS DOUBLE) *
+              (CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(18,8)))
+                    AS DOUBLE) / COUNT(ctr2.ctr_total_return))
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_month, c_birth_year,
+         c_birth_country, ctr_total_return
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q38",
+    "TPC-DS q38: customers×dates present in ALL three channels — "
+    "3-way INTERSECT count (reference TPCDSBenchmarkQueries.scala:1941).",
+    """
+SELECT COUNT(*) AS cnt FROM (
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1188 AND 1199)
+  INTERSECT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1188 AND 1199)
+  INTERSECT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1188 AND 1199)
+) hot_cust
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q40",
+    "TPC-DS q40: warehouse net catalog sales before/after a recall "
+    "date, returns netted out through the outer join "
+    "(reference TPCDSBenchmarkQueries.scala:2016).",
+    f"""
+SELECT w_state, i_item_id,
+       CAST(SUM(CASE WHEN d_date < DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS DOUBLE) AS sales_before,
+       CAST(SUM(CASE WHEN d_date >= DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS DOUBLE) AS sales_after
+FROM catalog_sales
+LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                    AND cs_item_sk = cr_item_sk)
+, warehouse, item, date_dim
+WHERE i_current_price BETWEEN 10 AND 60
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q81",
+    "TPC-DS q81: q30's above-state-average shape over catalog returns "
+    "with the customer's full address in the output "
+    "(reference TPCDSBenchmarkQueries.scala:4146; output restricted to "
+    "generated address columns).",
+    """
+WITH customer_total_return AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         CAST(SUM(cr_return_amount) AS DOUBLE) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND cr_returning_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state
+)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_city, ca_state, ca_zip,
+       ca_country, ca_gmt_offset, ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(1.2 AS DOUBLE) *
+              (CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(18,8)))
+                    AS DOUBLE) / COUNT(ctr2.ctr_total_return))
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_city, ca_state, ca_zip,
+         ca_country, ca_gmt_offset, ctr_total_return
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q83",
+    "TPC-DS q83: per-item return quantities in three chosen weeks "
+    "across the three return channels, with share-of-total deviations "
+    "(reference TPCDSBenchmarkQueries.scala:4192).",
+    "WITH "
+    + ", ".join(
+        f"""{p}_items AS (
+  SELECT i_item_id AS item_id,
+         CAST(SUM({p}_return_quantity) AS BIGINT) AS {p}_item_qty
+  FROM {fact}, item, date_dim
+  WHERE {p}_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date IN (DATE '1999-06-30',
+                                                         DATE '1999-08-28',
+                                                         DATE '1999-11-18')))
+    AND {p}_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)"""
+        for p, fact in [("sr", "store_returns"), ("cr", "catalog_returns"),
+                        ("wr", "web_returns")]
+    )
+    + """
+SELECT sr_items.item_id, sr_item_qty,
+       CAST(sr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty)
+         / CAST(3 AS DOUBLE) * 100 AS sr_dev,
+       cr_item_qty,
+       CAST(cr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty)
+         / CAST(3 AS DOUBLE) * 100 AS cr_dev,
+       wr_item_qty,
+       CAST(wr_item_qty AS DOUBLE)
+         / (sr_item_qty + cr_item_qty + wr_item_qty)
+         / CAST(3 AS DOUBLE) * 100 AS wr_dev,
+       (sr_item_qty + cr_item_qty + wr_item_qty)
+         / CAST(3 AS DOUBLE) AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q86",
+    "TPC-DS q86: web net-paid ranking within the category/class ROLLUP "
+    "(q36's pattern over web_sales; reference "
+    "TPCDSBenchmarkQueries.scala:4361).",
+    """
+SELECT total_sum, i_category, i_class, lochierarchy, rank_within_parent
+FROM (
+  SELECT total_sum, i_category, i_class, lochierarchy, g_class,
+         RANK() OVER (PARTITION BY lochierarchy,
+                      CASE WHEN g_class = 0 THEN i_category END
+                      ORDER BY total_sum DESC) AS rank_within_parent
+  FROM (
+    SELECT CAST(SUM(ws_net_paid) AS DOUBLE) AS total_sum,
+           i_category, i_class,
+           CAST(GROUPING(i_category) + GROUPING(i_class) AS INT)
+             AS lochierarchy,
+           CAST(GROUPING(i_class) AS INT) AS g_class
+    FROM web_sales, date_dim d1, item
+    WHERE d1.d_month_seq BETWEEN 1188 AND 1199
+      AND d1.d_date_sk = ws_sold_date_sk
+      AND i_item_sk = ws_item_sk
+    GROUP BY ROLLUP(i_category, i_class)
+  ) g
+) r
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100""",
+)
+
+
+_ITEM_FLOW_JOIN = """
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk"""
+
+_q(
+    "tpcds_q17",
+    "TPC-DS q17: buy→return→rebuy item flows with count/avg/stddev "
+    "stats per quarter triple (reference "
+    "TPCDSBenchmarkQueries.scala:1048). stddev_samp stays native (the "
+    "driver gate accepts its sub-ulp engine divergence — agg_stats "
+    "precedent); correlated purchase pairs emerge at sf>=0.1 (the "
+    "synthetic facts carry no cross-channel correlation, so the result "
+    "is empty below that).",
+    f"""
+SELECT i_item_id, i_item_desc, s_state,
+       COUNT(ss_quantity) AS store_sales_quantitycount,
+       {_davg("ss_quantity")} AS store_sales_quantityave,
+       STDDEV_SAMP(ss_quantity) AS store_sales_quantitystdev,
+       COUNT(sr_return_quantity) AS store_returns_quantitycount,
+       {_davg("sr_return_quantity")} AS store_returns_quantityave,
+       STDDEV_SAMP(sr_return_quantity) AS store_returns_quantitystdev,
+       COUNT(cs_quantity) AS catalog_sales_quantitycount,
+       {_davg("cs_quantity")} AS catalog_sales_quantityave,
+       STDDEV_SAMP(cs_quantity) AS catalog_sales_quantitystdev
+{_ITEM_FLOW_JOIN}
+  AND d1.d_quarter_name = '2000Q1'
+  AND d2.d_quarter_name IN ('2000Q1', '2000Q2', '2000Q3')
+  AND d3.d_quarter_name IN ('2000Q1', '2000Q2', '2000Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q25",
+    "TPC-DS q25: q17's flow with net-profit sums "
+    "(reference TPCDSBenchmarkQueries.scala:1440).",
+    f"""
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_net_profit) AS DOUBLE) AS store_sales_profit,
+       CAST(SUM(sr_net_loss) AS DOUBLE) AS store_returns_loss,
+       CAST(SUM(cs_net_profit) AS DOUBLE) AS catalog_sales_profit
+{_ITEM_FLOW_JOIN}
+  AND d1.d_moy = 4 AND d1.d_year = 2000
+  AND d2.d_moy BETWEEN 4 AND 10 AND d2.d_year = 2000
+  AND d3.d_moy BETWEEN 4 AND 10 AND d3.d_year = 2000
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q29",
+    "TPC-DS q29: q17's flow with quantity sums over a wider return "
+    "window (reference TPCDSBenchmarkQueries.scala:1581).",
+    f"""
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(SUM(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(SUM(cs_quantity) AS BIGINT) AS catalog_sales_quantity
+{_ITEM_FLOW_JOIN}
+  AND d1.d_moy = 4 AND d1.d_year = 1999
+  AND d2.d_moy BETWEEN 4 AND 7 AND d2.d_year = 1999
+  AND d3.d_year IN (1999, 2000, 2001)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q35",
+    "TPC-DS q35: q10's channel-presence profile with per-demographic "
+    "aggregate triples (reference TPCDSBenchmarkQueries.scala:1839; "
+    "native STDDEV_SAMP as in q17).",
+    f"""
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       COUNT(*) AS cnt1,
+       {_davg("cd_dep_count")} AS avg_dep,
+       STDDEV_SAMP(cd_dep_count) AS stdev_dep,
+       MAX(cd_dep_count) AS max_dep,
+       cd_dep_employed_count,
+       COUNT(*) AS cnt2,
+       {_davg("cd_dep_employed_count")} AS avg_emp,
+       STDDEV_SAMP(cd_dep_employed_count) AS stdev_emp,
+       MAX(cd_dep_employed_count) AS max_emp,
+       cd_dep_college_count,
+       COUNT(*) AS cnt3,
+       {_davg("cd_dep_college_count")} AS avg_col,
+       STDDEV_SAMP(cd_dep_college_count) AS stdev_col,
+       MAX(cd_dep_college_count) AS max_col
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_qoy < 4)
+    OR EXISTS (SELECT * FROM catalog_sales, date_dim
+               WHERE c.c_customer_sk = cs_bill_customer_sk
+                 AND cs_sold_date_sk = d_date_sk
+                 AND d_year = 2001 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100""",
+)
+
+
+_Q44_BASELINE = """(SELECT CAST(SUM(CAST(ss_net_profit AS DECIMAL(18,8)))
+                       AS DOUBLE) / COUNT(ss_net_profit) AS rank_col
+               FROM store_sales
+               WHERE ss_store_sk = 4 AND ss_customer_sk IS NULL
+               GROUP BY ss_store_sk)"""
+
+
+def _q44_side(direction: str) -> str:
+    return f"""(SELECT * FROM (
+    SELECT item_sk, RANK() OVER (ORDER BY rank_col {direction}) AS rnk
+    FROM (SELECT ss_item_sk AS item_sk,
+                 CAST(SUM(CAST(ss_net_profit AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(ss_net_profit) AS rank_col
+          FROM store_sales ss1
+          WHERE ss_store_sk = 4
+          GROUP BY ss_item_sk
+          HAVING CAST(SUM(CAST(ss_net_profit AS DECIMAL(18,8))) AS DOUBLE)
+                   / COUNT(ss_net_profit) > 0.9 * {_Q44_BASELINE}) v1
+  ) v11 WHERE rnk < 11)"""
+
+
+_q(
+    "tpcds_q44",
+    "TPC-DS q44: best vs worst performing items at one store — "
+    "ascending and descending profit ranks joined by rank position, "
+    "both gated on the null-customer baseline average "
+    "(reference TPCDSBenchmarkQueries.scala:2133; the spec's null-addr "
+    "baseline uses this generator's nullable customer key).",
+    f"""
+SELECT asceding.rnk AS rnk, i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM {_q44_side("ASC")} asceding,
+     {_q44_side("DESC")} descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk, best_performing, worst_performing
+LIMIT 100""",
+)
+
+
+def _q49_arm(channel, fact, p, returns, rp, qty, amt) -> str:
+    return f"""
+  SELECT '{channel}' AS channel, item, return_ratio, return_rank,
+         currency_rank
+  FROM (
+    SELECT item, return_ratio, currency_ratio,
+           RANK() OVER (ORDER BY return_ratio) AS return_rank,
+           RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+    FROM (
+      SELECT {p}.{p}_item_sk AS item,
+             CAST(SUM(COALESCE({rp}.{rp}_{qty}, 0)) AS DOUBLE)
+               / CAST(SUM(COALESCE({p}.{p}_quantity, 0)) AS DOUBLE)
+               AS return_ratio,
+             CAST(SUM(COALESCE({rp}.{rp}_{amt}, 0)) AS DOUBLE)
+               / CAST(SUM(COALESCE({p}.{p}_net_paid, 0)) AS DOUBLE)
+               AS currency_ratio
+      FROM {fact} {p} LEFT OUTER JOIN {returns} {rp}
+             ON ({p}.{p}_order_number = {rp}.{rp}_order_number
+                 AND {p}.{p}_item_sk = {rp}.{rp}_item_sk), date_dim
+      WHERE {rp}.{rp}_{amt} > 100
+        AND {p}.{p}_net_profit > 1
+        AND {p}.{p}_net_paid > 0
+        AND {p}.{p}_quantity > 0
+        AND {p}_sold_date_sk = d_date_sk
+        AND d_year = 1999 AND d_moy = 12
+      GROUP BY {p}.{p}_item_sk) in_chan) rankings
+  WHERE return_rank <= 10 OR currency_rank <= 10"""
+
+
+_q(
+    "tpcds_q49",
+    "TPC-DS q49: worst return ratios per channel — quantity and "
+    "currency ranks over outer-joined returns, top-10 of either rank, "
+    "three channels unioned (reference "
+    "TPCDSBenchmarkQueries.scala:2335; the store arm joins on (ticket, "
+    "item) since store_sales has no order number).",
+    "SELECT channel, item, return_ratio, return_rank, currency_rank\nFROM ("
+    + _q49_arm("web", "web_sales", "ws", "web_returns", "wr",
+               "return_quantity", "return_amt")
+    + "\n  UNION\n"
+    + _q49_arm("catalog", "catalog_sales", "cs", "catalog_returns", "cr",
+               "return_quantity", "return_amount")
+    + "\n  UNION\n"
+    + _q49_arm("store", "store_sales", "ss", "store_returns", "sr",
+               "return_quantity", "return_amt")
+    .replace("ss.ss_order_number = sr.sr_order_number",
+             "ss.ss_ticket_number = sr.sr_ticket_number")
+    + """
+) x
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100""",
+)
+
+
+def _q75_arm(fact, p, returns, rp, ret_join) -> str:
+    return f"""
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           {p}_quantity - COALESCE({rp}_return_quantity, 0) AS sales_cnt,
+           {p}_ext_sales_price - COALESCE({rp}_return_amt, 0)
+             AS sales_amt
+    FROM {fact}
+    JOIN item ON i_item_sk = {p}_item_sk
+    JOIN date_dim ON d_date_sk = {p}_sold_date_sk
+    LEFT JOIN {returns} ON ({ret_join})
+    WHERE i_category = 'Electronics'"""
+
+
+_q(
+    "tpcds_q75",
+    "TPC-DS q75: year-over-year sales-count decline per brand/class/"
+    "category/manufacturer across all three channels (UNION-distinct of "
+    "net-of-returns line items, self-joined on the prior year; "
+    "reference TPCDSBenchmarkQueries.scala:3773).",
+    "WITH all_sales AS (\n"
+    "  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,\n"
+    "         CAST(SUM(sales_cnt) AS BIGINT) AS sales_cnt,\n"
+    "         CAST(SUM(sales_amt) AS DOUBLE) AS sales_amt\n"
+    "  FROM ("
+    + _q75_arm("catalog_sales", "cs", "catalog_returns", "cr",
+               "cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk")
+    .replace("cr_return_amt", "cr_return_amount")
+    + "\n    UNION"
+    + _q75_arm("store_sales", "ss", "store_returns", "sr",
+               "ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk")
+    + "\n    UNION"
+    + _q75_arm("web_sales", "ws", "web_returns", "wr",
+               "ws_order_number = wr_order_number AND ws_item_sk = wr_item_sk")
+    + """
+  ) sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id
+)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt, curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2000 AND prev_yr.d_year = 1999
+  AND CAST(curr_yr.sales_cnt AS DOUBLE)
+      / NULLIF(CAST(prev_yr.sales_cnt AS DOUBLE), 0) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
+         curr_yr.i_class_id, curr_yr.i_manufact_id
+LIMIT 100""",
+)
+
+
+def _q78_arm(p, fact, returns, rjoin, cust, alias) -> str:
+    return f"""
+  SELECT d_year AS {alias}_sold_year, {p}_item_sk AS {alias}_item_sk,
+         {cust} AS {alias}_customer_sk,
+         CAST(SUM({p}_quantity) AS BIGINT) AS {alias}_qty,
+         CAST(SUM({p}_wholesale_cost) AS DOUBLE) AS {alias}_wc,
+         CAST(SUM({p}_sales_price) AS DOUBLE) AS {alias}_sp
+  FROM {fact}
+  LEFT JOIN {returns} ON ({rjoin})
+  JOIN date_dim ON {p}_sold_date_sk = d_date_sk
+  WHERE {alias}_ret_order IS NULL
+  GROUP BY d_year, {p}_item_sk, {cust}"""
+
+
+_q(
+    "tpcds_q78",
+    "TPC-DS q78: never-returned yearly (item, customer) volumes across "
+    "the three channels, store vs other-channel ratio "
+    "(reference TPCDSBenchmarkQueries.scala:3972).",
+    "WITH ws AS ("
+    + _q78_arm("ws", "web_sales", "web_returns",
+               "wr_order_number = ws_order_number AND ws_item_sk = wr_item_sk",
+               "ws_bill_customer_sk", "ws")
+    .replace("ws_ret_order IS NULL", "wr_order_number IS NULL")
+    + "), cs AS ("
+    + _q78_arm("cs", "catalog_sales", "catalog_returns",
+               "cr_order_number = cs_order_number AND cs_item_sk = cr_item_sk",
+               "cs_bill_customer_sk", "cs")
+    .replace("cs_ret_order IS NULL", "cr_order_number IS NULL")
+    + "), ss AS ("
+    + _q78_arm("ss", "store_sales", "store_returns",
+               "sr_ticket_number = ss_ticket_number AND ss_item_sk = sr_item_sk",
+               "ss_customer_sk", "ss")
+    .replace("ss_ret_order IS NULL", "sr_ticket_number IS NULL")
+    + """
+)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       ROUND(CAST(ss_qty AS DOUBLE)
+             / CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE),
+             2) AS ratio,
+       ss_qty AS store_qty, ss_wc AS store_wholesale_cost,
+       ss_sp AS store_sales_price,
+       COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty,
+       COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0)
+         AS other_chan_wholesale_cost,
+       COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON (ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+                 AND ws_customer_sk = ss_customer_sk)
+LEFT JOIN cs ON (cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+                 AND cs_customer_sk = ss_customer_sk)
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 2000
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC,
+         ss_wc DESC, ss_sp DESC, other_chan_qty, other_chan_wholesale_cost,
+         other_chan_sales_price, ratio
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q85",
+    "TPC-DS q85: web-return reason averages under dual-demographic and "
+    "band disjunctions (reference TPCDSBenchmarkQueries.scala:4278).",
+    f"""
+SELECT substr(r_reason_desc, 1, 20) AS reason20,
+       {_davg("ws_quantity")} AS avg_qty,
+       {_davg("wr_refunded_cash")} AS avg_refunded,
+       {_davg("wr_fee")} AS avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 100 AND 150)
+    OR (cd1.cd_marital_status = 'S'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'College'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 50 AND 100)
+    OR (cd1.cd_marital_status = 'W'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = '2 yr Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 150 AND 200))
+  AND ((ca_country = 'United States'
+        AND ca_state IN ('TX', 'OH', 'TN')
+        AND ws_net_profit BETWEEN 100 AND 200)
+    OR (ca_country = 'United States'
+        AND ca_state IN ('OR', 'NM', 'KY')
+        AND ws_net_profit BETWEEN 150 AND 300)
+    OR (ca_country = 'United States'
+        AND ca_state IN ('VA', 'GA', 'CA')
+        AND ws_net_profit BETWEEN 50 AND 250))
+GROUP BY r_reason_desc
+ORDER BY reason20, avg_qty, avg_refunded, avg_fee
+LIMIT 100""",
+)
+
+
+_Q23_YEARS = "d_year IN (1999, 2000, 2001, 2002)"
+_Q23_CTES = f"""
+WITH frequent_ss_items AS (
+  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_date AS solddate, COUNT(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND {_Q23_YEARS}
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
+  HAVING COUNT(*) > 1
+), max_store_sales AS (
+  SELECT MAX(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk,
+               CAST(SUM(ss_quantity * ss_sales_price) AS DOUBLE) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk
+          AND ss_sold_date_sk = d_date_sk AND {_Q23_YEARS}
+        GROUP BY c_customer_sk) x
+), best_ss_customer AS (
+  SELECT c_customer_sk,
+         CAST(SUM(ss_quantity * ss_sales_price) AS DOUBLE) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING CAST(SUM(ss_quantity * ss_sales_price) AS DOUBLE)
+         > 0.5 * (SELECT tpcds_cmax FROM max_store_sales)
+)"""
+
+_q(
+    "tpcds_q23a",
+    "TPC-DS q23a: monthly catalog+web revenue from best store "
+    "customers buying frequently-sold items — three chained CTEs "
+    "(frequency HAVING, scalar max, percent-of-max HAVING) gating a "
+    "two-channel UNION (reference TPCDSBenchmarkQueries.scala:1226; "
+    "frequency/percent thresholds retargeted to generated volume).",
+    _Q23_CTES
+    + """
+SELECT CAST(SUM(sales) AS DOUBLE) AS total_sales
+FROM (SELECT cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN
+            (SELECT c_customer_sk FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_list_price
+      FROM web_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN
+            (SELECT c_customer_sk FROM best_ss_customer)) y
+LIMIT 100""",
+)
+
+_q(
+    "tpcds_q23b",
+    "TPC-DS q23b: q23a's gates, broken out per best customer "
+    "(reference TPCDSBenchmarkQueries.scala:1277).",
+    _Q23_CTES
+    + """
+SELECT c_last_name, c_first_name, CAST(SUM(sales) AS DOUBLE) AS sales
+FROM (SELECT c_last_name, c_first_name,
+             cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN
+            (SELECT c_customer_sk FROM best_ss_customer)
+        AND cs_bill_customer_sk = c_customer_sk
+      UNION ALL
+      SELECT c_last_name, c_first_name, ws_quantity * ws_list_price
+      FROM web_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN
+            (SELECT c_customer_sk FROM best_ss_customer)
+        AND ws_bill_customer_sk = c_customer_sk) y
+GROUP BY c_last_name, c_first_name
+ORDER BY c_last_name, c_first_name, sales
+LIMIT 100""",
+)
+
+
+def _q24_text(color: str) -> str:
+    return f"""
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         SUM(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_birth_country <> upper(ca_country)
+    AND s_zip = ca_zip
+    AND s_market_id = 8
+    AND c_current_addr_sk = ca_address_sk
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size
+)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(SUM(netpaid) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = '{color}'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING CAST(SUM(netpaid) AS DOUBLE) >
+       (SELECT 0.05 * (CAST(SUM(CAST(netpaid AS DECIMAL(18,8))) AS DOUBLE)
+                       / COUNT(netpaid))
+        FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name, paid
+LIMIT 100"""
+
+
+_q(
+    "tpcds_q24a",
+    "TPC-DS q24a: cross-border customers' net paid per store for one "
+    "item color, gated on 5% of the average over the shared ssales CTE "
+    "(reference TPCDSBenchmarkQueries.scala:1334).",
+    _q24_text("azure"),
+)
+
+_q(
+    "tpcds_q24b",
+    "TPC-DS q24b: q24a's shape for a second color "
+    "(reference TPCDSBenchmarkQueries.scala:1387).",
+    _q24_text("beige"),
+)
+
+
+def _q39_text(extra_cov: str) -> str:
+    return f"""
+WITH inv AS (
+  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+         CASE mean WHEN 0 THEN NULL ELSE stdev / mean END AS cov
+  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+               STDDEV_SAMP(inv_quantity_on_hand) AS stdev,
+               CAST(SUM(CAST(inv_quantity_on_hand AS DECIMAL(18,8)))
+                    AS DOUBLE) / COUNT(inv_quantity_on_hand) AS mean
+        FROM inventory, item, warehouse, date_dim
+        WHERE inv_item_sk = i_item_sk
+          AND inv_warehouse_sk = w_warehouse_sk
+          AND inv_date_sk = d_date_sk
+          AND d_year = 2000
+        GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+  WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1
+)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
+       inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1 AND inv2.d_moy = 2{extra_cov}
+ORDER BY wsk1, isk1, moy1, mean1, cov1, wsk2, isk2, moy2, mean2, cov2
+LIMIT 100"""
+
+
+_q(
+    "tpcds_q39a",
+    "TPC-DS q39a: high-variance inventory (cov > 1) per warehouse/item "
+    "month-paired January→February — native STDDEV_SAMP over a "
+    "decimal-exact mean (reference TPCDSBenchmarkQueries.scala:1963).",
+    _q39_text(""),
+)
+
+_q(
+    "tpcds_q39b",
+    "TPC-DS q39b: q39a restricted to very unstable items (cov > 1.5 in "
+    "January; reference TPCDSBenchmarkQueries.scala:1989).",
+    _q39_text("\n  AND inv1.cov > 1.5"),
+)
+
+_q(
+    "tpcds_q14b",
+    "TPC-DS q14b: this-year vs last-year same-week channel sales of "
+    "cross-channel items, both sides gated on the global average "
+    "(reference TPCDSBenchmarkQueries.scala:891; reuses q14a's "
+    "cross_items/avg_sales gates).",
+    """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item, (
+    SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+           iss.i_category_id AS category_id
+    FROM store_sales, item iss, date_dim d1
+    WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+      AND d1.d_year BETWEEN 1999 AND 2001
+    INTERSECT
+    SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+    FROM catalog_sales, item ics, date_dim d2
+    WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+      AND d2.d_year BETWEEN 1999 AND 2001
+    INTERSECT
+    SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+    FROM web_sales, item iws, date_dim d3
+    WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+      AND d3.d_year BETWEEN 1999 AND 2001
+  ) sq
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id
+), avg_sales AS (
+  SELECT CAST(SUM(CAST(quantity AS DECIMAL(9,2))
+                  * CAST(list_price AS DECIMAL(9,2))) AS DOUBLE)
+         / COUNT(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x
+)
+SELECT this_year.channel AS ty_channel, this_year.i_brand_id AS ty_brand,
+       this_year.i_class_id AS ty_class,
+       this_year.i_category_id AS ty_category,
+       this_year.sales AS ty_sales, this_year.number_sales AS ty_number,
+       last_year.channel AS ly_channel, last_year.i_brand_id AS ly_brand,
+       last_year.i_class_id AS ly_class,
+       last_year.i_category_id AS ly_category,
+       last_year.sales AS ly_sales, last_year.number_sales AS ly_number
+FROM (
+  SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+         CAST(SUM(CAST(ss_quantity AS DECIMAL(9,2))
+                  * CAST(ss_list_price AS DECIMAL(9,2))) AS DOUBLE)
+           AS sales,
+         COUNT(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                      WHERE d_year = 2000 AND d_moy = 12 AND d_dom = 11)
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING CAST(SUM(CAST(ss_quantity AS DECIMAL(9,2))
+                  * CAST(ss_list_price AS DECIMAL(9,2))) AS DOUBLE)
+         > (SELECT average_sales FROM avg_sales)
+) this_year, (
+  SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+         CAST(SUM(CAST(ss_quantity AS DECIMAL(9,2))
+                  * CAST(ss_list_price AS DECIMAL(9,2))) AS DOUBLE)
+           AS sales,
+         COUNT(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                      WHERE d_year = 1999 AND d_moy = 12 AND d_dom = 11)
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING CAST(SUM(CAST(ss_quantity AS DECIMAL(9,2))
+                  * CAST(ss_list_price AS DECIMAL(9,2))) AS DOUBLE)
+         > (SELECT average_sales FROM avg_sales)
+) last_year
+WHERE this_year.i_brand_id = last_year.i_brand_id
+  AND this_year.i_class_id = last_year.i_class_id
+  AND this_year.i_category_id = last_year.i_category_id
+ORDER BY ty_channel, ty_brand, ty_class, ty_category
+LIMIT 100""",
+)
+
+
+def _q66_month_cols(measure: str, suffix: str) -> str:
+    months = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+              "sep", "oct", "nov", "dec"]
+    return ",\n".join(
+        f"         SUM(CASE WHEN d_moy = {m} THEN {measure} ELSE "
+        f"CAST(0 AS DECIMAL(12,2)) END) AS {name}_{suffix}"
+        for m, name in enumerate(months, start=1)
+    )
+
+
+def _q66_arm(fact, p, sales_m, net_m) -> str:
+    return f"""
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, 'DHL,BARIAN' AS ship_carriers, d_year AS yr,
+{_q66_month_cols(sales_m, "sales")},
+{_q66_month_cols(net_m, "net")}
+  FROM {fact}, warehouse, date_dim, time_dim, ship_mode
+  WHERE {p}_warehouse_sk = w_warehouse_sk
+    AND {p}_sold_date_sk = d_date_sk
+    AND {p}_sold_time_sk = t_time_sk
+    AND {p}_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 2000
+    AND t_time BETWEEN 30838 AND 59638
+    AND sm_carrier IN ('DHL', 'AIRBORNE')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year"""
+
+
+_q(
+    "tpcds_q66",
+    "TPC-DS q66: the 24-column warehouse shipping pivot — monthly "
+    "sales/net by warehouse for two carriers in a daily time band, web "
+    "and catalog arms re-aggregated (reference "
+    "TPCDSBenchmarkQueries.scala:3233). Monthly decimal pivots stay "
+    "decimal until the outer double cast.",
+    "SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,"
+    " w_state, w_country, ship_carriers, yr,\n"
+    + ",\n".join(
+        f"       CAST(SUM({m}_sales) AS DOUBLE) AS {m}_sales"
+        for m in ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+                  "sep", "oct", "nov", "dec"]
+    )
+    + ",\n"
+    + ",\n".join(
+        f"       CAST(SUM({m}_net) AS DOUBLE) AS {m}_net"
+        for m in ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+                  "sep", "oct", "nov", "dec"]
+    )
+    + "\nFROM ("
+    + _q66_arm("web_sales", "ws", "ws_ext_sales_price", "ws_net_paid")
+    + "\n  UNION ALL"
+    + _q66_arm("catalog_sales", "cs", "cs_ext_sales_price", "cs_net_paid")
+    + """
+) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, yr
+ORDER BY w_warehouse_name
+LIMIT 100""",
+)
+
+
 def _wss_cols(alias_suffix: str) -> str:
     days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return ", ".join(f"{d}_sales AS {d}_sales{alias_suffix}" for d in days)

@@ -228,6 +228,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("i_manufact_id", _int(_mix(11, 1000))),
                 ("i_manufact", f"'Mfg#' || CAST({_mix(11, 1000)} AS STRING)"),
                 ("i_manager_id", _int(_mix(13, 100))),
+                ("i_size", _case("((id*29) % 7)", ["petite", "small", "medium", "large", "extra large", "economy", "N/A"])),
+                ("i_units", _case("((id*31) % 6)", ["Each", "Dozen", "Case", "Pallet", "Gross", "Box"])),
                 ("i_color", _case("((id*23) % 12)", ["purple", "burlywood", "indian", "spring", "floral", "medium", "almond", "azure", "beige", "chartreuse", "cream", "dim"])),
                 ("i_product_name", "'Product ' || CAST(1 + id AS STRING)"),
             ],
@@ -238,6 +240,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("s_store_sk", _int("1 + id")),
                 ("s_store_id", "'STORE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
                 ("s_store_name", "'Store ' || CAST(1 + id AS STRING)"),
+                ("s_market_id", _int(_mix(1, 10))),
                 ("s_company_name", "'Company ' || CAST(1 + id % 2 AS STRING)"),
                 ("s_number_employees", _int("200 + id*7")),
                 ("s_floor_space", _int("5000000 + id*250000")),
@@ -264,6 +267,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("c_first_shipto_date_sk", _int("2450815 + (id*19) % 1826")),
                 ("c_login", "'login' || CAST(1 + id AS STRING)"),
                 ("c_email_address", "'c' || CAST(1 + id AS STRING) || '@example.com'"),
+                ("c_birth_month", _int(_mix(5, 12))),
+                ("c_birth_year", _int("1950 + (id*7) % 45")),
                 ("c_birth_country", _case("((id*13) % 6)", ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN", "BRAZIL"])),
             ],
         ),
@@ -321,7 +326,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
             [
                 ("ss_sold_date_sk", _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97)),
                 ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
-                ("ss_item_sk", _int(_mix(37, _N_ITEM))),
+                ("ss_item_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)")),
                 ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
@@ -396,7 +401,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
             None,
             [
                 ("sr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
-                ("sr_item_sk", _int(_mix(37, _N_ITEM))),
+                ("sr_item_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)")),
                 ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("sr_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
@@ -418,6 +423,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cr_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
                 ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
                 ("cr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
+                ("cr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
+                ("cr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
                 ("cr_return_amount", _cents("((id*43) % 9900)")),
                 ("cr_net_loss", _cents("(50 + (id*23) % 4950)")),
                 ("cr_refunded_cash", _cents("(100 + (id*7) % 2900)")),
@@ -433,6 +440,14 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("wr_item_sk", _int(_mix(149, _N_ITEM))),
                 ("wr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 ("wr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
+                ("wr_reason_sk", _int(_mix(31, _N_REASON))),
+                ("wr_refunded_cash", _cents("(100 + (id*13) % 2900)")),
+                ("wr_fee", _cents("(10 + (id*17) % 990)")),
+                ("wr_refunded_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
+                ("wr_returning_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*47) % " + str(_N_CDEMO) + ")")),
+                ("wr_refunded_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
+                ("wr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
+                ("wr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
                 ("wr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {{_N_DAYS}} + 1 + (id*11) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
                 ("wr_web_page_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*197) % " + str(_N_WEBPAGE) + ")")),
                 ("wr_return_amt", _cents("((id*43) % 9900)")),
@@ -495,6 +510,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("w_warehouse_name", "'Warehouse ' || CAST(1 + id AS STRING)"),
                 ("w_warehouse_sq_ft", _int("100000 + id*50000")),
                 ("w_city", _case("(id % 4)", _CITIES[:4])),
+                ("w_county", _case("(id % 3)", ["Williamson County", "Ziebach County", "Walker County"])),
                 ("w_state", _case("(id % 5)", _STATES[:5])),
                 ("w_country", "'United States'"),
             ],
