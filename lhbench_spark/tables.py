@@ -434,19 +434,28 @@ class ManagedTable:
         keys = self.primary_keys
         if not keys:
             raise ValueError(f"mor resolve needs primary_keys ({self.root})")
-        by_version: dict[int, list[FileEntry]] = {}
+        # ONE multi-path scan + a flat path→version lookup, not a
+        # per-version union: a table with hundreds of un-compacted delta
+        # commits would otherwise carry O(versions) Union/Scan plan
+        # nodes (each with its own codegen stage). The version map is a
+        # single literal MAP expression — wide but flat, O(files) in
+        # SIZE yet constant in plan DEPTH — keyed on the same
+        # input_file_name() normalization the merge paths use.
+        ver_entries: list = []
         for e in files:
-            by_version.setdefault(_entry_version(e), []).append(e)
-        parts = []
-        for v, entries in sorted(by_version.items()):
-            parts.append(
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*[self._abs(e) for e in entries])
-                .withColumn("_cv", F.lit(v))
+            ver_entries.append(F.lit(self._abs(e)))
+            ver_entries.append(F.lit(_entry_version(e)))
+        ver_map = F.create_map(*ver_entries)
+        union = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[self._abs(e) for e in files])
+            .withColumn(
+                "_cv",
+                F.element_at(
+                    ver_map, F.regexp_replace(F.input_file_name(), "^file://", "")
+                ),
             )
-        union = parts[0]
-        for p in parts[1:]:
-            union = union.unionByName(p, allowMissingColumns=True)
+        )
         w = Window.partitionBy(*keys).orderBy(F.desc("_cv"))
         return (
             union.withColumn("_rn", F.row_number().over(w))

@@ -1093,3 +1093,34 @@ def test_merge_when_matched_delete(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="cow"):
         tm.merge(_base_df(spark, 10), on=["key"], when_matched="delete")
+
+
+def test_mor_many_deltas_bounded_plan(spark, tmp_path):
+    """50 un-compacted delta commits must resolve through ONE scan node
+    (flat path→version lookup), not an O(versions) union — the plan a
+    table accumulates between OPTIMIZE runs at 100 TB. Also proves the
+    resolve is correct: latest-per-key across all 50 versions."""
+    from lhbench_spark.tables import ManagedTable
+
+    base = spark.range(0, 100).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "m"), base, num_files=2,
+        table_mode="mor", primary_keys=("k",),
+    )
+    for i in range(1, 51):
+        src = spark.range(i, i + 2).selectExpr(
+            "id AS k", f"CAST({i} AS DOUBLE) AS v"
+        )
+        t.merge(src, on=["k"])
+    assert sum(e.kind == "delta" for e in t.current.files) >= 50
+
+    df = t.read()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, "MoR resolve regressed to per-version unions"
+
+    got = {r.k: r.v for r in df.collect()}
+    assert len(got) == 100  # commit i touches k=i,i+1 — all inside 0..99
+    # key k was last touched by commit i = max(i in {k-1, k}) -> v = k
+    for k in range(1, 51):
+        assert got[k] == float(k), (k, got[k])
+    assert got[0] == 0.0 and got[51] == 50.0 and got[52] == 0.0
