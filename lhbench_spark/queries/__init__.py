@@ -5,6 +5,7 @@ from lhbench_spark.queries.registry import QueryDef, all_queries, get_query
 # Import for side effect: each module registers its queries.
 from lhbench_spark.queries import (  # noqa: F401
     aggregates,
+    assembly,
     joins,
     windows,
     setops,

@@ -60,7 +60,7 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # recorded external green row carry the documented 'verified_' prefix
 # (registry.DRIVER_GREEN) so each round's sample lands on queries that
 # still NEED external evidence — round 6's window is the 8 queries new
-# in round 5, the 3 no-oracle rows-only queries, and the first 39 TPC-DS
+# in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
 # queries. Out-of-window queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
@@ -69,6 +69,9 @@ _GATE_WINDOW = [
     "complex_q78_channel_join",
     "continuous_cdc_replica",
     "corpus_curation_pipeline",
+    "corpus_mixture_sample",
+    "corpus_pack_sequences",
+    "corpus_train_split",
     "dedup_containment",
     "dedup_repeated_spans",
     "events_downsample_lttb",
@@ -112,9 +115,6 @@ _GATE_WINDOW = [
     "tpcds_q31",
     "tpcds_q32",
     "tpcds_q33",
-    "tpcds_q34",
-    "tpcds_q35",
-    "tpcds_q36",
 ]
 
 
