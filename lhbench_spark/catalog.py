@@ -58,7 +58,34 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-_REGISTERED: dict[int, str] = {}
+# --- temp-view registration memo, shared across view FAMILIES ------------
+# Two families register temp views into the session catalog: these TPC-H
+# testdata tables and the generated TPC-DS tables (tpcds_data). The name
+# `customer` exists in BOTH — so a family's registration memo must be
+# invalidated whenever another family (re)registers, or a memoized skip
+# would leave the colliding name pointing at the other family's table
+# (this exact bug made adhoc_* queries resolve TPC-DS `customer` in
+# bench iteration 2). Each family memoizes per (session, sf_dir) and
+# clears every OTHER family's memo when it actually registers.
+
+_VIEW_MEMOS: dict[str, dict[int, str]] = {}
+
+
+def views_current(family: str, spark: SparkSession, sf_dir: str) -> bool:
+    """True iff `family`'s views for this (session, sf_dir) are still the
+    most recent registration (no other family overwrote since)."""
+    memo = _VIEW_MEMOS.setdefault(family, {})
+    return memo.get(id(spark)) == os.path.abspath(sf_dir)
+
+
+def mark_views_registered(family: str, spark: SparkSession, sf_dir: str) -> None:
+    """Record `family` as the current owner of the view namespace for
+    this session; invalidate every other family's memo for it."""
+    sid = id(spark)
+    for fam, memo in _VIEW_MEMOS.items():
+        if fam != family:
+            memo.pop(sid, None)
+    _VIEW_MEMOS.setdefault(family, {})[sid] = os.path.abspath(sf_dir)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -68,10 +95,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Idempotent per (session, sf_dir): temp views persist in the session
     catalog, so repeat calls skip the 10 ``spark.read.parquet`` schema
     inferences (py4j + footer reads) a fresh registration costs."""
-    key = os.path.abspath(sf_dir)
-    sid = id(spark)
-    if _REGISTERED.get(sid) == key:
+    if views_current("tpch", spark, sf_dir):
         return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
-    _REGISTERED[sid] = key
+    mark_views_registered("tpch", spark, sf_dir)

@@ -588,25 +588,24 @@ def materialize(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-_REGISTERED: dict[int, str] = {}
-
-
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for every generated table (parquet-backed scans).
 
     Idempotent per (session, sf_dir): every tpcds_* spark_fn calls this,
     and re-running the 25 ``spark.read.parquet`` schema inferences on
     each call cost ~1.4 s of py4j/file-listing overhead PER QUERY
-    (measured: 83% of the tpcds suite's bench wall). Views persist in
-    the session catalog, so only an sf_dir switch needs re-registration."""
-    key = os.path.abspath(sf_dir)
-    sid = id(spark)
-    if _REGISTERED.get(sid) == key:
+    (measured: 83% of the tpcds suite's bench wall). The memo is the
+    cross-family one in ``catalog`` — `customer` exists in both the
+    TPC-DS and TPC-H view sets, so each family's registration must
+    invalidate the other's (see catalog.mark_views_registered)."""
+    from lhbench_spark import catalog
+
+    if catalog.views_current("tpcds", spark, sf_dir):
         return
     out = materialize(spark, sf_dir)
     for name in TPCDS_GEN_TABLES:
         spark.read.parquet(f"{out}/{name}").createOrReplaceTempView(name)
-    _REGISTERED[sid] = key
+    catalog.mark_views_registered("tpcds", spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

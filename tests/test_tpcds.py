@@ -94,3 +94,19 @@ def test_query_text_identical_both_engines(spark):
             # compose_oracle merges the query's WITH into the gen CTEs
             text = text[4:].lstrip()
         assert text in qd.oracle, name
+
+
+def test_view_families_do_not_collide(spark):
+    """`customer` exists in BOTH the TPC-H testdata views and the
+    generated TPC-DS views. Interleaving the two spark.sql families must
+    re-register the overwritten name despite the registration memo —
+    the memoized skip once left adhoc_* queries resolving the TPC-DS
+    customer (no c_custkey) in bench iteration 2."""
+    from lhbench_spark.queries import all_queries
+
+    q = all_queries()
+    q["adhoc_temp_view_join"].spark_fn(spark, SMOKE_SF).collect()  # tpch views
+    q["tpcds_q03"].spark_fn(spark, SMOKE_SF).collect()  # overwrites `customer`
+    # Must repair the namespace, not hit the stale memo:
+    q["adhoc_temp_view_join"].spark_fn(spark, SMOKE_SF).collect()
+    q["tpcds_q03"].spark_fn(spark, SMOKE_SF).collect()
