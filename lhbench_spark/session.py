@@ -83,6 +83,14 @@ def get_spark(
         # reference parity (TPCDSBenchmark.scala:84-87)
         .config("spark.sql.crossJoin.enabled", "true")
         .config("spark.sql.broadcastTimeout", "7200")
+        # Streaming state stores keep the last N committed versions of
+        # every operator partition's map IN MEMORY (default N=100). The
+        # drained availableNow pipelines re-run per bench iteration with
+        # fresh checkpoints, so providers accumulate; retaining 2
+        # versions bounds that memory without changing any result (state
+        # recovery beyond one version is a durability concern only for
+        # long-lived production checkpoints).
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # arrow for the few pandas-UDF paths (multimodal / embeddings)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -148,3 +148,36 @@ def test_word_shingles_parity(spark, s, n):
     got_s = _spark_eval(spark, textnorm.word_shingles_spark(_lit(s), n))
     got_d = _duck_eval(textnorm.word_shingles_duck(_lit(s), n))
     assert sorted(got_s or []) == sorted(got_d or [])
+
+
+@_SETTINGS
+@given(st.integers(min_value=0, max_value=2**62))
+def test_hash_key24_parity(spark, i):
+    """The 24-bit md5 integer prefix that drives assembly-query
+    membership (corpus_mixture_sample / corpus_train_split): Spark
+    conv(hex,16,10) vs DuckDB CAST('0x'||hex AS BIGINT) must agree for
+    any doc_id, including the rate==1.0 threshold at 16777216 that a
+    fixed-width hex-string compare cannot represent."""
+    s = (
+        "CAST(conv(substring(md5(CONCAT('mix1:', CAST("
+        f"{i} AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+    )
+    d = f"CAST('0x' || substr(md5('mix1:' || CAST({i} AS VARCHAR)), 1, 6) AS BIGINT)"
+    got_s = _spark_eval(spark, s)
+    got_d = _duck_eval(d)
+    assert got_s == got_d
+    assert 0 <= got_s < 16777216
+
+
+@_SETTINGS
+@given(st.integers(min_value=0, max_value=10**9))
+def test_pack_seq_assignment_parity(spark, cum):
+    """Sequence-id assignment in corpus_pack_sequences:
+    floor((greatest(cum,1)-1) / 512.0) must agree across engines for any
+    cumulative token count (incl. the cum=0 empty-document guard)."""
+    s = f"CAST(floor((greatest({cum}, 1) - 1) / CAST(512 AS DOUBLE)) AS BIGINT)"
+    d = f"CAST(floor((greatest({cum}, 1) - 1) / CAST(512 AS DOUBLE)) AS BIGINT)"
+    got_s = _spark_eval(spark, s)
+    got_d = _duck_eval(d)
+    assert got_s == got_d
+    assert got_s >= 0
