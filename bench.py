@@ -99,7 +99,22 @@ def main() -> int:
             )
             break
         t_it = time.monotonic()
+        aborted = False
         for qi, name in enumerate(sorted(suite)):
+            # Hard wall: the predictive guard above estimates from the
+            # PREVIOUS iteration, and a later iteration running slower
+            # than its estimate (measured: +90s on iteration 3) would
+            # overrun unboundedly. Past 1.15x budget, stop mid-iteration:
+            # per-query medians still compute over however many runs each
+            # query completed.
+            if time.monotonic() - t_start > budget_sec * 1.15:
+                print(
+                    f"bench: hard wall at {budget_sec * 1.15:.0f}s inside "
+                    f"iteration {it} after {qi} queries; stopping",
+                    file=sys.stderr,
+                )
+                aborted = True
+                break
             runner.run_query(name, suite[name], it)
             # Mid-iteration JVM GC, OUTSIDE any measured query: the
             # ContextCleaner frees shuffle files / broadcast vars /
@@ -114,6 +129,8 @@ def main() -> int:
             # queries — measured +10% suite-wide.)
             if (qi + 1) % 50 == 0:
                 spark.sparkContext._jvm.System.gc()
+        if aborted:
+            break
         last_iter_sec = time.monotonic() - t_it
         iters_done = it
         # Iteration-boundary JVM GC: the suite's DML/streaming queries
