@@ -128,3 +128,26 @@ def test_gate_window_membership_is_deliberate():
         f"diff: -{sorted(set(_GATE_WINDOW) - set(got))} "
         f"+{sorted(set(got) - set(_GATE_WINDOW))}"
     )
+
+
+def test_gate_rotation_mapping_is_sound():
+    """DRIVER_GREEN must reference real registry names (a rename that
+    orphans an entry would silently stop rotating it), and gate_queries
+    must be a bijection of the registry — same QueryDefs, no collisions
+    from the 'verified_' prefixing."""
+    from lhbench_spark.queries.registry import (
+        DRIVER_GREEN,
+        GATE_VERIFIED_PREFIX,
+        gate_queries,
+    )
+
+    reg = all_queries()
+    orphans = sorted(set(DRIVER_GREEN) - set(reg))
+    assert not orphans, f"DRIVER_GREEN names not in registry: {orphans}"
+    gq = gate_queries()
+    assert len(gq) == len(reg)
+    assert {qd.name for qd in gq.values()} == set(reg)
+    for gname, qd in gq.items():
+        bare = gname.removeprefix(GATE_VERIFIED_PREFIX)
+        assert bare == qd.name
+        assert (qd.name in DRIVER_GREEN) == gname.startswith(GATE_VERIFIED_PREFIX)
