@@ -84,7 +84,10 @@ def get_query(name: str) -> QueryDef:
 # sf0.001 + sf0.01).
 #
 # Maintenance rule: when CORRECTNESS_r{N} lands, add its newly green
-# canonical names here so the next round's sample advances.
+# canonical names here so the next round's sample advances —
+# `python tools/update_driver_green.py CORRECTNESS_r{N}.json {N}`
+# prints the ready-to-paste lines (then refresh _GATE_WINDOW in
+# tests/test_oracle_queries.py to the new first-50).
 
 DRIVER_GREEN: dict[str, int] = {
     "acid_append_evolve": 5,
