@@ -35,15 +35,16 @@ def main() -> int:
     # once), then run further iterations only while inside the budget —
     # the driver gets a parseable line no matter how slow the slowest
     # query iteration is.
-    # 780s: room for 3 full iterations of the 245-query suite at sf0.1
-    # (~220-240s warm each + a ~260s cold first iteration + warmup).
+    # 840s: room for 3 full iterations of the 245-query suite at sf0.1
+    # (~230-310s each across observed machine-load variance + warmup;
+    # the paired 1.15x hard wall bounds the worst case at ~970s).
     # With only 2 iterations the upper median is the WORSE run, so every
     # first-run codegen spike (a cold giant expression compiles for
     # seconds) lands in the recorded median — fitting the 3rd iteration
     # matters more than finishing early. The driver tolerated 514-661s
     # walls (rounds 2-6) without complaint; the guard still hard-stops
     # runaway iterations.
-    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "840"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
