@@ -117,6 +117,18 @@ def get_spark(
         # dir on every call in bench+test runs).
         .config("spark.sql.warehouse.dir", _process_warehouse_dir())
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener + SQLAppStatusListener
+        # track every job/stage/task/execution into in-memory stores with
+        # default retention of 1000 executions / 1000 stages / 100k
+        # tasks. A 245-query × 3-iteration suite runs thousands of
+        # stages, so the stores grow and every task-completion event
+        # pays lookup+eviction against them. Benchmarks replay history
+        # from their own reports, not the status store — keep it small.
+        # (Same tuning applies to long-lived many-query cluster apps.)
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "50")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
