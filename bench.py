@@ -74,9 +74,13 @@ def main() -> int:
     # (generate + write parquet), not a query cost — doing it here keeps
     # it out of the alphabetically-first tpcds_* query's timing.
     try:
-        from lhbench_spark.tpcds_data import materialize
+        from lhbench_spark.tpcds_data import (
+            materialize,
+            materialize_partitioned_store_sales,
+        )
 
         materialize(spark, sf_dir)
+        materialize_partitioned_store_sales(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         print(f"bench: tpcds warmup skipped: {exc}", file=sys.stderr)
 

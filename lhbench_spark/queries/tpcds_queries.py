@@ -3596,3 +3596,65 @@ for _name, (_text, _doc) in _TEXTS.items():
 def query_text(name: str) -> str:
     """The raw SQL text of a registered tpcds_* query (for plan dumps)."""
     return _TEXTS[name][0]
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning over the TPC-DS fact layout. The reference
+# Hive-partitions its fact tables on the date surrogate key
+# (TPCDSDataLoad.scala:676-702: PARTITIONED BY (ss_sold_date_sk)); DPP is
+# the mechanism that makes a month-filtered star join scan ~30 daily
+# partitions instead of all of them — at the reference's 3 TB (or 100 TB)
+# the difference between a bounded scan and a full-table one. The month
+# restriction lives only in date_dim DATA, so static pruning cannot
+# apply; Catalyst must inject the dim's surviving d_date_sk values into
+# the fact scan's PartitionFilters at runtime (plan-asserted in
+# tests/test_plans.py). The Spark side reads the partitioned slice
+# (every row already < DPP_SLICE_END_SK); the oracle applies the same
+# slice bound explicitly.
+
+_DPP_SS_TEXT = """
+SELECT d_moy,
+       COUNT(DISTINCT ss_sold_date_sk) AS n_days,
+       COUNT(*) AS n_sales,
+       CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(18,8))) AS DOUBLE)
+           AS sales_sum
+FROM store_sales, date_dim
+WHERE ss_sold_date_sk < 2450905
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 1998 AND d_moy = 2
+GROUP BY d_moy"""
+
+
+@query(
+    "tpcds_dpp_store_sales",
+    tags=("tpcds", "dpp", "partition-pruning"),
+    oracle=compose_oracle(_DPP_SS_TEXT),
+)
+def tpcds_dpp_store_sales(spark, sf_dir):
+    """February's store sales over the daily-partitioned store_sales
+    slice: DPP prunes the fact scan to the dim's 28 surviving dates."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tpcds_data import (
+        materialize,
+        materialize_partitioned_store_sales,
+    )
+
+    base = materialize_partitioned_store_sales(spark, sf_dir)
+    fact = spark.read.parquet(f"{base}/store_sales_daily")
+    # The dim is read from storage (not a derived frame Catalyst could
+    # collapse); fixed cardinality (1826 rows at every SF) => hintable.
+    dim = spark.read.parquet(f"{materialize(spark, sf_dir)}/date_dim").where(
+        "d_year = 1998 AND d_moy = 2"
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["ss_sold_date_sk"] == dim["d_date_sk"])
+        .groupBy("d_moy")
+        .agg(
+            F.countDistinct("ss_sold_date_sk").alias("n_days"),
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(F.col("ss_ext_sales_price").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("sales_sum"),
+        )
+    )

@@ -588,6 +588,38 @@ def materialize(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+# Daily-partitioned store_sales slice for the DPP query: the reference's
+# fact tables are Hive-partitioned on their date surrogate key
+# (TPCDSDataLoad.scala:676-702 `PARTITIONED BY (ss_sold_date_sk)`), the
+# layout dynamic partition pruning exists for. A 90-day slice (90 daily
+# partition dirs) keeps the per-process write cheap at test SFs while
+# exercising the exact production layout.
+DPP_SLICE_END_SK = 2450815 + 90
+
+_MATERIALIZED_DPP: dict[str, str] = {}
+
+
+def materialize_partitioned_store_sales(spark: SparkSession, sf_dir: str) -> str:
+    """store_sales rows with ss_sold_date_sk in the first 90 days,
+    written PARTITIONED BY (ss_sold_date_sk); once per (process, sf_dir)."""
+    key = os.path.abspath(sf_dir)
+    if key in _MATERIALIZED_DPP:
+        return _MATERIALIZED_DPP[key]
+    out = tempfile.mkdtemp(prefix="lhbench_tpcds_dpp_")
+    n_fact = _fact_rows(spark, sf_dir)
+    df = generate_frame(spark, "store_sales", n_fact).where(
+        f"ss_sold_date_sk < {DPP_SLICE_END_SK}"
+    )
+    (
+        df.repartition("ss_sold_date_sk")
+        .write.mode("overwrite")
+        .partitionBy("ss_sold_date_sk")
+        .parquet(f"{out}/store_sales_daily")
+    )
+    _MATERIALIZED_DPP[key] = out
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for every generated table (parquet-backed scans).
 

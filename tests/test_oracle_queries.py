@@ -79,6 +79,7 @@ _GATE_WINDOW = [
     "multimodal_features",
     "sample_rand_filter",
     "sim_kmeans_recall",
+    "tpcds_dpp_store_sales",
     "tpcds_q01",
     "tpcds_q02",
     "tpcds_q03",
@@ -114,7 +115,6 @@ _GATE_WINDOW = [
     "tpcds_q30",
     "tpcds_q31",
     "tpcds_q32",
-    "tpcds_q33",
 ]
 
 

@@ -235,6 +235,16 @@ def test_dpp_partition_filter_in_plan(spark):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_tpcds_dpp_partition_filter_in_plan(spark):
+    """tpcds_dpp_store_sales must plan a DynamicPruningExpression on the
+    daily-partitioned store_sales scan — the reference's fact layout
+    (TPCDSDataLoad.scala:676-702 PARTITIONED BY ss_sold_date_sk) pruned
+    at runtime by the month-filtered dim."""
+    q = all_queries()["tpcds_dpp_store_sales"]
+    plan = plan_of(q.spark_fn(spark, SMOKE_SF))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark):
     """ann_ivf_partitioned's probe scan must carry the probe cells as
     PartitionFilters on the cell-partitioned corpus — the read path that
