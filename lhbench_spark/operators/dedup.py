@@ -142,14 +142,17 @@ def minhash_lsh_pairs(
     # by THREE downstream branches (banding, verify-join doc_a side,
     # verify-join doc_b side) whose exchanges differ — without persistence
     # Spark recomputes it per branch (measured 3-4× the pipeline cost at
-    # sf0.1). Persist the distinct hash sets once; the signature is
-    # min-per-hash-function, which is invariant under array_distinct, so
-    # it derives from the cached set. At cluster scale this persist is a
-    # written signature table, computed once per corpus ingest.
-    sh = hashed.select(
-        "_id",
-        F.array_distinct("_hs").alias("_hset"),
-    ).withColumn("_sz", F.size("_hset")).cache()
+    # sf0.1). localCheckpoint (not cache): materialized once, storage
+    # released when the plan is GC'd — a cache() here leaked executor
+    # blocks across bench iterations because nothing unpersisted it. The
+    # signature is min-per-hash-function, invariant under array_distinct,
+    # so it derives from the persisted set. At cluster scale this persist
+    # is a written signature table, computed once per corpus ingest.
+    sh = (
+        hashed.select("_id", F.array_distinct("_hs").alias("_hset"))
+        .withColumn("_sz", F.size("_hset"))
+        .localCheckpoint(eager=False)
+    )
     sigs = sh.select(
         "_id", F.expr(hashing.minhash_sig_spark("_hset")).alias("_sig")
     )
@@ -295,10 +298,13 @@ def ngram_jaccard_pairs(
             ).alias("_hset"),
         )
         .withColumn("_sz", F.size("_hset"))
-        # Cached: three consumers (candidate keys, both verify-join sides)
-        # would otherwise re-shingle the corpus each. At cluster scale this
-        # is a written shingle-hash table, computed once per corpus ingest.
-        .cache()
+        # localCheckpoint (not cache): three consumers (candidate keys,
+        # both verify-join sides) would otherwise re-shingle the corpus
+        # each; storage is released when the plan is GC'd, where cache()
+        # leaked blocks across bench iterations with no unpersist. At
+        # cluster scale this is a written shingle-hash table, computed
+        # once per corpus ingest.
+        .localCheckpoint(eager=False)
     )
     big = F.col("_bsz") > cap
     keyed = (
