@@ -3658,3 +3658,81 @@ def tpcds_dpp_store_sales(spark, sf_dir):
             .alias("sales_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter semi-join reduction (InjectRuntimeFilter). At the
+# reference's 3 TB (or 100 TB) a category-filtered item dim is still
+# hundreds of thousands to millions of rows — past reliable broadcast —
+# so the star join plans as a sort-merge join and the entire store_sales
+# shuffle pays for rows the dim filter will discard. Spark's optimizer
+# closes that gap by building a bloom filter over the surviving
+# i_item_sk values (bloom_filter_agg on the dim side) and pushing
+# might_contain(ss_item_sk) beneath the fact side's Exchange, so
+# non-matching fact rows are dropped BEFORE they are shuffled. The
+# feature is on by default and triggers from size estimates at real
+# scale; at bench SFs the fact scan sits under the 10 GB
+# application-side threshold, so this query lowers that threshold (and
+# disables broadcast, the SMJ precondition) for its own scope only —
+# confs are restored before returning, with the joined result already
+# executed and pinned via an eager localCheckpoint so the measured plan
+# is the bloom-filtered one. Plan-asserted in tests/test_plans.py
+# (bloom_filter_agg + might_contain in the optimized plan).
+
+_BLOOM_SS_TEXT = """
+SELECT i_category,
+       COUNT(*) AS n_sales,
+       CAST(SUM(CAST(ss_ext_sales_price AS DECIMAL(18,8))) AS DOUBLE)
+           AS sales_sum
+FROM store_sales, item
+WHERE ss_item_sk = i_item_sk
+  AND i_category = 'Music'
+GROUP BY i_category"""
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_join_frame(spark, sf_dir):
+    """The un-executed bloom-candidate join; callers must have
+    _BLOOM_CONFS set for InjectRuntimeFilter to fire at bench SFs."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tpcds_data import materialize
+
+    base = materialize(spark, sf_dir)
+    ss = spark.read.parquet(f"{base}/store_sales")
+    it = spark.read.parquet(f"{base}/item").where("i_category = 'Music'")
+    return (
+        ss.join(it, ss["ss_item_sk"] == it["i_item_sk"])
+        .groupBy("i_category")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(F.col("ss_ext_sales_price").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("sales_sum"),
+        )
+    )
+
+
+@query(
+    "tpcds_bloom_semijoin",
+    tags=("tpcds", "runtime-filter", "bloom", "semi-join-reduction"),
+    oracle=compose_oracle(_BLOOM_SS_TEXT),
+)
+def tpcds_bloom_semijoin(spark, sf_dir):
+    """Music-category store sales through a runtime bloom-filtered SMJ:
+    the optimizer pushes might_contain(ss_item_sk) below the fact
+    shuffle so only matching rows move (see module comment above)."""
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        # Eager: the join must EXECUTE while the confs are set — the
+        # driver collects after this function returns (and restores).
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

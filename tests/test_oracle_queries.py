@@ -61,7 +61,9 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # (registry.DRIVER_GREEN) so each round's sample lands on queries that
 # still NEED external evidence — round 6's window is the 8 queries new
 # in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
-# queries. Out-of-window queries stay covered by the recorded full sweep
+# queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
+# adding tpcds_bloom_semijoin evicted tpcds_q32, which stays covered by
+# the full sweep). Out-of-window queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
@@ -79,6 +81,7 @@ _GATE_WINDOW = [
     "multimodal_features",
     "sample_rand_filter",
     "sim_kmeans_recall",
+    "tpcds_bloom_semijoin",
     "tpcds_dpp_store_sales",
     "tpcds_q01",
     "tpcds_q02",
@@ -114,7 +117,6 @@ _GATE_WINDOW = [
     "tpcds_q29",
     "tpcds_q30",
     "tpcds_q31",
-    "tpcds_q32",
 ]
 
 

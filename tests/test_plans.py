@@ -245,6 +245,34 @@ def test_tpcds_dpp_partition_filter_in_plan(spark):
     assert "dynamicpruning" in plan.lower(), plan
 
 
+def test_tpcds_bloom_runtime_filter_in_plan(spark):
+    """tpcds_bloom_semijoin's join (with its scoped confs set) must get a
+    runtime bloom filter injected: bloom_filter_agg built over the
+    filtered item dim's join keys, might_contain pushed below the
+    store_sales shuffle — the semi-join reduction that keeps a 100 TB
+    fact's SMJ from shuffling rows the dim filter will discard."""
+    from lhbench_spark.queries.tpcds_queries import (
+        _BLOOM_CONFS,
+        _bloom_join_frame,
+    )
+
+    saved = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        opt = (
+            _bloom_join_frame(spark, SMOKE_SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in opt, opt
+    assert "might_contain" in opt, opt
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark):
     """ann_ivf_partitioned's probe scan must carry the probe cells as
     PartitionFilters on the cell-partitioned corpus — the read path that
