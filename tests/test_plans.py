@@ -273,6 +273,47 @@ def test_tpcds_bloom_runtime_filter_in_plan(spark):
     assert "might_contain" in opt, opt
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """SCALE.md's skew posture says AQE's skew-join split handles
+    moderate skew (the salted join covers the extreme case). Enforce
+    that the split actually fires in this session's configuration: a
+    90%-hot key must execute as SortMergeJoin(skew=true) with an
+    AQEShuffleRead 'skewed' on the fact side. Thresholds are lowered to
+    bench scale within the test's scope (at 100 TB the defaults — 256MB
+    threshold, 5x median — trigger on real skew); the split works by
+    re-reading map-output ranges, so the fact side needs >1 mapper."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 2_000_000, 1, 16).select(
+            F.when(F.col("id") % 100 < 90, 0)
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(0, 98, 1, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = fact.join(dim, "k").groupBy().agg(F.count(F.lit(1)).alias("c"))
+        assert df.collect()[0]["c"] == 2_000_000
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in executed, executed
+    assert "AQEShuffleRead skewed" in executed, executed
+
+
 def test_ivf_partitioned_probe_prunes_partitions(spark):
     """ann_ivf_partitioned's probe scan must carry the probe cells as
     PartitionFilters on the cell-partitioned corpus — the read path that
