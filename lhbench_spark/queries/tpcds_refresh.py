@@ -183,6 +183,104 @@ def tpcds_refresh_csv_view(spark, sf_dir):
     )
 
 
+_SRV_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT sr_returned_date_sk, sr_store_sk, sr_item_sk, sr_reason_sk,
+         sr_return_quantity + 100 AS sr_return_quantity,
+         sr_return_amt, sr_net_loss
+  FROM store_returns WHERE sr_ticket_number % 7 = 1
+), rv AS (
+  SELECT COALESCE(d.d_year, 0) AS sale_year,
+         COALESCE(s.s_state, 'UNKNOWN') AS store_state,
+         COALESCE(i.i_category, 'UNKNOWN') AS category,
+         COALESCE(r.r_reason_desc, 'UNKNOWN') AS reason,
+         dl.sr_return_quantity AS quantity,
+         dl.sr_return_amt AS ret_amt,
+         dl.sr_net_loss AS net_loss
+  FROM delta dl
+  LEFT JOIN date_dim d ON dl.sr_returned_date_sk = d.d_date_sk
+  LEFT JOIN store s ON dl.sr_store_sk = s.s_store_sk
+  LEFT JOIN item i ON dl.sr_item_sk = i.i_item_sk
+  LEFT JOIN reason r ON dl.sr_reason_sk = r.r_reason_sk
+)
+SELECT sale_year, store_state, category, reason, COUNT(*) AS cnt,
+       CAST(SUM(quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(ret_amt) AS DOUBLE) AS ret_sum,
+       CAST(SUM(net_loss) AS DOUBLE) AS loss_sum
+FROM rv GROUP BY sale_year, store_state, category, reason
+""")
+
+
+@query(
+    "tpcds_refresh_srv_view",
+    tags=("tpcds", "refresh", "csv", "staging", "returns"),
+    oracle=_SRV_ORACLE,
+)
+def tpcds_refresh_srv_view(spark, sf_dir):
+    """store_returns refresh view (the srv shape): delta → date_dim →
+    store → item → reason, aggregated by year × store-state × category ×
+    return reason — the returns-family representative of the seven-fact
+    refresh breadth."""
+    d = _staged_delta(spark, sf_dir, "store_returns")
+    rv = rt.srv_view(
+        d,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "store"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "reason"),
+    )
+    return rv.groupBy("sale_year", "store_state", "category", "reason").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("quantity").cast("bigint").alias("qty_sum"),
+        F.sum("ret_amt").cast("double").alias("ret_sum"),
+        F.sum("net_loss").cast("double").alias("loss_sum"),
+    )
+
+
+_IV_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT inv_date_sk, inv_item_sk, inv_warehouse_sk,
+         inv_quantity_on_hand + 100 AS inv_quantity_on_hand
+  FROM inventory WHERE inv_date_sk % 7 = 1
+), rv AS (
+  SELECT COALESCE(d.d_year, 0) AS inv_year,
+         COALESCE(i.i_category, 'UNKNOWN') AS category,
+         COALESCE(w.w_state, 'UNKNOWN') AS wh_state,
+         dl.inv_quantity_on_hand AS qoh
+  FROM delta dl
+  LEFT JOIN date_dim d ON dl.inv_date_sk = d.d_date_sk
+  LEFT JOIN item i ON dl.inv_item_sk = i.i_item_sk
+  LEFT JOIN warehouse w ON dl.inv_warehouse_sk = w.w_warehouse_sk
+)
+SELECT inv_year, category, wh_state, COUNT(*) AS cnt,
+       CAST(SUM(qoh) AS BIGINT) AS qoh_sum
+FROM rv GROUP BY inv_year, category, wh_state
+""")
+
+
+@query(
+    "tpcds_refresh_iv_view",
+    tags=("tpcds", "refresh", "csv", "staging", "inventory"),
+    oracle=_IV_ORACLE,
+)
+def tpcds_refresh_iv_view(spark, sf_dir):
+    """inventory refresh view (the iv shape): delta → date_dim → item →
+    warehouse, aggregated by year × category × warehouse state. The
+    only fact with a 3-column natural key ((date, item, warehouse) —
+    the surrogate fold covers it) and a non-money measure."""
+    d = _staged_delta(spark, sf_dir, "inventory")
+    rv = rt.iv_view(
+        d,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "warehouse"),
+    )
+    return rv.groupBy("inv_year", "category", "wh_state").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("qoh").cast("bigint").alias("qoh_sum"),
+    )
+
+
 _MERGED_ORACLE = compose_oracle("""
 WITH merged AS (
   SELECT ss_ticket_number, ss_quantity + 100 AS ss_quantity,

@@ -118,16 +118,16 @@ def test_refresh_runner(spark):
 
 def test_refresh_tpcds_multifact_runner(spark):
     """Multi-fact refresh breadth (refresh_tpcds.py): 2 rounds across
-    the three generated TPC-DS facts — every load/view/merge/compact
-    step error-free, and each fact's merge actually rewrote files
-    (CoW touched the delta's clustered key range)."""
+    the reference's full seven generated TPC-DS facts (sales + returns
+    + inventory) — every load/view/merge/compact step error-free."""
     from lhbench_spark.workloads import refresh_tpcds as rt
 
     rep = rt.run(spark, SMOKE_SF, rt.MultiRefreshConfig(rounds=2))
     errs = [(r.name, r.error_msg) for r in rep.query_results if r.error_msg]
     assert not errs
     names = {r.name for r in rep.query_results}
-    for fact in ("store_sales", "web_sales", "catalog_sales"):
+    assert len(rt.FACTS) == 7
+    for fact in rt.FACTS:
         assert {f"load-{fact}", f"view-{fact}-1", f"merge-{fact}-2",
                 f"compact-{fact}"} <= names
 
