@@ -17,6 +17,7 @@ Output (last stdout line):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -125,14 +126,23 @@ def main() -> int:
             # ContextCleaner frees shuffle files / broadcast vars /
             # checkpoint blocks only after a GC proves their driver-side
             # references dead, and with spark.local.dir on tmpfs that
-            # backlog is RAM. At 245 queries/iteration the
+            # backlog is RAM. At ~250 queries/iteration the
             # boundary-only GC let pressure build into a measured
-            # mid-iteration stall era (0.3s queries at 7-54s);
-            # collecting every 50 queries keeps cleanup ahead of
-            # allocation while billing the pause to no query. (A
+            # mid-iteration stall era (0.3s queries at 7-54s); a
+            # 50-query cadence still left a stall era mid-window
+            # (measured: positions 79-87 of iteration 2 at 5-44s, right
+            # before the allocation-heavy dedup/events families).
+            # Collect every 25 queries — the pause is sub-second when
+            # there's little garbage, and it bills to no query. (A
             # periodic in-JVM GC timer would fire INSIDE measured
             # queries — measured +10% suite-wide.)
-            if (qi + 1) % 50 == 0:
+            if (qi + 1) % 25 == 0:
+                # Python FIRST: py4j proxies caught in CPython reference
+                # cycles pin their JVM objects (DataFrames, RDD handles,
+                # persisted-block owners) via gateway references that no
+                # amount of JVM-side GC can break — collect the cycles,
+                # THEN let the JVM see the objects dead.
+                gc.collect()
                 spark.sparkContext._jvm.System.gc()
         if aborted:
             break
@@ -145,6 +155,7 @@ def main() -> int:
         # pressure mid-iteration-2 and random cheap queries absorb
         # multi-second pauses (measured: 0.9s queries spiking to 9s).
         # Collecting at the boundary keeps the pauses out of measurements.
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
     medians = runner.medians()
     total = sum(medians.values())
