@@ -187,6 +187,43 @@ def continuous_dedup_replay(spark, sf_dir):
 
 
 @query(
+    "continuous_stream_join",
+    tags=("streaming", "stream-stream-join", "watermark", "events"),
+    oracle=f"""
+SELECT COUNT(*) AS pairs,
+       CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS n_users,
+       {dsum_sql("c.value")} AS click_value_sum
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+""",
+)
+def continuous_stream_join(spark, sf_dir):
+    """Stream-stream watermarked INNER join (view→click attribution):
+    two independent streams over the same source, joined on user_id
+    with an event-time range bound (click within 1 hour of the view).
+    The oracle recomputes the attribution relationally on the batch
+    table — a full availableNow replay has no late data, so the drained
+    join must be value-exact. State: each side buffers only its
+    watermark horizon; the range bound is what lets the engine evict
+    (streaming.attribution_join)."""
+    views = streaming.stream_events(spark, sf_dir).filter("event_type = 'view'")
+    clicks = streaming.stream_events(spark, sf_dir).filter("event_type = 'click'")
+    got = streaming.drain_to_table(
+        streaming.attribution_join(views, clicks),
+        _sink("t_stream_attrib"),
+        output_mode="append",
+    )
+    return got.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum("click_value").alias("click_value_sum"),
+    )
+
+
+@query(
     "continuous_enrich_static",
     tags=("streaming", "stream-static-join", "events"),
     oracle="""

@@ -247,6 +247,37 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dim), "user_id", "left")
 
 
+def attribution_join(
+    views: DataFrame, clicks: DataFrame, horizon_expr: str = "interval 1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join — the view→click attribution
+    shape (every click within ``horizon_expr`` of a same-user view).
+    Both sides carry a watermark and the join condition carries an
+    event-time RANGE bound; together they make the state finite, which
+    is the whole 100 TB story for stream-stream joins: the engine can
+    evict a buffered view once the click-side watermark passes
+    view.ts + horizon, and a buffered click once its own watermark
+    passes — without the range bound, both sides' state grows without
+    limit (Spark requires the watermark; the range bound is what lets
+    it actually evict). Inner-join results emit as matches are found,
+    so an availableNow drain over a replayed source is value-exact."""
+    v = views.withWatermark("ts", "30 minutes").alias("v")
+    c = clicks.withWatermark("ts", "30 minutes").alias("c")
+    return v.join(
+        c,
+        F.expr(
+            "v.user_id = c.user_id AND c.ts >= v.ts "
+            f"AND c.ts <= v.ts + {horizon_expr}"
+        ),
+        "inner",
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("c.value").alias("click_value"),
+    )
+
+
 def dedup_replay(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Exactly-once replay dedup: drop duplicate event_ids. State holds
     one entry per key seen within the watermark horizon; late duplicates

@@ -62,14 +62,16 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # still NEED external evidence — round 6's window is the 8 queries new
 # in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
 # queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
-# adding tpcds_bloom_semijoin evicted tpcds_q32, which stays covered by
-# the full sweep). Out-of-window queries stay covered by the recorded full sweep
+# adding tpcds_bloom_semijoin and continuous_stream_join evicted
+# tpcds_q31/q32, which stay covered by the full sweep). Out-of-window
+# queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
     "complex_q51_cumulative_join",
     "complex_q78_channel_join",
     "continuous_cdc_replica",
+    "continuous_stream_join",
     "corpus_curation_pipeline",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
@@ -116,7 +118,6 @@ _GATE_WINDOW = [
     "tpcds_q28",
     "tpcds_q29",
     "tpcds_q30",
-    "tpcds_q31",
 ]
 
 
