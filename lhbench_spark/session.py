@@ -95,6 +95,21 @@ def get_spark(
         # arrow for the few pandas-UDF paths (multimodal / embeddings)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Kryo for the non-SQL serialization paths (task results,
+        # broadcast builds, RDD/localCheckpoint blocks; SQL shuffles use
+        # UnsafeRowSerializer regardless). Diagnosed from a thread dump:
+        # AQE legitimately broadcasts a small-at-bench-SF checkpointed
+        # frame of array columns, and the build collects it through ONE
+        # coalesced task whose JavaSerializer ObjectOutputStream spent
+        # 46s on boxed arrays — Kryo cut that query 49.3s -> 14.6s cold,
+        # 4.5s -> 2.0s warm. The standard production setting.
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Diagnostic passthrough (e.g. -Xlog:gc*,safepoint to a file) —
+        # empty by default; local-mode driver == the whole JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         # Shuffle/spill files on tmpfs when available: local-mode shuffle
         # volume at test SFs is a few GB, and memory-backed scratch makes
         # the measurements immune to host disk-latency windows (the
