@@ -204,6 +204,129 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_store(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent half of incremental dedup: the corpus
+    signature store, as two frames —
+
+    - ``sets``:  (_id, _hset: array<bigint>, _sz) distinct H32 shingle
+      hashes per document (the exact-Jaccard verify side);
+    - ``bands``: (_id, _bkey) LSH band index rows, bucket-capped.
+
+    This is the 100 TB ingest pattern: the store is computed ONCE per
+    corpus (here materialized via localCheckpoint; at cluster scale both
+    frames are parquet tables written at ingest and maintained
+    incrementally), and each arriving batch probes it without ever
+    re-shingling the corpus. Bucket cap applies to STORE buckets — a
+    degenerate store bucket (boilerplate) would otherwise fan every
+    probing batch row out quadratically.
+    """
+    hashed = with_word_shingles(corpus, text_col).select(
+        F.col(id_col).alias("_id"),
+        F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
+    )
+    sets = (
+        hashed.select("_id", F.array_distinct("_hs").alias("_hset"))
+        .withColumn("_sz", F.size("_hset"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = sets.select(
+        "_id", F.expr(hashing.minhash_sig_spark("_hset")).alias("_sig")
+    )
+    bands = _capped_buckets(
+        sigs.select(
+            "_id",
+            F.explode(F.expr(hashing.band_keys_spark("_sig"))).alias("_bkey"),
+        ),
+        "_bkey",
+    ).select("_id", "_bkey")
+    return sets, bands
+
+
+def incremental_dedup_verdicts(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Batch-vs-store near-dup screening — the incremental-ingest dedup
+    every large corpus actually runs (full-corpus pair generation is a
+    one-time backfill; day-to-day dedup is "is this NEW doc a near-dup of
+    anything already ingested?").
+
+    Plan: corpus signature store from :func:`minhash_store`; the batch
+    computes only its OWN signatures, probes the store's band index with
+    an ids-only join, and exact-verifies candidates against the store's
+    hash sets. Per batch doc the best verified match wins (highest
+    jaccard, then lowest store id — fully tie-broken). Batch docs with no
+    verified match come through the left join as is_dup = false.
+
+    Output: (batch_id, is_dup, match_id, jaccard) — one row per batch
+    document. Cost is O(batch × probe-fanout), independent of corpus
+    size once the store exists.
+    """
+    sets, bands = minhash_store(corpus, id_col, text_col)
+    bhashed = with_word_shingles(batch, text_col).select(
+        F.col(id_col).alias("batch_id"),
+        F.expr(hashing.shingle_hashes_spark("_shingles")).alias("_hs"),
+    )
+    bsets = (
+        bhashed.select("batch_id", F.array_distinct("_hs").alias("_bset"))
+        .withColumn("_bz", F.size("_bset"))
+        .localCheckpoint(eager=False)
+    )
+    bsigs = bsets.select(
+        "batch_id", F.expr(hashing.minhash_sig_spark("_bset")).alias("_sig")
+    )
+    bbands = bsigs.select(
+        "batch_id",
+        F.explode(F.expr(hashing.band_keys_spark("_sig"))).alias("_bkey"),
+    )
+    cand = (
+        bbands.join(bands.withColumnRenamed("_id", "match_id"), "_bkey")
+        .select("batch_id", "match_id")
+        .dropDuplicates(["batch_id", "match_id"])
+    )
+    pairs = cand.join(bsets, "batch_id").join(
+        sets.select(
+            F.col("_id").alias("match_id"),
+            F.col("_hset").alias("_sa"),
+            F.col("_sz").alias("_za"),
+        ),
+        "match_id",
+    )
+    # Same monotone size-ratio prune as minhash_lsh_pairs (never stricter
+    # than the jac >= threshold filter, so absent from the oracle).
+    pairs = pairs.filter(
+        F.least("_za", "_bz") / F.greatest("_za", "_bz") >= threshold
+    )
+    inter = F.size(F.array_intersect("_sa", "_bset")).cast("double")
+    jac = inter / (F.col("_za") + F.col("_bz") - inter)
+    verified = pairs.filter(jac >= threshold).select(
+        "batch_id", "match_id", F.round(jac, 6).alias("jaccard")
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc()
+    )
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        batch.select(F.col(id_col).alias("batch_id"))
+        .join(best, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+            "jaccard",
+        )
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash bigint) — 60-bit per-bit-majority fingerprint over the
     distinct token set. Token hashes are materialized ONCE in a separate

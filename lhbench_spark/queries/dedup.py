@@ -141,6 +141,85 @@ def dedup_minhash_top_pairs(spark, sf_dir):
     )
 
 
+_CORPUS_PRED = "doc_id % 5 != 0"
+_BATCH_PRED = "doc_id % 5 = 0"
+
+_INCREMENTAL_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE {_CORPUS_PRED}
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE {_BATCH_PRED}
+), chs AS (
+    SELECT doc_id,
+           {hashing.shingle_hashes_duck(textnorm.word_shingles_duck('text'))} AS hashes
+    FROM corpus
+), cset AS (
+    SELECT doc_id, list_distinct(hashes) AS hset FROM chs
+), csig AS (
+    SELECT doc_id, {hashing.minhash_sig_duck('hashes')} AS sig FROM chs
+), cband_raw AS (
+    SELECT doc_id, unnest({hashing.band_keys_duck('sig')}) AS bkey FROM csig
+), cband AS (
+    -- bucket cap on STORE buckets only (mirrors minhash_store)
+    SELECT * FROM cband_raw
+    QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= {dedup.MAX_BUCKET}
+), bhs AS (
+    SELECT doc_id,
+           {hashing.shingle_hashes_duck(textnorm.word_shingles_duck('text'))} AS hashes
+    FROM batch
+), bset AS (
+    SELECT doc_id, list_distinct(hashes) AS hset FROM bhs
+), bsig AS (
+    SELECT doc_id, {hashing.minhash_sig_duck('hashes')} AS sig FROM bhs
+), bband AS (
+    SELECT doc_id, unnest({hashing.band_keys_duck('sig')}) AS bkey FROM bsig
+), cand AS (
+    SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS match_id
+    FROM bband b JOIN cband c ON b.bkey = c.bkey
+), verified AS (
+    SELECT batch_id, match_id,
+           ROUND(CAST(len(list_intersect(sb.hset, sa.hset)) AS DOUBLE)
+                 / (len(sa.hset) + len(sb.hset)
+                    - len(list_intersect(sb.hset, sa.hset))), 6) AS jaccard
+    FROM cand
+    JOIN bset sb ON sb.doc_id = batch_id
+    JOIN cset sa ON sa.doc_id = match_id
+    WHERE CAST(len(list_intersect(sb.hset, sa.hset)) AS DOUBLE)
+          / (len(sa.hset) + len(sb.hset)
+             - len(list_intersect(sb.hset, sa.hset))) >= 0.7
+), best AS (
+    SELECT * FROM verified
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY batch_id ORDER BY jaccard DESC, match_id ASC) = 1
+)
+SELECT b.doc_id AS batch_id,
+       best.match_id IS NOT NULL AS is_dup,
+       best.match_id,
+       best.jaccard
+FROM batch b LEFT JOIN best ON b.doc_id = best.batch_id
+"""
+
+
+@query(
+    "dedup_incremental_store",
+    tags=("dedup", "minhash", "incremental", "documents"),
+    oracle=_INCREMENTAL_ORACLE,
+)
+def dedup_incremental_store(spark, sf_dir):
+    """Incremental batch-vs-store dedup — the steady-state form of corpus
+    dedup at 100 TB: the corpus signature store (distinct H32 shingle
+    sets + bucket-capped LSH band index, operators.dedup.minhash_store)
+    is built once, and each arriving batch (here the doc_id % 5 = 0
+    slice, probing the other 80%) computes only its own signatures and
+    probes the store with an ids-only band join. One verdict row per
+    batch doc: is it a near-dup (Jaccard ≥ 0.7) of anything ingested, and
+    of what. Cost is O(batch), independent of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_CORPUS_PRED))
+    batch = docs.filter(F.expr(_BATCH_PRED))
+    return dedup.incremental_dedup_verdicts(corpus, batch, threshold=0.7)
+
+
 _TOKENS_DISTINCT_DUCK = f"list_distinct({textnorm.tokens_duck('text')})"
 
 _SIMHASH_ORACLE = f"""
