@@ -531,3 +531,180 @@ def kmeans_refine(
         }
         cents = [(cid, means.get(cid, ce)) for cid, ce in cents]
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression tier of ANN.
+#
+# IVF (above) prunes WHICH vectors a query scans; PQ compresses WHAT is
+# scanned: each vector is stored as PQ_SUBS small codes (here 8 codes over
+# a 64-dim vector = 32x smaller than float32), and query-time scoring is
+# asymmetric distance computation (ADC) — per candidate, PQ_SUBS table
+# lookups + adds instead of a dim-length dot product. At 100 TB the codes
+# table fits where raw vectors cannot, and a production index composes
+# both: IVF to prune cells, PQ codes inside each cell, exact re-rank of
+# the short candidate list against raw vectors (fetched by id).
+PQ_SUBS = 8        # subspaces (dim must divide evenly)
+PQ_CODES = 16      # codewords per subspace
+PQ_STRIDE = 16     # deterministic codebook sample stride (vec_id % stride)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    k_codes: int = PQ_CODES,
+    stride: int = PQ_STRIDE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the first ``k_codes`` stride-sampled
+    vectors (ordered by id) — codeword j of subspace m is the m-th slice
+    of sample vector j. Like ivf_centroids this is a load-once,
+    metadata-sized artifact (k_codes × dim doubles); a deployment trains
+    it offline (kmeans_refine per subspace) and ships it with the index."""
+    rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("ce"))
+        .orderBy("cid")
+        .limit(k_codes)
+        .collect()
+    )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"PQ codebook needs {k_codes} stride-{stride} samples, got {len(rows)}"
+        )
+    return [list(r.ce) for r in rows]
+
+
+def _pq_sq(sub_a: str, sub_b: str) -> str:
+    """Squared L2 between two sub-vector expressions — sequential left
+    fold, IEEE-identical to the oracle's list_reduce form."""
+    return (
+        f"aggregate(zip_with({sub_a}, {sub_b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_lit(cb: list[list[float]]) -> str:
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(x) for x in ce) + ")" for ce in cb
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: list[list[float]],
+    subs: int = PQ_SUBS,
+    id_out: str = "vec_id",
+    vec_out: str = "_v",
+) -> DataFrame:
+    """(id, _codes: array<int>[subs]) — per subspace, the argmin-distance
+    codeword (ties to the lowest index, via lexicographic struct min).
+    Pure projection over the codebook literal: scan → project, no
+    Exchange — at ingest this writes the codes column alongside (or
+    instead of) the raw vector."""
+    dim = len(cb[0])
+    sub = dim // subs
+    k = len(cb)
+    sub_v = f"slice({vec_out}, (m - 1) * {sub} + 1, {sub})"
+    sub_c = f"slice(element_at(_cb, j), (m - 1) * {sub} + 1, {sub})"
+    codes = (
+        f"transform(sequence(1, {subs}), m -> "
+        f"array_min(transform(sequence(1, {k}), j -> "
+        f"named_struct('d', {_pq_sq(sub_v, sub_c)}, 'j', j))).j)"
+    )
+    return df.withColumn("_cb", F.expr(_pq_lit(cb))).select(
+        id_out, F.expr(codes).alias("_codes")
+    )
+
+
+def pq_adc_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cb: list[list[float]],
+    subs: int = PQ_SUBS,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, arnk ≤ rerank): the ADC candidate list.
+
+    Each query precomputes its subs × k distance table ONCE (query side
+    is broadcast and bounded); per (query, candidate) the approximate
+    distance is then subs lookups + adds over the codes column — never a
+    dim-length product against the corpus. Candidates ride ids-only into
+    the re-rank join."""
+    from lhbench_spark.operators import fan_out
+
+    dim = len(cb[0])
+    sub = dim // subs
+    k = len(cb)
+    codes = pq_encode(
+        fan_out(corpus).select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+        ),
+        cb, subs, "neighbor_id", "_v",
+    )
+    sub_q = f"slice(_qv, (m - 1) * {sub} + 1, {sub})"
+    sub_c = f"slice(element_at(_cb, j), (m - 1) * {sub} + 1, {sub})"
+    tab = (
+        f"transform(sequence(1, {subs}), m -> "
+        f"transform(sequence(1, {k}), j -> {_pq_sq(sub_q, sub_c)}))"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+        )
+        .withColumn("_cb", F.expr(_pq_lit(cb)))
+        .select("query_id", F.expr(tab).alias("_tab"))
+    )
+    adc = (
+        f"aggregate(sequence(1, {subs}), CAST(0.0 AS DOUBLE), (acc, m) -> "
+        f"acc + element_at(element_at(_tab, m), element_at(_codes, m)))"
+    )
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(adc).alias("_ad"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("_ad"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= rerank)
+        .select("query_id", "neighbor_id", "arnk")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cb: list[list[float]],
+    k: int = 5,
+    subs: int = PQ_SUBS,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production PQ search: ADC candidate list → fetch raw vectors by id
+    → exact cosine re-rank → top-k. (query_id, neighbor_id, cosine, rnk)."""
+    cand = pq_adc_candidates(corpus, queries, cb, subs, rerank, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
+    )

@@ -8,6 +8,7 @@ zip_with/aggregate fold.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lhbench_spark.catalog import table
@@ -439,4 +440,175 @@ def sim_kmeans_recall(spark, sf_dir):
         F.sum("refined_hits").cast("bigint").alias("refined_hits"),
         F.round(F.sum("base_hits") / denom, 6).alias("base_recall"),
         F.round(F.sum("refined_hits") / denom, 6).alias("refined_recall"),
+    )
+
+
+# --- Product quantization (PQ) tier ---------------------------------------
+
+_PQ_RERANK = 50
+_PQ_CB_CACHE: dict[str, list] = {}
+
+
+def _pq_cb(spark, sf_dir):
+    # Load-once artifact, like the IVF codebook above.
+    if sf_dir not in _PQ_CB_CACHE:
+        _PQ_CB_CACHE[sf_dir] = similarity.pq_codebook(
+            table(spark, sf_dir, "embeddings")
+        )
+    return _PQ_CB_CACHE[sf_dir]
+
+
+def _pq_sq_duck(a: str, b: str, sub: int) -> str:
+    # Same sequential left fold as operators.similarity._pq_sq.
+    return (
+        f"list_reduce(list_transform(range(1, {sub + 1}), i -> "
+        f"({a}[i]-{b}[i])*({a}[i]-{b}[i])), (acc,x) -> acc + x)"
+    )
+
+
+def _pq_oracle() -> str:
+    subs, k_codes, stride = (
+        similarity.PQ_SUBS, similarity.PQ_CODES, similarity.PQ_STRIDE,
+    )
+    sub = _DIM // subs
+    sub_v = f"(ev[((m-1)*{sub}+1):(m*{sub})])"
+    sub_c = f"(cl[j][((m-1)*{sub}+1):(m*{sub})])"
+    sub_q = f"(qv[((m-1)*{sub}+1):(m*{sub})])"
+    sub_code = f"(cl[codes[m]][((m-1)*{sub}+1):(m*{sub})])"
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), samp AS (
+    SELECT vec_id AS cid, ev FROM v WHERE vec_id % {stride} = 0
+    ORDER BY vec_id LIMIT {k_codes}
+), cb AS (
+    SELECT list(ev ORDER BY cid) AS cl FROM samp
+), enc_raw AS (
+    SELECT vec_id, m, j, {_pq_sq_duck(sub_v, sub_c, sub)} AS d
+    FROM v CROSS JOIN cb
+    CROSS JOIN (SELECT unnest(range(1, {subs + 1})) AS m)
+    CROSS JOIN (SELECT unnest(range(1, {k_codes + 1})) AS j)
+), codes1 AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM enc_raw) t WHERE rn = 1
+), cvec AS (
+    SELECT vec_id, list(code ORDER BY m) AS codes FROM codes1 GROUP BY vec_id
+), q AS (
+    SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < {_NQUERIES}
+), adc AS (
+    SELECT query_id, c.vec_id AS neighbor_id,
+           list_reduce(list_transform(range(1, {subs + 1}), m ->
+               {_pq_sq_duck(sub_q, sub_code, sub)}), (acc,x) -> acc + x) AS ad
+    FROM q CROSS JOIN cvec c CROSS JOIN cb
+    WHERE c.vec_id <> query_id
+), adcr AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ad, neighbor_id) AS arnk
+    FROM adc
+), exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(q.qv, v.ev) DESC,
+                            v.vec_id) AS rnk
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) t
+    WHERE rnk <= {_TOPK}
+), rerank AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.query_id
+                   ORDER BY list_cosine_similarity(q.qv, v.ev) DESC,
+                            a.neighbor_id) AS rnk
+        FROM adcr a JOIN q ON q.query_id = a.query_id
+        JOIN v ON v.vec_id = a.neighbor_id
+        WHERE a.arnk <= {_PQ_RERANK}) t
+    WHERE rnk <= {_TOPK}
+), adck AS (
+    SELECT query_id, neighbor_id FROM adcr WHERE arnk <= {_TOPK}
+)
+SELECT (SELECT COUNT(DISTINCT query_id) FROM q)::BIGINT AS n_queries,
+       (SELECT COUNT(*) FROM adck JOIN exact USING (query_id, neighbor_id))::BIGINT AS adc_hits,
+       (SELECT COUNT(*) FROM rerank JOIN exact USING (query_id, neighbor_id))::BIGINT AS rerank_hits,
+       ROUND((SELECT COUNT(*) FROM adck JOIN exact USING (query_id, neighbor_id))
+             / ((SELECT COUNT(DISTINCT query_id) FROM q) * {_TOPK}.0), 6) AS adc_recall,
+       ROUND((SELECT COUNT(*) FROM rerank JOIN exact USING (query_id, neighbor_id))
+             / ((SELECT COUNT(DISTINCT query_id) FROM q) * {_TOPK}.0), 6) AS rerank_recall
+"""
+
+
+@query(
+    "ann_pq_recall",
+    tags=("similarity", "embedding", "ann", "pq", "recall"),
+    oracle=_pq_oracle(),
+)
+def ann_pq_recall(spark, sf_dir):
+    """Measured quality of the product-quantization tier: recall@k of raw
+    ADC top-k (codes only — what a codes-resident scan returns) and of
+    ADC top-50 + exact re-rank, against brute-force ground truth. PQ here
+    stores 8 codes per 64-dim vector (32× smaller than float32) — at
+    100 TB the codes table is what fits in scan bandwidth, and re-rank
+    touches raw vectors for only ``rerank`` ids per query. The expected
+    shape on this corpus: raw ADC recall is poor (quantization noise ≈
+    the tiny cosine spread of near-random vectors) and re-rank recovers
+    most of it — the measurement that sizes the rerank budget."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    cb = _pq_cb(spark, sf_dir)
+    # Candidate list feeds BOTH tiers (raw-ADC top-k and the re-rank);
+    # materialize once instead of re-running the ADC scan per branch.
+    cand = similarity.pq_adc_candidates(
+        emb, queries, cb, rerank=_PQ_RERANK
+    ).localCheckpoint(eager=False)
+    exact = similarity.brute_force_topk(emb, queries, k=_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    adck = cand.filter(F.col("arnk") <= _TOPK).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), similarity.as_double("embedding").alias("_cv")
+    )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), similarity.as_double("embedding").alias("_qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    rr = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", similarity.cosine("_qv", "_cv").alias("_cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select(F.col("query_id").alias("r_qid"), F.col("neighbor_id").alias("r_nid"))
+    )
+    per_q = (
+        exact.join(
+            adck,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .join(
+            rr,
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("neighbor_id") == F.col("r_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_nid").alias("adc_hits"),
+            F.count("r_nid").alias("rerank_hits"),
+        )
+    )
+    denom = F.count(F.lit(1)) * float(_TOPK)
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("adc_hits").cast("bigint").alias("adc_hits"),
+        F.sum("rerank_hits").cast("bigint").alias("rerank_hits"),
+        F.round(F.sum("adc_hits") / denom, 6).alias("adc_recall"),
+        F.round(F.sum("rerank_hits") / denom, 6).alias("rerank_recall"),
     )

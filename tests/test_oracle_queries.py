@@ -62,13 +62,14 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # still NEED external evidence — round 6's window is the 8 queries new
 # in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
 # queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
-# adding tpcds_bloom_semijoin, continuous_stream_join, and
-# dedup_incremental_store evicted tpcds_q30/q31/q32, which stay covered
-# by the full sweep). Out-of-window
+# adding tpcds_bloom_semijoin, continuous_stream_join,
+# dedup_incremental_store, and ann_pq_recall evicted tpcds_q29-q32,
+# which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
+    "ann_pq_recall",
     "complex_q51_cumulative_join",
     "complex_q78_channel_join",
     "continuous_cdc_replica",
@@ -118,7 +119,6 @@ _GATE_WINDOW = [
     "tpcds_q26",
     "tpcds_q27",
     "tpcds_q28",
-    "tpcds_q29",
 ]
 
 
