@@ -67,3 +67,55 @@ def test_kmeans_recall_query_is_sane(spark):
     assert row["n_queries"] > 0
     for c in ("base_recall", "refined_recall"):
         assert 0.0 <= row[c] <= 1.0, (c, row[c])
+
+
+def test_pq_encode_matches_numpy(spark):
+    """PQ codes: per-subspace argmin squared-L2 against the stride
+    codebook, ties to the lowest codeword index — the numpy ground truth
+    for the encode projection (end-to-end recall is oracle-checked by
+    ann_pq_recall; this pins the code assignment itself)."""
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cb = sim.pq_codebook(emb)
+    got = {
+        r.vec_id: list(r._codes)
+        for r in sim.pq_encode(
+            emb.select("vec_id", sim.as_double("embedding").alias("_v")),
+            cb,
+            id_out="vec_id",
+            vec_out="_v",
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", sim.as_double("embedding").alias("e")).collect()
+    CB = np.array(cb, dtype=np.float64)  # k_codes x dim
+    subs, dim = sim.PQ_SUBS, CB.shape[1]
+    sub = dim // subs
+    for r in rows:
+        x = np.array(r.e, dtype=np.float64)
+        want = [
+            int(
+                (((x[m * sub:(m + 1) * sub] - CB[:, m * sub:(m + 1) * sub]) ** 2).sum(axis=1)).argmin()
+            )
+            + 1  # codes are 1-based (element_at indexing)
+            for m in range(subs)
+        ]
+        assert got[r.vec_id] == want, r.vec_id
+
+
+def test_pq_encode_plan_stays_exchange_free(spark):
+    """The encode is scan -> project over the codebook literal; an
+    Exchange here would mean the corpus shuffles to be quantized."""
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cb = sim.pq_codebook(emb)
+    plan = (
+        sim.pq_encode(
+            emb.select("vec_id", sim.as_double("embedding").alias("_v")),
+            cb,
+            id_out="vec_id",
+            vec_out="_v",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
