@@ -25,19 +25,59 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-# Per-query (physical, analyzed) plan strings, built once per session:
-# three parametrized lints share the build (DML queries run a whole
+# Per-query (physical-str, analyzed-str, optimized-JVM-node) plans, built once per
+# session: the parametrized lints share the build (DML queries run a whole
 # table lifecycle at DataFrame-construction time, so each avoided
 # rebuild saves real suite seconds).
-_PLAN_CACHE: dict[str, tuple[str, str]] = {}
+_PLAN_CACHE: dict[str, tuple[str, str, object]] = {}
 
 
 def plans_for(spark, name: str) -> tuple[str, str]:
+    p, a, _ = plans3_for(spark, name)
+    return p, a
+
+
+def plans3_for(spark, name: str) -> tuple[str, str, object]:
     if name not in _PLAN_CACHE:
         df = all_queries()[name].spark_fn(spark, SMOKE_SF)
         qe = df._jdf.queryExecution()
-        _PLAN_CACHE[name] = (qe.executedPlan().toString(), qe.analyzed().toString())
+        _PLAN_CACHE[name] = (
+            qe.executedPlan().toString(),
+            qe.analyzed().toString(),
+            # optimized (not analyzed): CTE definitions are inlined, so a
+            # Window's reducing Aggregate is actually IN its subtree
+            qe.optimizedPlan(),
+        )
     return _PLAN_CACHE[name]
+
+
+def _iter_plan_nodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_plan_nodes(ch.apply(i))
+
+
+def unreduced_global_windows(analyzed_node) -> list[str]:
+    """Logical Window nodes with an EMPTY partition spec whose subtree
+    holds no Aggregate/GlobalLimit: a global window over unreduced data
+    funnels the whole input into ONE task at execution (WindowExec warns
+    exactly this). Over a pre-aggregated bounded frame (one row per
+    month/lang/group) the single partition is metadata-sized and fine —
+    which is why the lint demands the reducing node, not a blanket ban."""
+    bad = []
+    for n in _iter_plan_nodes(analyzed_node):
+        if n.getClass().getSimpleName() != "Window":
+            continue
+        if not n.partitionSpec().isEmpty():
+            continue
+        reduced = any(
+            c.getClass().getSimpleName() in ("Aggregate", "GlobalLimit")
+            for c in _iter_plan_nodes(n.child())
+        )
+        if not reduced:
+            bad.append(n.toString().splitlines()[0][:160])
+    return bad
 
 
 # ---- forced-broadcast lint (the r4/r5 scale-killer class) ----
@@ -181,6 +221,36 @@ def test_no_forced_broadcast_of_sf_scaled_base(spark, name):
     _, analyzed = plans_for(spark, name)
     hits = forced_sf_broadcasts(analyzed)
     assert not hits, f"{name} force-broadcasts an SF-scaled base: {hits}"
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_global_window_only_over_reduced_child(spark, name):
+    """A partition-less window is allowed ONLY over a subtree that an
+    Aggregate (or LIMIT) has already collapsed to bounded cardinality —
+    over raw data it moves everything to one task (SCALE.md, 'Joins /
+    aggregation / window')."""
+    _, _, node = plans3_for(spark, name)
+    hits = unreduced_global_windows(node)
+    assert not hits, f"{name} global-windows unreduced data: {hits}"
+
+
+def test_global_window_lint_fires(spark):
+    """Self-check: a global row_number over raw orders must be flagged;
+    the same window over a groupBy'd frame must pass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    orders = table(spark, SMOKE_SF, "orders")
+    bad = orders.select(
+        F.row_number().over(W.orderBy("o_orderkey")).alias("rn")
+    )
+    assert unreduced_global_windows(bad._jdf.queryExecution().optimizedPlan())
+    ok = (
+        orders.groupBy("o_orderpriority")
+        .count()
+        .select(F.row_number().over(W.orderBy("o_orderpriority")).alias("rn"))
+    )
+    assert not unreduced_global_windows(ok._jdf.queryExecution().optimizedPlan())
 
 
 def test_forced_broadcast_lint_fires(spark):
