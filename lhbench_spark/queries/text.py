@@ -506,3 +506,58 @@ def corpus_curation_pipeline(spark, sf_dir):
             F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_tokens"),
     )
+
+
+_BPE_MERGE_K = 25
+
+_BPE_MERGE_ORACLE = f"""
+WITH t AS (
+    SELECT {_TOKS} AS toks FROM documents
+), p AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM t
+)
+SELECT pair, COUNT(*) AS cnt
+FROM p GROUP BY 1
+ORDER BY cnt DESC, pair
+LIMIT {_BPE_MERGE_K}
+"""
+
+
+@query(
+    "corpus_bpe_merge_step",
+    tags=("text", "tokens", "bpe", "documents"),
+    oracle=_BPE_MERGE_ORACLE,
+)
+def corpus_bpe_merge_step(spark, sf_dir):
+    """One BPE training step, distributed: corpus-wide adjacent-token-pair
+    frequencies, top-25 merge candidates (tie-broken by pair text — BPE
+    picks the most frequent pair each round; a full training loop re-runs
+    this with the merged vocab). Shape at 100 TB: the pair enumeration is
+    a per-row array projection (scan-bound, no Python), the count is ONE
+    hash agg with map-side combine (shuffle = distinct pairs × partitions,
+    not corpus positions), and the top-k plans TakeOrderedAndProject —
+    no global sort, no driver-side frequency table."""
+    from pyspark.sql import functions as F
+
+    toks = textnorm.tokens_spark("text")
+    pairs = (
+        table(spark, sf_dir, "documents")
+        .select(F.expr(toks).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN array() "
+                    "ELSE transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(_BPE_MERGE_K)
+    )

@@ -63,7 +63,8 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
 # queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
 # adding tpcds_bloom_semijoin, continuous_stream_join,
-# dedup_incremental_store, and ann_pq_recall evicted tpcds_q29-q32,
+# dedup_incremental_store, ann_pq_recall, and corpus_bpe_merge_step
+# evicted tpcds_q28-q32,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -74,6 +75,7 @@ _GATE_WINDOW = [
     "complex_q78_channel_join",
     "continuous_cdc_replica",
     "continuous_stream_join",
+    "corpus_bpe_merge_step",
     "corpus_curation_pipeline",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
@@ -118,7 +120,6 @@ _GATE_WINDOW = [
     "tpcds_q25",
     "tpcds_q26",
     "tpcds_q27",
-    "tpcds_q28",
 ]
 
 
