@@ -185,3 +185,76 @@ def contamination_hits(
         .groupBy(F.col("_id").alias(id_col))
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+
+
+def charlm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alphabet_size: int = 27,
+) -> DataFrame:
+    """Character-bigram language-model perplexity per document — the
+    CCNet-style LM quality filter (train a small LM on/for the corpus,
+    score every document, keep the low-perplexity head).
+
+    Two aggregation passes over one normalized projection, all JVM-side:
+
+    1. TRAIN — per-doc bigram counts (``explode`` + hash agg; partial
+       aggregation collapses each doc to <= alphabet² rows map-side, so
+       the shuffle is O(docs · distinct-bigrams), never O(chars)), then
+       a corpus-level roll-up whose output is bounded by alphabet²
+       (<= 729 rows at a-z+space) — metadata-sized at ANY corpus size.
+    2. SCORE — join the per-doc counts against the (hint-legal, bounded)
+       broadcast probability table and decimal-sum ``n · log P`` per doc.
+
+    Laplace-smoothed conditional probability
+    ``P(c2|c1) = (count(c1c2)+1) / (count(c1·)+alphabet_size)``.
+    Engine-exactness: log-probs are rounded to 9 decimals before the
+    order-independent decimal sum (kills the 1-ulp libm ``ln`` skew
+    between JVM and any oracle), the per-doc mean is one double division
+    of identical operands, and perplexity = round(exp(-mean), 4).
+
+    Returns (id, n_bigrams, mean_logp, ppl)."""
+    from lhbench_spark.functions.numeric import dsum
+
+    s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "))
+    d = df.select(F.col(id_col), s.alias("_s")).filter(F.length("_s") >= 2)
+    doc_bg = (
+        d.select(
+            id_col,
+            F.explode(
+                F.expr("transform(sequence(1, length(_s) - 1), i -> substring(_s, i, 2))")
+            ).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    corpus = doc_bg.groupBy("bg").agg(F.sum("n").alias("cnt"))
+    ctx = corpus.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("ctx_cnt")
+    )
+    probs = (
+        corpus.withColumn("c1", F.substring("bg", 1, 1))
+        .join(ctx, "c1")
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("cnt").cast("double") + 1.0)
+                    / (F.col("ctx_cnt").cast("double") + float(alphabet_size))
+                ),
+                9,
+            ).alias("logp"),
+        )
+    )
+    return (
+        doc_bg.join(F.broadcast(probs), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(dsum(F.col("n") * F.col("logp")) / F.sum("n"), 6).alias(
+                "mean_logp"
+            ),
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("mean_logp")), 4))
+    )

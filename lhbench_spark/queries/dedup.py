@@ -537,3 +537,94 @@ def dedup_containment(spark, sf_dir):
     return dedup.containment_pairs(
         table(spark, sf_dir, "documents"), threshold=0.6, min_shared=3
     )
+
+
+# SemDeDup (Abbas et al. 2023): semantic deduplication that prunes the
+# pairwise search to WITHIN k-means cells of the embedding space — the
+# scale trick that makes embedding-level dedup feasible on web-scale
+# corpora (pairs are O(sum cell²), never O(corpus²); at 100 TB the
+# corpus is stored PARTITIONED BY cell, so the within-cell self-join is
+# co-located and shuffle-free). Keeper rule: a vector is dropped iff a
+# LOWER-id vector in its cell has cosine >= threshold — deterministic
+# without materializing connected components. The threshold is calibrated
+# to THIS corpus: the synthetic embeddings are near-orthogonal (within-cell
+# max cosine ~0.51), so the near-identical 0.95 of real SemDeDup would
+# never fire; 0.4 sits at the ~p99.9 of the within-cell pair distribution
+# and exercises the drop path at every SF.
+_SEMANTIC_TAU = 0.4
+
+_SEMANTIC_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), cents AS (
+    SELECT vec_id AS cid, ev AS ce FROM v WHERE vec_id % 125 = 0
+), assign AS (
+    SELECT vec_id, ev, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY list_distance(ev, ce), cid) AS crnk
+    FROM v CROSS JOIN cents
+), cells AS (
+    SELECT vec_id, ev, cid AS cell FROM assign WHERE crnk = 1
+), drops AS (
+    SELECT DISTINCT b.cell, b.vec_id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.ev, b.ev) >= {_SEMANTIC_TAU}
+), sizes AS (
+    SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1
+), d AS (
+    SELECT cell, COUNT(*) AS n_dropped FROM drops GROUP BY 1
+)
+SELECT sizes.cell AS cell, n_vecs,
+       COALESCE(n_dropped, 0) AS n_dropped,
+       n_vecs - COALESCE(n_dropped, 0) AS n_kept
+FROM sizes LEFT JOIN d USING (cell)
+"""
+
+
+@query(
+    "dedup_semantic_cells",
+    tags=("dedup", "embedding", "semdedup", "extension"),
+    oracle=_SEMANTIC_ORACLE,
+)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup: per-k-means-cell near-duplicate pruning over embeddings.
+    Cell assignment is the IVF inline-argmin projection (no Exchange);
+    the candidate join is cell-local; output is the per-cell
+    kept/dropped census (cells-sized, metadata-bounded)."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.operators import similarity
+    from lhbench_spark.queries.similarity import _ivf_cents
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents(spark, sf_dir)
+    cells = similarity.ivf_assign(
+        emb.select("vec_id", similarity.as_double("embedding").alias("_ev")),
+        cents, 1, "vec_id", "_ev",
+    )
+    a = cells.select(
+        F.col("vec_id").alias("a_id"), F.col("_ev").alias("av"), "_cell"
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"), F.col("_ev").alias("bv"), "_cell"
+    )
+    drops = (
+        a.join(b, "_cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(similarity.cosine("av", "bv") >= _SEMANTIC_TAU)
+        .select("_cell", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    sizes = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    dcnt = drops.groupBy("_cell").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        sizes.join(dcnt, "_cell", "left")
+        .select(
+            F.col("_cell").alias("cell"),
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )

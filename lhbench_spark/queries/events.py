@@ -530,3 +530,75 @@ def events_downsample_lttb(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("user_id", "bkt", "ts", "event_id", F.round("value", 6).alias("value"))
     )
+
+
+# Robust outlier detection (median / MAD — the Hampel filter): the
+# standard data-cleaning gate for sensor/metric streams, immune to the
+# outliers that wreck mean/stddev z-scores. Engine-exactness needs no
+# rounding anywhere: values are scaled to integer cents, and the 0.5
+# quantile over integers interpolates to exact binary halves in both
+# engines (the agg_percentiles_exact precedent), so every downstream
+# |v - med|, 3·MAD product and comparison is exact IEEE arithmetic.
+# Exact per-group percentile materializes the group's value multiset —
+# the 100 TB form swaps in approx_percentile for the thresholds (grouping
+# key is bounded: event types); this is the oracle-checkable exact twin.
+_MAD_ORACLE = """
+WITH e AS (
+    SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c FROM events
+), med AS (
+    SELECT event_type, quantile_cont(v_c, 0.5) AS med_c FROM e GROUP BY 1
+), dev AS (
+    SELECT e.event_type, v_c, med_c, ABS(v_c - med_c) AS dev
+    FROM e JOIN med USING (event_type)
+), mad AS (
+    SELECT event_type, quantile_cont(dev, 0.5) AS mad_c FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       COUNT(*) AS n_events,
+       MIN(med_c) / 100 AS med,
+       MIN(mad_c) / 100 AS mad,
+       CAST(SUM(CASE WHEN dev > 3 * mad_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
+@query(
+    "events_outlier_mad",
+    tags=("events", "quality", "outlier", "extension"),
+    oracle=_MAD_ORACLE,
+)
+def events_outlier_mad(spark, sf_dir):
+    """Median/MAD (Hampel) outlier census per event type: two grouped
+    exact-percentile passes + two broadcast joins on the bounded
+    event-type key — flag |v - median| > 3·MAD. All comparisons are
+    exact (integer cents, dyadic quantile), so the outlier count is
+    bit-reproducible under any partitioning."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5D)").alias("med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_c",
+        F.abs(F.col("v_c") - F.col("med_c")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.min("med_c") / 100).alias("med"),
+            (F.min("mad_c") / 100).alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad_c"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

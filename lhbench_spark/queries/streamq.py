@@ -56,7 +56,9 @@ def continuous_tumbling_window(spark, sf_dir):
     replay. State = one row per (day, event_type) in the horizon."""
     stream = streaming.stream_events(spark, sf_dir)
     return streaming.drain_to_table(
-        streaming.tumbling_window_counts(stream), _sink("t_stream_tumbling")
+        streaming.tumbling_window_counts(stream),
+        _sink("t_stream_tumbling"),
+        state_partitions=8,
     )
 
 
@@ -91,7 +93,9 @@ def continuous_sessionize(spark, sf_dir):
     semantics are value-checked, not assumed."""
     stream = streaming.stream_events(spark, sf_dir)
     sessions = streaming.drain_to_table(
-        streaming.session_counts(stream), _sink("t_stream_sessions")
+        streaming.session_counts(stream),
+        _sink("t_stream_sessions"),
+        state_partitions=8,
     )
     return streaming.sessionize_per_user(sessions)
 
@@ -139,6 +143,7 @@ def continuous_stateful_ema(spark, sf_dir):
         streaming.user_activity_stateful(stream, alpha=_EMA_ALPHA),
         _sink("t_stream_stateful"),
         output_mode="update",
+        state_partitions=8,
     )
 
 
@@ -177,7 +182,10 @@ def continuous_dedup_replay(spark, sf_dir):
     elif ts_type == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     got = streaming.drain_to_table(
-        streaming.dedup_replay(stream), _sink("t_stream_replay"), output_mode="append"
+        streaming.dedup_replay(stream),
+        _sink("t_stream_replay"),
+        output_mode="append",
+        state_partitions=8,
     )
     return got.agg(
         F.countDistinct("event_id").cast("bigint").alias("n_ids"),
@@ -215,6 +223,7 @@ def continuous_stream_join(spark, sf_dir):
         streaming.attribution_join(views, clicks),
         _sink("t_stream_attrib"),
         output_mode="append",
+        state_partitions=8,
     )
     return got.agg(
         F.count(F.lit(1)).alias("pairs"),
@@ -352,7 +361,10 @@ def cdc_table_stream_q(spark, sf_dir):
         .alias("price_sum"),
     )
     return streaming.drain_to_table(
-        agg, _sink("t_table_appends"), output_mode="complete"
+        agg,
+        _sink("t_table_appends"),
+        output_mode="complete",
+        state_partitions=8,
     )
 
 

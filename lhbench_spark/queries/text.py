@@ -561,3 +561,142 @@ def corpus_bpe_merge_step(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(_BPE_MERGE_K)
     )
+
+
+# CCNet-style LM perplexity filter (Wenzek et al., "CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data"): score every document
+# with a small LM, split the corpus into head/middle/tail quality buckets
+# at corpus percentiles. The LM here is the char-bigram model trained on
+# the corpus itself (operators/text.py charlm_perplexity); the bucket
+# split uses EXACT quartiles over the integer-scaled perplexity — dyadic
+# fractions (0.25/0.75) over integers interpolate engine-exactly (the
+# agg_percentiles_exact precedent). Exact percentile materializes the
+# value multiset; at 100 TB the split thresholds come from approx
+# percentile on a sample instead — the bounded-cardinality exact form is
+# the oracle-checkable twin.
+_CHARLM_ORACLE = """
+WITH d AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS s
+    FROM documents
+), d2 AS (
+    SELECT doc_id, s FROM d WHERE length(s) >= 2
+), bg AS (
+    SELECT doc_id, substring(s, CAST(i AS INTEGER), 2) AS bg
+    FROM d2, UNNEST(range(1, length(s))) AS t(i)
+), doc_bg AS (
+    SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2
+), corpus AS (
+    SELECT bg, SUM(n) AS cnt FROM doc_bg GROUP BY 1
+), ctx AS (
+    SELECT substring(bg, 1, 1) AS c1, SUM(cnt) AS ctx_cnt FROM corpus GROUP BY 1
+), probs AS (
+    SELECT bg,
+           ROUND(ln((CAST(cnt AS DOUBLE) + 1.0)
+                    / (CAST(ctx_cnt AS DOUBLE) + 27.0)), 9) AS logp
+    FROM corpus JOIN ctx ON substring(corpus.bg, 1, 1) = ctx.c1
+), scored AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(n * logp AS DECIMAL(18,8))) AS DOUBLE)
+                 / SUM(n), 6) AS mean_logp
+    FROM doc_bg JOIN probs USING (bg) GROUP BY doc_id
+), pp AS (
+    SELECT doc_id, n_bigrams, mean_logp,
+           ROUND(exp(-mean_logp), 4) AS ppl
+    FROM scored
+), pp2 AS (
+    SELECT *, CAST(ROUND(ppl * 10000, 0) AS BIGINT) AS ppl_m FROM pp
+), th AS (
+    SELECT quantile_cont(ppl_m, 0.25) AS p25,
+           quantile_cont(ppl_m, 0.75) AS p75
+    FROM pp2
+)
+SELECT doc_id, n_bigrams, mean_logp, ppl,
+       CASE WHEN ppl_m <= p25 THEN 'head'
+            WHEN ppl_m <= p75 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pp2, th
+"""
+
+
+@query(
+    "corpus_charlm_perplexity",
+    tags=("text", "quality", "lm", "documents", "extension"),
+    oracle=_CHARLM_ORACLE,
+)
+def corpus_charlm_perplexity(spark, sf_dir):
+    """LM-perplexity quality filter (the CCNet recipe): train a
+    char-bigram LM on the corpus (one bounded-output hash agg), score
+    every document (projection + broadcast of the <=729-row probability
+    table + decimal sum), bucket into head/middle/tail at exact corpus
+    quartiles of the integer-scaled perplexity. Every stage's shuffle is
+    O(docs) or O(alphabet²) — nothing is O(characters) past the map side."""
+    from pyspark.sql import functions as F
+
+    scored = text_ops.charlm_perplexity(
+        table(spark, sf_dir, "documents")
+    ).withColumn("ppl_m", F.round(F.col("ppl") * 10000, 0).cast("bigint"))
+    th = scored.agg(
+        F.expr("percentile(ppl_m, 0.25D)").alias("p25"),
+        F.expr("percentile(ppl_m, 0.75D)").alias("p75"),
+    )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_bigrams",
+        "mean_logp",
+        "ppl",
+        F.when(F.col("ppl_m") <= F.col("p25"), F.lit("head"))
+        .when(F.col("ppl_m") <= F.col("p75"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# Model-based quality classifier (the fastText-classifier step in LLM
+# curation pipelines — e.g. GPT-3/LLaMA "quality filtering"): a logistic
+# head over the cheap heuristic features. Weights are fixed constants (a
+# trained model's coefficients load the same way); the ENTIRE scorer is
+# one JVM-side projection — at 100 TB it runs at scan bandwidth, no
+# shuffle, no Python. Engine-exactness: both engines evaluate the SAME
+# arithmetic text over identical round-6 features (shared _CLF_Z below),
+# ln is rounded to 9 decimals before use, and the sigmoid output is
+# rounded to 6.
+_CLF_Z = (
+    "-4.0 + 6.0 * stopword_ratio + 1.5 * alpha_ratio"
+    " + 3.0 * diversity + 0.35 * ln_len"
+)
+
+_CLF_ORACLE = f"""
+WITH feats AS ({_QUALITY_ORACLE}),
+z AS (
+    SELECT doc_id, {_CLF_Z} AS z
+    FROM (SELECT *, ROUND(ln(n_tokens + 1), 9) AS ln_len FROM feats) f
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS kept
+FROM z
+"""
+
+
+@query(
+    "corpus_quality_classifier",
+    tags=("text", "quality", "classifier", "documents", "extension"),
+    oracle=_CLF_ORACLE,
+)
+def corpus_quality_classifier(spark, sf_dir):
+    """Logistic quality classifier over heuristic text features — the
+    model-based keep/drop gate after the cheap rule filters. Pure
+    projection (scan-bound); the linear head's arithmetic text is shared
+    verbatim with the oracle so both engines evaluate identical IEEE
+    operation sequences."""
+    from pyspark.sql import functions as F
+
+    feats = text_ops.quality_scores(table(spark, sf_dir, "documents"))
+    z = feats.withColumn(
+        "ln_len", F.round(F.expr("ln(n_tokens + 1)"), 9)
+    ).withColumn("z", F.expr(_CLF_Z))
+    return z.select(
+        "doc_id",
+        F.round(F.expr("1.0 / (1.0 + exp(-z))"), 6).alias("score"),
+        (F.round(F.expr("1.0 / (1.0 + exp(-z))"), 6) >= 0.5).alias("kept"),
+    )

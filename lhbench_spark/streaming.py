@@ -188,7 +188,11 @@ _DRAINED_SINKS: list[str] = []
 
 
 def drain_to_table(
-    stream_df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run an availableNow drain of a streaming DataFrame into an
     in-memory sink and return the result table — the test/backfill path
@@ -196,8 +200,19 @@ def drain_to_table(
     ``applyInPandasWithState`` streams drain with ``output_mode="update"``
     (complete mode is undefined for arbitrary state).
 
+    ``state_partitions``: a stateful streaming query instantiates one
+    state store PER shuffle partition PER stateful operator, and the
+    count is frozen into the checkpoint at first start — so real
+    streaming jobs size it to their STATE volume explicitly instead of
+    inheriting the session's batch shuffle width (32 state stores for a
+    five-key aggregation is pure per-store overhead; conversely a 100 TB
+    join needs hundreds). When set, the session's shuffle-partition conf
+    is applied for the duration of the drain and restored after —
+    partitioning never changes drained VALUES (sums are decimal,
+    compares are set-based), only state-store fan-out.
+
     Memory sinks hold their rows on the driver until the temp view is
-    dropped; over a long bench session (130 queries × iterations) the
+    dropped; over a long bench session (250+ queries × iterations) the
     leaked sinks became full-GC pressure. Each drain therefore drops all
     PREVIOUS drains' views first — by then their results have been
     collected (the runner collects each query before starting the next)."""
@@ -206,24 +221,31 @@ def drain_to_table(
         spark.catalog.dropTempView(old)
     _DRAINED_SINKS.clear()
     _DRAINED_SINKS.append(name)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        # awaitTermination returns False on timeout — in that case the
-        # finally-stop() would kill a still-running drain and silently
-        # return a PARTIAL table, surfacing later as a baffling oracle
-        # mismatch. Fail loudly instead.
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(
-                f"stream drain '{name}' did not finish within {timeout_sec}s"
-            )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # awaitTermination returns False on timeout — in that case the
+            # finally-stop() would kill a still-running drain and silently
+            # return a PARTIAL table, surfacing later as a baffling oracle
+            # mismatch. Fail loudly instead.
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"stream drain '{name}' did not finish within {timeout_sec}s"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

@@ -147,3 +147,35 @@ def test_dedup_replay_makes_duplicated_source_idempotent(spark, tmp_path):
     assert _canon_rows(got.select("event_id", "event_type")) == _canon_rows(
         base.select("event_id", "event_type")
     )
+
+
+def test_drain_state_partitions_scopes_and_restores_conf(spark):
+    """state_partitions must apply only for the drain (state-store
+    fan-out is a per-job decision) and restore the session conf even
+    though values are unchanged either way."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = streaming.stream_events(spark, SMOKE_SF)
+    got = streaming.drain_to_table(
+        streaming.tumbling_window_counts(stream),
+        "t_tumbling_sp",
+        state_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    expected = events_tumbling_window(spark, SMOKE_SF)
+    assert _canon_rows(got.select(*sorted(got.columns))) == _canon_rows(
+        expected.select(*sorted(expected.columns))
+    )
+
+
+def test_drain_state_partitions_restores_on_failure(spark):
+    """The conf restore must survive a failing drain (finally-path)."""
+    import pytest as _pytest
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = streaming.stream_events(spark, SMOKE_SF)
+    bad = streaming.tumbling_window_counts(stream).withColumn(
+        "boom", F.expr("raise_error('induced failure')")
+    )
+    with _pytest.raises(Exception):
+        streaming.drain_to_table(bad, "t_boom", state_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
