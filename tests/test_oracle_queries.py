@@ -64,7 +64,9 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
 # adding tpcds_bloom_semijoin, continuous_stream_join,
 # dedup_incremental_store, ann_pq_recall, and corpus_bpe_merge_step
-# evicted tpcds_q28-q32,
+# evicted tpcds_q28-q32; adding corpus_charlm_perplexity,
+# corpus_quality_classifier, dedup_semantic_cells, and
+# events_outlier_mad evicted tpcds_q24b-q27,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -76,14 +78,18 @@ _GATE_WINDOW = [
     "continuous_cdc_replica",
     "continuous_stream_join",
     "corpus_bpe_merge_step",
+    "corpus_charlm_perplexity",
     "corpus_curation_pipeline",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
+    "corpus_quality_classifier",
     "corpus_train_split",
     "dedup_containment",
     "dedup_incremental_store",
     "dedup_repeated_spans",
+    "dedup_semantic_cells",
     "events_downsample_lttb",
+    "events_outlier_mad",
     "join_asof_next_event",
     "multimodal_features",
     "sample_rand_filter",
@@ -116,10 +122,6 @@ _GATE_WINDOW = [
     "tpcds_q23a",
     "tpcds_q23b",
     "tpcds_q24a",
-    "tpcds_q24b",
-    "tpcds_q25",
-    "tpcds_q26",
-    "tpcds_q27",
 ]
 
 
