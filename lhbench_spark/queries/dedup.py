@@ -602,16 +602,21 @@ def dedup_semantic_cells(spark, sf_dir):
         emb.select("vec_id", similarity.as_double("embedding").alias("_ev")),
         cents, 1, "vec_id", "_ev",
     )
-    a = cells.select(
-        F.col("vec_id").alias("a_id"), F.col("_ev").alias("av"), "_cell"
+    # Unit-normalize ONCE per vector (O(corpus·dim)) so the pairwise
+    # score inside cells is a plain dot product — the norms would
+    # otherwise be recomputed per PAIR (O(Σcell²·dim) extra work and
+    # allocation, which is where this query's time goes).
+    unit = cells.select("vec_id", "_cell", similarity.l2_normalize("_ev").alias("_uv"))
+    a = unit.select(
+        F.col("vec_id").alias("a_id"), F.col("_uv").alias("av"), "_cell"
     )
-    b = cells.select(
-        F.col("vec_id").alias("b_id"), F.col("_ev").alias("bv"), "_cell"
+    b = unit.select(
+        F.col("vec_id").alias("b_id"), F.col("_uv").alias("bv"), "_cell"
     )
     drops = (
         a.join(b, "_cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(similarity.cosine("av", "bv") >= _SEMANTIC_TAU)
+        .filter(similarity.dot("av", "bv") >= _SEMANTIC_TAU)
         .select("_cell", F.col("b_id").alias("vec_id"))
         .distinct()
     )

@@ -417,3 +417,53 @@ def analytic_rank_over_rollup(spark, sf_dir):
         "total_bal",
         F.rank().over(w).cast("int").alias("rank_within_parent"),
     )
+
+
+# first_value / last_value / nth_value — the navigation-function corner of
+# the window surface (the others: rank/lag/lead/ntile/percent_rank are
+# covered above). Semantics trap: last_value over the DEFAULT frame
+# (UNBOUNDED PRECEDING..CURRENT ROW) is just the current row — the whole
+# point needs an explicit full-partition frame, which both engines spell
+# identically. Per-row values only (no float aggregation), so the compare
+# is exact without rounding.
+_NAV_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_price,
+       nth_value(o_totalprice, 2) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_price
+FROM orders
+WHERE o_custkey % 10 = 3
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query(
+    "analytic_first_last_nth",
+    tags=("window", "navigation"),
+    oracle=_NAV_ORACLE,
+)
+def analytic_first_last_nth(spark, sf_dir):
+    """Navigation functions per customer order history: first order's
+    price (default running frame), and last/second order's price over an
+    explicit full-partition frame. Partition key cardinality grows with
+    SF, so per-partition sorts stay bounded; the %10 slice bounds output,
+    not computation shape."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 3)
+    running = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = running.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(running).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+    )
