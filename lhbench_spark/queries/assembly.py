@@ -292,3 +292,79 @@ def corpus_pack_sequences(spark, sf_dir):
             ).alias("fill_frac"),
         )
     )
+
+
+# -- Weighted sampling (Efraimidis–Spirakis A-ES) ----------------------------
+# Distributed weighted sampling without replacement: key = u^(1/w) with a
+# DETERMINISTIC per-doc uniform u from the 24-bit md5 space, take the
+# top-k keys per stratum. One projection + one per-stratum top-k window —
+# at 100 TB this is the one-pass weighted reservoir over any corpus
+# (the A-ES key makes "sample ∝ weight without replacement" a plain
+# top-k, which distributes trivially). Engine-exactness: u and 1/w are
+# exact IEEE of identical operands; pow() can differ in the last ulp
+# between libms, so the ranking key is rounded to 12 decimals first
+# (ties, including rounding-created ones, break by doc_id in both
+# engines).
+_WEIGHTED_K = 20
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           ROUND(POWER(({_key24_duck("wsamp:")} + 0.5) / {_HASH_SPACE},
+                       1.0 / n_chars), 12) AS skey
+    FROM documents
+    WHERE n_chars > 0
+), ranked AS (
+    SELECT lang, doc_id, n_chars, skey,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY skey DESC, doc_id) AS rnk
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars, ROUND(skey, 6) AS score, rnk
+FROM ranked WHERE rnk <= {_WEIGHTED_K}
+"""
+
+
+@query(
+    "sample_weighted_reservoir",
+    tags=("sample", "weighted", "documents", "extension"),
+    oracle=_WEIGHTED_SAMPLE_ORACLE,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted sampling without replacement (A-ES): per-language top-k
+    of u^(1/weight) with weight = document length — longer documents
+    proportionally likelier, deterministic under the hashed uniform."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(float(_HASH_SPACE))
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12).alias("skey"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("skey"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _WEIGHTED_K)
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.round("skey", 6).alias("score"),
+            "rnk",
+        )
+    )

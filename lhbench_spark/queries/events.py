@@ -602,3 +602,61 @@ def events_outlier_mad(spark, sf_dir):
             ).alias("n_outliers"),
         )
     )
+
+
+# SCD Type-2 dimension build — the warehouse-standard "versioned
+# attribute history" derivation every CDC pipeline materializes: one row
+# per (entity, attribute-run), valid_from/valid_to from the change
+# stream, open-ended current row. Two windows over the same
+# (entity, time) partitioning: a lag() to detect attribute CHANGES (raw
+# events repeat attributes; SCD2 versions only transitions) and a lead()
+# over the surviving change rows for the validity interval. Shuffles
+# once on user_id (the second window reuses the partitioning);
+# per-partition sort is bounded by per-entity event counts. Fully
+# tie-broken by (ts, event_id).
+_SCD2_ORACLE = """
+WITH chg AS (
+    SELECT user_id, event_type, ts, event_id
+    FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ) t
+    WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type AS attr, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           AS is_current
+FROM chg
+"""
+
+
+@query(
+    "events_scd2_versions",
+    tags=("events", "cdc", "scd2", "extension"),
+    oracle=_SCD2_ORACLE,
+)
+def events_scd2_versions(spark, sf_dir):
+    """SCD Type-2 version table from the event stream: lag() change
+    detection, lead() validity intervals, NULL-open current rows."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .drop("prev")
+    )
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -67,7 +67,9 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # evicted tpcds_q28-q32; adding corpus_charlm_perplexity,
 # corpus_quality_classifier, dedup_semantic_cells, and
 # events_outlier_mad evicted tpcds_q24b-q27, and
-# analytic_first_last_nth evicted tpcds_q24a,
+# analytic_first_last_nth evicted tpcds_q24a; adding
+# events_scd2_versions and sample_weighted_reservoir evicted
+# tpcds_q23a-q23b,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -92,9 +94,11 @@ _GATE_WINDOW = [
     "dedup_semantic_cells",
     "events_downsample_lttb",
     "events_outlier_mad",
+    "events_scd2_versions",
     "join_asof_next_event",
     "multimodal_features",
     "sample_rand_filter",
+    "sample_weighted_reservoir",
     "sim_kmeans_recall",
     "tpcds_bloom_semijoin",
     "tpcds_dpp_store_sales",
@@ -121,8 +125,6 @@ _GATE_WINDOW = [
     "tpcds_q20",
     "tpcds_q21",
     "tpcds_q22",
-    "tpcds_q23a",
-    "tpcds_q23b",
 ]
 
 
