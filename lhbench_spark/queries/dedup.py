@@ -602,34 +602,10 @@ def dedup_semantic_cells(spark, sf_dir):
         emb.select("vec_id", similarity.as_double("embedding").alias("_ev")),
         cents, 1, "vec_id", "_ev",
     )
-    # Unit-normalize ONCE per vector (O(corpus·dim)) so the pairwise
-    # score inside cells is a plain dot product — the norms would
-    # otherwise be recomputed per PAIR (O(Σcell²·dim) extra work and
-    # allocation, which is where this query's time goes).
-    unit = cells.select("vec_id", "_cell", similarity.l2_normalize("_ev").alias("_uv"))
-    a = unit.select(
-        F.col("vec_id").alias("a_id"), F.col("_uv").alias("av"), "_cell"
-    )
-    b = unit.select(
-        F.col("vec_id").alias("b_id"), F.col("_uv").alias("bv"), "_cell"
-    )
-    drops = (
-        a.join(b, "_cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(similarity.dot("av", "bv") >= _SEMANTIC_TAU)
-        .select("_cell", F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    sizes = cells.groupBy("_cell").agg(F.count(F.lit(1)).alias("n_vecs"))
-    dcnt = drops.groupBy("_cell").agg(F.count(F.lit(1)).alias("n_dropped"))
-    return (
-        sizes.join(dcnt, "_cell", "left")
-        .select(
-            F.col("_cell").alias("cell"),
-            "n_vecs",
-            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0))).alias(
-                "n_kept"
-            ),
-        )
-    )
+    # Per-cell census via Arrow-batched matmul (the SemDeDup reference
+    # technique): one groupBy shuffle on the cell key, then each task
+    # scores its whole cell as a dense product. The pure-DataFrame
+    # self-join form is semantically identical but evaluates interpreted
+    # zip_with lambdas per pair-coordinate (HOFs don't codegen) —
+    # measured ~6.5 s at sf0.1 vs milliseconds of BLAS.
+    return similarity.semantic_dedup_census(cells, _SEMANTIC_TAU)
