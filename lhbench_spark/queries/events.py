@@ -660,3 +660,73 @@ def events_scd2_versions(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# Time-based sliding-window features (RANGE frames) — the
+# feature-engineering staple ("activity in the trailing hour") and the
+# one frame type the ROWS-frame queries above don't cover. Both engines
+# order by integer epoch-microseconds so the RANGE bound is pure integer
+# arithmetic; the sliding SUM goes through DECIMAL because the engines
+# disagree on evaluation order inside moving frames (Spark re-scans the
+# frame, DuckDB uses segment trees — double summation would differ
+# beyond rounding). COUNT/MAX are order-free. The trailing ROWS-frame
+# average rides along for the rows-vs-range contrast.
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w_1h AS cnt_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,8))) OVER w_1h AS DOUBLE)
+           AS sum_1h,
+       MAX(value) OVER w_1h AS max_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,8))) OVER w_10
+            AS DOUBLE) / COUNT(*) OVER w_10 AS avg_last10
+FROM events
+WINDOW
+  w_1h AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  w_10 AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "events_rolling_features",
+    tags=("events", "window", "range-frame", "features", "extension"),
+    oracle=_ROLLING_ORACLE,
+)
+def events_rolling_features(spark, sf_dir):
+    """Rolling ML features per user: trailing-1-hour RANGE frame
+    (count/decimal-exact sum/max over event-time microseconds) and a
+    trailing-10-event ROWS frame average. One shuffle on user_id shared
+    by both frames; per-partition sorts bounded by per-user volume."""
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the session
+    # timezone is pinned to UTC, so the cast changes type, not wall time.
+    ev = table(spark, sf_dir, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    # RANGE frames take a single ORDER column (and need no tiebreak:
+    # value peers are all inside the frame by definition); the ROWS
+    # frame needs the total order.
+    w_1h = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    w_10 = (
+        Window.partitionBy("user_id")
+        .orderBy("_us", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    dsum_1h = (
+        F.sum(F.col("value").cast("decimal(18,8)")).over(w_1h).cast("double")
+    )
+    dsum_10 = (
+        F.sum(F.col("value").cast("decimal(18,8)")).over(w_10).cast("double")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w_1h).alias("cnt_1h"),
+        dsum_1h.alias("sum_1h"),
+        F.max("value").over(w_1h).alias("max_1h"),
+        (dsum_10 / F.count(F.lit(1)).over(w_10)).alias("avg_last10"),
+    )
