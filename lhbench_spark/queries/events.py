@@ -730,3 +730,56 @@ def events_rolling_features(spark, sf_dir):
         F.max("value").over(w_1h).alias("max_1h"),
         (dsum_10 / F.count(F.lit(1)).over(w_10)).alias("avg_last10"),
     )
+
+
+# Malformed-record salvage — the PERMISSIVE-parse contract every ingest
+# pipeline needs: corrupt records become NULLs to count and quarantine,
+# never job failures. Corruption is synthesized deterministically (every
+# 7th event's JSON loses its closing brace) so both engines see the
+# identical dirty column; Spark's get_json_object returns NULL on
+# malformed input, DuckDB errors — the oracle guards with json_valid,
+# which is exactly Spark's implicit semantics.
+_MALFORMED_ORACLE = """
+WITH dirty AS (
+    SELECT event_type,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 1)
+                ELSE props END AS p
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN json_valid(p) THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(p)
+                     THEN CAST(json_extract_string(p, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS k_sum_salvaged
+FROM dirty
+GROUP BY event_type
+"""
+
+
+@query(
+    "events_malformed_json_salvage",
+    tags=("events", "json", "robustness", "extension"),
+    oracle=_MALFORMED_ORACLE,
+)
+def events_malformed_json_salvage(spark, sf_dir):
+    """PERMISSIVE ingest over a dirty JSON column: corrupt rows (NULL
+    parse) are counted and excluded; the salvaged aggregate covers the
+    valid remainder. Pure projection + one hash agg."""
+    ev = table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substr(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(p, "$.k").cast("bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias(
+            "k_sum_salvaged"
+        ),
+    )

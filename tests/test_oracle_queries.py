@@ -69,7 +69,8 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # events_outlier_mad evicted tpcds_q24b-q27, and
 # analytic_first_last_nth evicted tpcds_q24a; adding
 # events_scd2_versions and sample_weighted_reservoir evicted
-# tpcds_q23a-q23b; adding events_rolling_features evicted tpcds_q22,
+# tpcds_q23a-q23b; adding events_rolling_features and
+# events_malformed_json_salvage evicted tpcds_q21-q22,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -93,6 +94,7 @@ _GATE_WINDOW = [
     "dedup_repeated_spans",
     "dedup_semantic_cells",
     "events_downsample_lttb",
+    "events_malformed_json_salvage",
     "events_outlier_mad",
     "events_rolling_features",
     "events_scd2_versions",
@@ -124,7 +126,6 @@ _GATE_WINDOW = [
     "tpcds_q18",
     "tpcds_q19",
     "tpcds_q20",
-    "tpcds_q21",
 ]
 
 
