@@ -119,3 +119,29 @@ def test_pq_encode_plan_stays_exchange_free(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_semantic_census_multichunk_matches_bruteforce(spark):
+    """semantic_dedup_census's row-chunked matmul (chunk=1024) never
+    exercises its multi-chunk path at test SFs (cells ~125 rows) — drive
+    a 2300-vector single-cell corpus through it and check the census
+    against a direct O(n²) numpy reference with the same
+    lower-id-neighbor drop rule."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 2300, 8
+    base = rng.normal(size=(60, dim))
+    v = base[rng.integers(0, 60, size=n)] + rng.normal(scale=0.12, size=(n, dim))
+    tau = 0.98
+    rows = [(int(i), [float(x) for x in v[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, _ev array<double>, _cell long")
+    got = sim.semantic_dedup_census(df, tau).collect()
+    assert len(got) == 1
+    u = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = u @ u.T
+    dropped = [(sims[i, :i] >= tau).any() for i in range(n)]
+    nd = int(np.sum(dropped))
+    r = got[0]
+    assert (r.cell, r.n_vecs, r.n_dropped, r.n_kept) == (0, n, nd, n - nd)
+    assert 0 < nd < n  # both paths actually exercised
