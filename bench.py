@@ -36,16 +36,16 @@ def main() -> int:
     # once), then run further iterations only while inside the budget —
     # the driver gets a parseable line no matter how slow the slowest
     # query iteration is.
-    # 1080s: room for 3 full iterations of the 258-query suite at sf0.1
-    # (measured 310-340s each clean + warmup; the paired 1.15x hard wall
-    # bounds the worst case at ~1240s). With only 2 iterations the upper
-    # median is the WORSE run, so every first-run codegen spike (a cold
-    # giant expression compiles for seconds) and every iteration-2
-    # storage-pressure stall lands in the recorded median — fitting the
-    # 3rd iteration matters more than finishing early. The driver
-    # tolerated 514-683s walls (rounds 2-6) without complaint; the guard
-    # still hard-stops runaway iterations.
-    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
+    # 1380s: room for 3 full iterations of the 262-query suite at sf0.1
+    # even when one iteration absorbs a host-load stall era (measured
+    # clean iterations 300-340s, stalled ones up to ~480s; the paired
+    # 1.15x hard wall bounds the worst case at ~26 min). Fitting the 3rd
+    # iteration is the stall mitigation itself: with 3 samples the
+    # upper median skips the one stalled run per query, with 2 it IS the
+    # stalled run — a 30% budget increase buys a ~2x cleaner headline.
+    # The driver tolerated 514-860s walls (rounds 2-6) without
+    # complaint; the guard still hard-stops runaway iterations.
+    budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1380"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
