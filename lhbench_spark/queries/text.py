@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from lhbench_spark.catalog import table
+from lhbench_spark.operators import hashing
 from lhbench_spark.operators import text as text_ops
 from lhbench_spark.operators import textnorm
 from lhbench_spark.queries.registry import query
@@ -699,4 +700,83 @@ def corpus_quality_classifier(spark, sf_dir):
         "doc_id",
         F.round(F.expr("1.0 / (1.0 + exp(-z))"), 6).alias("score"),
         (F.round(F.expr("1.0 / (1.0 + exp(-z))"), 6) >= 0.5).alias("kept"),
+    )
+
+
+# Feature hashing (the "hashing trick", Weinberger et al. 2009): project
+# an unbounded vocabulary into a fixed-dimension signed feature space
+# with ZERO driver state — no vocabulary dictionary to build, broadcast,
+# or keep consistent across a 100 TB corpus, which is why large-scale
+# text classifiers vectorize this way. dim = H32(token) % D, sign from
+# an independent hash bit; per-(doc, dim) weight = Σ sign · tf (pure
+# integer arithmetic — exact on both engines). Two hash aggs (tf, then
+# dim roll-up) + one doc-norm join; shuffle rows are bounded by docs × D.
+_FHASH_D = 64
+
+def _fhash_duck() -> str:
+    h = hashing.h32_duck("tok")
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({textnorm.tokens_duck("text")}) AS tok
+    FROM documents
+), tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), hashed AS (
+    SELECT doc_id,
+           {h} % {_FHASH_D} AS dim,
+           (({h} // 256) % 2) * 2 - 1 AS sign,
+           tf
+    FROM tf
+), feat AS (
+    SELECT doc_id, dim, CAST(SUM(sign * tf) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+), nrm AS (
+    SELECT doc_id, ROUND(sqrt(CAST(SUM(weight * weight) AS DOUBLE)), 6) AS doc_norm
+    FROM feat GROUP BY 1
+)
+SELECT f.doc_id, f.dim, f.weight, n.doc_norm
+FROM feat f JOIN nrm n USING (doc_id)
+WHERE f.weight != 0
+"""
+
+
+@query(
+    "corpus_hashed_features",
+    tags=("text", "features", "hashing-trick", "documents", "extension"),
+    oracle=_fhash_duck(),
+)
+def corpus_hashed_features(spark, sf_dir):
+    """Signed feature hashing into a fixed 64-dim space (long format:
+    one row per non-zero (doc, dim) weight, plus the doc's L2 norm).
+    No vocabulary state anywhere — the dictionary IS the hash."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(textnorm.tokens_spark("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = F.expr(hashing.h32_spark("tok"))
+    hashed = tf.select(
+        "doc_id",
+        (h % _FHASH_D).alias("dim"),
+        (((h / 256).cast("bigint") % 2) * 2 - 1).alias("sign"),
+        "tf",
+    )
+    feat = hashed.groupBy("doc_id", "dim").agg(
+        F.sum(F.col("sign") * F.col("tf")).cast("bigint").alias("weight")
+    )
+    nrm = feat.groupBy("doc_id").agg(
+        F.round(
+            F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")), 6
+        ).alias("doc_norm")
+    )
+    return (
+        feat.join(nrm, "doc_id")
+        .filter(F.col("weight") != 0)
+        .select("doc_id", "dim", "weight", "doc_norm")
     )

@@ -70,7 +70,8 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # analytic_first_last_nth evicted tpcds_q24a; adding
 # events_scd2_versions and sample_weighted_reservoir evicted
 # tpcds_q23a-q23b; adding events_rolling_features and
-# events_malformed_json_salvage evicted tpcds_q21-q22,
+# events_malformed_json_salvage evicted tpcds_q21-q22; adding
+# corpus_hashed_features evicted tpcds_q20,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -85,6 +86,7 @@ _GATE_WINDOW = [
     "corpus_bpe_merge_step",
     "corpus_charlm_perplexity",
     "corpus_curation_pipeline",
+    "corpus_hashed_features",
     "corpus_mixture_sample",
     "corpus_pack_sequences",
     "corpus_quality_classifier",
@@ -125,7 +127,6 @@ _GATE_WINDOW = [
     "tpcds_q17",
     "tpcds_q18",
     "tpcds_q19",
-    "tpcds_q20",
 ]
 
 
