@@ -780,3 +780,109 @@ def corpus_hashed_features(spark, sf_dir):
         .filter(F.col("weight") != 0)
         .select("doc_id", "dim", "weight", "doc_norm")
     )
+
+
+# BPE merge APPLICATION — the other half of the tokenizer training loop
+# (corpus_bpe_merge_step counts pair frequencies; this applies the
+# winning merge). The per-doc re-tokenization is a left fold over the
+# token array replacing leftmost non-overlapping (a, b) adjacencies with
+# the merged symbol — both engines fold arrays left-to-right (Spark
+# aggregate(), DuckDB list_reduce with a prepended seed), so the merge
+# positions are identical by construction. The winning pair is
+# data-derived (top-1 by count, tie-broken by pair text) and rides in as
+# a 1-row cross join — aggregated, hence broadcast-legal. Output is the
+# corpus-level census of the merge round: exact integer token counts
+# before/after. A full BPE train loop re-runs this pair of queries per
+# merge.
+_BPE_APPLY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), p AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) AS pair
+    FROM t
+), top1 AS (
+    SELECT string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb,
+           pair AS merged
+    FROM (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1
+          ORDER BY cnt DESC, pair LIMIT 1)
+), applied AS (
+    SELECT doc_id, len(toks) AS n_before,
+           len(list_reduce(
+               list_prepend([]::VARCHAR[], list_transform(toks, x -> [x])),
+               (acc, x) -> CASE
+                   WHEN len(acc) > 0 AND acc[-1] = pa AND x[1] = pb
+                   THEN list_append(list_slice(acc, 1, len(acc) - 1), merged)
+                   ELSE list_append(acc, x[1]) END
+           )) AS n_after,
+           merged
+    FROM t CROSS JOIN top1
+)
+SELECT merged AS merge_pair,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+       CAST(SUM(n_before - n_after) AS BIGINT) AS n_merges,
+       CAST(SUM(CASE WHEN n_after < n_before THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_touched
+FROM applied
+GROUP BY merged
+"""
+
+
+@query(
+    "corpus_bpe_apply_merge",
+    tags=("text", "tokens", "bpe", "documents", "extension"),
+    oracle=_BPE_APPLY_ORACLE,
+)
+def corpus_bpe_apply_merge(spark, sf_dir):
+    """Apply one learned BPE merge across the corpus: find the most
+    frequent adjacent pair, re-tokenize every document with a leftmost
+    non-overlapping fold, report the exact corpus-level merge census."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks"))
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+            )
+        ).alias("pair")
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.split("pair", " ").getItem(0).alias("pa"),
+            F.split("pair", " ").getItem(1).alias("pb"),
+            F.col("pair").alias("merged"),
+        )
+    )
+    applied = t.crossJoin(F.broadcast(top1)).select(
+        "doc_id",
+        F.size("toks").alias("n_before"),
+        F.size(
+            F.expr(
+                "aggregate(toks, CAST(array() AS array<string>), "
+                "(acc, x) -> CASE "
+                "WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb "
+                "THEN concat(slice(acc, 1, size(acc) - 1), array(merged)) "
+                "ELSE concat(acc, array(x)) END)"
+            )
+        ).alias("n_after"),
+        "merged",
+    )
+    return applied.groupBy(F.col("merged").alias("merge_pair")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_before").cast("bigint").alias("tokens_before"),
+        F.sum("n_after").cast("bigint").alias("tokens_after"),
+        F.sum(F.col("n_before") - F.col("n_after")).cast("bigint").alias("n_merges"),
+        F.sum(F.when(F.col("n_after") < F.col("n_before"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_touched"),
+    )

@@ -71,7 +71,8 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # events_scd2_versions and sample_weighted_reservoir evicted
 # tpcds_q23a-q23b; adding events_rolling_features and
 # events_malformed_json_salvage evicted tpcds_q21-q22; adding
-# corpus_hashed_features evicted tpcds_q20,
+# corpus_hashed_features and corpus_bpe_apply_merge evicted
+# tpcds_q19-q20,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
@@ -83,6 +84,7 @@ _GATE_WINDOW = [
     "complex_q78_channel_join",
     "continuous_cdc_replica",
     "continuous_stream_join",
+    "corpus_bpe_apply_merge",
     "corpus_bpe_merge_step",
     "corpus_charlm_perplexity",
     "corpus_curation_pipeline",
@@ -126,7 +128,6 @@ _GATE_WINDOW = [
     "tpcds_q16",
     "tpcds_q17",
     "tpcds_q18",
-    "tpcds_q19",
 ]
 
 
