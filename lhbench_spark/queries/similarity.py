@@ -612,3 +612,96 @@ def ann_pq_recall(spark, sf_dir):
         F.round(F.sum("adc_hits") / denom, 6).alias("adc_recall"),
         F.round(F.sum("rerank_hits") / denom, 6).alias("rerank_recall"),
     )
+
+
+# kNN label classification over the ANN tier — the standard intrinsic
+# eval of an embedding space ("do nearest neighbors share labels?") and
+# the label-propagation primitive for weakly-supervised corpus labeling.
+# Corpus = labeled vectors (80%), queries = the held-out 20%; prediction
+# = majority label among the LSH top-5 (ties break to the smaller
+# label), scored against the held-out truth per class. The neighbor
+# label join is UNREDUCED corpus-sized — no hint, AQE owns it.
+_KNN_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev,
+           {{bucket}} AS bucket
+    FROM embeddings
+), c AS (
+    SELECT vec_id AS neighbor_id, label AS nl, ev, bucket
+    FROM v WHERE vec_id % 5 != 0
+), q AS (
+    SELECT vec_id AS query_id, label AS true_label, ev AS qv, bucket
+    FROM v WHERE vec_id % 5 = 0
+), scored AS (
+    SELECT query_id, neighbor_id, nl, true_label,
+           list_cosine_similarity(qv, c.ev) AS cos
+    FROM q JOIN c USING (bucket)
+), topk AS (
+    SELECT * FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) <= 5
+), votes AS (
+    SELECT query_id, true_label, nl, COUNT(*) AS cnt
+    FROM topk GROUP BY 1, 2, 3
+), pred AS (
+    SELECT query_id, true_label, nl AS pred_label FROM votes
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cnt DESC, nl ASC) = 1
+)
+SELECT true_label,
+       COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred
+GROUP BY true_label
+"""
+
+
+@query(
+    "ann_knn_classify",
+    tags=("similarity", "embedding", "knn", "classification", "extension"),
+    oracle=_KNN_ORACLE.format(
+        bucket=similarity.lsh_bucket_duck("embedding::DOUBLE[]", _DIM, similarity.LSH_PLANES)
+    ),
+)
+def ann_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification of a held-out 20% against the
+    labeled 80%, over the LSH ANN tier; per-class accuracy census."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    nn = similarity.ann_topk(corpus, queries, dim=_DIM, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), F.asc("nl"))
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("nl").alias("pred_label"))
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    correct = F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            F.round(
+                F.sum(correct).cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -72,13 +72,14 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # tpcds_q23a-q23b; adding events_rolling_features and
 # events_malformed_json_salvage evicted tpcds_q21-q22; adding
 # corpus_hashed_features and corpus_bpe_apply_merge evicted
-# tpcds_q19-q20,
+# tpcds_q19-q20; adding ann_knn_classify evicted tpcds_q18,
 # which stay covered by the full sweep). Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
     "analytic_first_last_nth",
+    "ann_knn_classify",
     "ann_pq_recall",
     "complex_q51_cumulative_join",
     "complex_q78_channel_join",
@@ -127,7 +128,6 @@ _GATE_WINDOW = [
     "tpcds_q15",
     "tpcds_q16",
     "tpcds_q17",
-    "tpcds_q18",
 ]
 
 
