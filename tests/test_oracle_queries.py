@@ -59,9 +59,11 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # Driver-facing names come from registry.gate_queries(): queries with a
 # recorded external green row carry the documented 'verified_' prefix
 # (registry.DRIVER_GREEN) so each round's sample lands on queries that
-# still NEED external evidence — round 6's window is the 8 queries new
-# in rounds 5/6, the 3 no-oracle rows-only queries, and the first TPC-DS
-# queries (incl. the DPP and bloom-runtime-filter scale demonstrations;
+# still NEED external evidence — round 6's window is the ~30
+# never-gate-checked non-TPC-DS queries (everything new in rounds 5/6,
+# incl. the 3 no-oracle rows-only entries), then the first TPC-DS
+# queries up to the 50-slot cut (incl. the DPP and bloom-runtime-filter
+# scale demonstrations;
 # adding tpcds_bloom_semijoin, continuous_stream_join,
 # dedup_incremental_store, ann_pq_recall, and corpus_bpe_merge_step
 # evicted tpcds_q28-q32; adding corpus_charlm_perplexity,
