@@ -119,13 +119,16 @@ DRIVER_GREEN: dict[str, int] = {
     "agg_rollup_grouping": 5,
     "agg_sketches": 5,
     "agg_stats": 5,
+    "analytic_first_last_nth": 6,
     "analytic_frames_ntile": 5,
     "analytic_percent_rank": 5,
     "analytic_rank_over_rollup": 5,
+    "ann_knn_classify": 6,
     "ann_embedding_quantize": 5,
     "ann_ivf_partitioned": 5,
     "ann_ivf_topk": 5,
     "ann_label_centroids": 5,
+    "ann_pq_recall": 6,
     "ann_recall": 5,
     "audio_frame_windows": 5,
     "cast_time_decode": 5,
