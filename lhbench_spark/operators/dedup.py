@@ -296,11 +296,14 @@ def incremental_dedup_verdicts(
         .select("batch_id", "match_id")
         .dropDuplicates(["batch_id", "match_id"])
     )
-    # merge-hint both set sides for the reason documented in
-    # ngram_jaccard_pairs: the checkpointed array frames must never be
-    # AQE-broadcast (driver-serializing every hash set; impossible at
-    # corpus scale anyway).
-    pairs = cand.join(bsets.hint("merge"), "batch_id").join(
+    # merge-hint ONLY the corpus set side: that frame scales with the
+    # whole ingested corpus and must never be AQE-broadcast
+    # (driver-serializing every hash set; impossible at corpus scale —
+    # same rationale as ngram_jaccard_pairs). The batch set side is
+    # bounded by the arriving batch, so AQE may legitimately broadcast
+    # it; forcing merge there would only serialize the candidate join
+    # through however many partitions the (small) batch hashes into.
+    pairs = cand.join(bsets, "batch_id").join(
         sets.select(
             F.col("_id").alias("match_id"),
             F.col("_hset").alias("_sa"),

@@ -68,7 +68,16 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, ROUNDED to 9 decimals at the source.
+
+    Spark's fold order (zip_with left-to-right) and DuckDB's
+    list_cosine_similarity differ by ulps; a pair within a few ulps of a
+    threshold (tau sits at the dense p99.9 of the pair distribution) or
+    of a rank-k boundary would flip between engines. Rounding BEFORE any
+    >= / ORDER BY comparison — mirrored by ROUND(..., 9) in every
+    oracle — is the repo's round-before-compare convention (cf. the
+    round-12 sort key in sample_weighted_reservoir)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 9)
 
 
 def brute_force_topk(
@@ -745,7 +754,11 @@ def semantic_dedup_census(
         chunk = 1024
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            sims = v[s:e] @ v.T
+            # Round before the tau comparison (repo convention, see
+            # cosine()): the oracle compares ROUND(cos, 9) >= tau, and an
+            # unrounded ulp difference at the dense tau boundary would
+            # flip the census between engines.
+            sims = np.round(v[s:e] @ v.T, 9)
             for r in range(max(s, 1), e):
                 if (sims[r - s, :r] >= tau).any():
                     dropped[r] = True

@@ -434,11 +434,11 @@ WITH v AS (
     FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b,
-       ROUND(list_cosine_similarity(va.ev, vb.ev), 6) AS cosine
+       ROUND(ROUND(list_cosine_similarity(va.ev, vb.ev), 9), 6) AS cosine
 FROM cand
 JOIN v va ON va.vec_id = vec_a
 JOIN v vb ON vb.vec_id = vec_b
-WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.95
+WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 9) >= 0.95
 """
 
 
@@ -568,7 +568,7 @@ WITH v AS (
 ), drops AS (
     SELECT DISTINCT b.cell, b.vec_id
     FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.ev, b.ev) >= {_SEMANTIC_TAU}
+    WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 9) >= {_SEMANTIC_TAU}
 ), sizes AS (
     SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1
 ), d AS (

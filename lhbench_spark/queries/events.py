@@ -765,21 +765,37 @@ GROUP BY event_type
     oracle=_MALFORMED_ORACLE,
 )
 def events_malformed_json_salvage(spark, sf_dir):
-    """PERMISSIVE ingest over a dirty JSON column: corrupt rows (NULL
-    parse) are counted and excluded; the salvaged aggregate covers the
-    valid remainder. Pure projection + one hash agg."""
+    """PERMISSIVE ingest over a dirty JSON column: corrupt rows are
+    counted and excluded; the salvaged aggregate covers the valid
+    remainder. Pure projection + one hash agg.
+
+    Corruption is detected EXPLICITLY — ``get_json_object(p, '$')`` is
+    NULL iff the document fails to parse (verified against the whole
+    truth table: valid objects, scalars, arrays, and JSON ``null`` all
+    return non-NULL) — which is exactly DuckDB's ``json_valid``. A
+    missing/NULL/non-integer ``k`` in a VALID document therefore does
+    NOT count as corrupt in either engine; the previous k-is-NULL
+    heuristic only agreed with the oracle by generator accident."""
     ev = table(spark, sf_dir, "events")
     p = F.when(
         F.col("event_id") % 7 == 0,
         F.expr("substr(props, 1, length(props) - 1)"),
     ).otherwise(F.col("props"))
-    k = F.get_json_object(p, "$.k").cast("bigint")
-    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_corrupt"),
-        F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias(
-            "k_sum_salvaged"
-        ),
+    valid = F.get_json_object(p, "$").isNotNull()
+    # Inside a valid doc, the oracle hard-CASTs k; under ANSI both
+    # engines error identically on a non-integer k, so plain cast keeps
+    # the semantics symmetric rather than masking with try_cast.
+    k = F.when(valid, F.get_json_object(p, "$.k")).cast("bigint")
+    return (
+        ev.select("event_type", valid.alias("valid"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("valid"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias(
+                "k_sum_salvaged"
+            ),
+        )
     )

@@ -40,7 +40,7 @@ WITH q AS (
 ), c AS (
     SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), scored AS (
-    SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos
+    SELECT query_id, neighbor_id, ROUND(list_cosine_similarity(qv, cv), 9) AS cos
     FROM q CROSS JOIN c WHERE neighbor_id <> query_id
 ), ranked AS (
     SELECT query_id, neighbor_id, cos,
@@ -73,7 +73,7 @@ WITH v AS (
     SELECT vec_id AS query_id, ev AS qv, bucket FROM v WHERE vec_id < {_NQUERIES}
 ), scored AS (
     SELECT query_id, v.vec_id AS neighbor_id,
-           list_cosine_similarity(qv, v.ev) AS cos
+           ROUND(list_cosine_similarity(qv, v.ev), 9) AS cos
     FROM q JOIN v ON q.bucket = v.bucket AND v.vec_id <> q.query_id
 ), ranked AS (
     SELECT query_id, neighbor_id, cos,
@@ -113,7 +113,7 @@ WITH v AS (
     FROM assign WHERE vec_id < {_NQUERIES} AND crnk <= 2
 ), scored AS (
     SELECT query_id, c.vec_id AS neighbor_id,
-           list_cosine_similarity(qv, c.ev) AS cos
+           ROUND(list_cosine_similarity(qv, c.ev), 9) AS cos
     FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.query_id
 ), ranked AS (
     SELECT query_id, neighbor_id, cos,
@@ -512,7 +512,7 @@ WITH v AS (
     SELECT query_id, neighbor_id FROM (
         SELECT q.query_id, v.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.query_id
-                   ORDER BY list_cosine_similarity(q.qv, v.ev) DESC,
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, v.ev), 9) DESC,
                             v.vec_id) AS rnk
         FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) t
     WHERE rnk <= {_TOPK}
@@ -520,7 +520,7 @@ WITH v AS (
     SELECT query_id, neighbor_id FROM (
         SELECT a.query_id, a.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY a.query_id
-                   ORDER BY list_cosine_similarity(q.qv, v.ev) DESC,
+                   ORDER BY ROUND(list_cosine_similarity(q.qv, v.ev), 9) DESC,
                             a.neighbor_id) AS rnk
         FROM adcr a JOIN q ON q.query_id = a.query_id
         JOIN v ON v.vec_id = a.neighbor_id
@@ -634,7 +634,7 @@ WITH v AS (
     FROM v WHERE vec_id % 5 = 0
 ), scored AS (
     SELECT query_id, neighbor_id, nl, true_label,
-           list_cosine_similarity(qv, c.ev) AS cos
+           ROUND(list_cosine_similarity(qv, c.ev), 9) AS cos
     FROM q JOIN c USING (bucket)
 ), topk AS (
     SELECT * FROM scored

@@ -761,10 +761,14 @@ def corpus_hashed_features(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     h = F.expr(hashing.h32_spark("tok"))
+    # Bit-8 sign via integer shift, NOT float division: (h / 256) is a
+    # DOUBLE and only floor-matches the oracle's integer // while the
+    # hash fits the 53-bit mantissa — widening to h64 would silently
+    # break parity. shiftright stays exact at any hash width.
     hashed = tf.select(
         "doc_id",
         (h % _FHASH_D).alias("dim"),
-        (((h / 256).cast("bigint") % 2) * 2 - 1).alias("sign"),
+        ((F.shiftright(h, 8) % 2) * 2 - 1).alias("sign"),
         "tf",
     )
     feat = hashed.groupBy("doc_id", "dim").agg(
