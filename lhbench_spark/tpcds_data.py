@@ -109,6 +109,8 @@ _N_SHIPMODE = 20
 _N_WEBSITE = 8
 _N_CALLCENTER = 6
 _N_CATALOGPAGE = 120
+_N_INV_WEEKS = 105  # weekly snapshots covering 1999-2000
+_N_INV = _N_INV_WEEKS * _N_ITEM * _N_WAREHOUSE  # dense: 1,050,000
 
 _CATEGORIES = [
     "Books", "Home", "Electronics", "Jewelry", "Sports",
@@ -382,16 +384,29 @@ def _specs(dialect: str) -> dict[str, tuple]:
             ]
             + _sales_money("cs"),
         ),
+        # Inventory is DENSE like dsdgen's (one row per snapshot ×
+        # item × warehouse), not fact-scaled: sparse random snapshots
+        # left every (warehouse, item, month) group with ~0.5 rows, so
+        # STDDEV_SAMP was NULL and q39's cov > 1 filter could never
+        # fire. 105 weekly snapshots over 1999-2000 × 2000 items × 5
+        # warehouses = 1.05M rows at every SF; each item staggers its
+        # snapshot weekday by (item % 7) so dates cover all mod-7
+        # classes (the refresh delta slices on inv_date_sk % 7).
+        # Quantity is SPIKY — mostly 0..29 with a 1-in-9 restock burst
+        # of 100..999 — so month groups containing a burst have
+        # cov > 1 (q39a/b) while the 100..500 probe bands (q37/q82)
+        # and the before/after ratio (q21) keep mass.
         "inventory": (
-            None,
+            _N_INV,
             [
-                # Snapshots span 1999-2000 only (dense enough that a
-                # (warehouse, item) group has rows on both sides of a
-                # recall date — q21's HAVING needs before>0 AND after>0)
-                ("inv_date_sk", _int("2450815 + 365 + (id*113) % 731")),
-                ("inv_item_sk", _int(_mix(211, _N_ITEM))),
-                ("inv_warehouse_sk", _int(_mix(1, _N_WAREHOUSE))),
-                ("inv_quantity_on_hand", _int("(id*7) % 1000")),
+                ("inv_date_sk", _int(f"{2450815 + 365} + 7*(id % {_N_INV_WEEKS}) + CAST(FLOOR(id/{_N_INV_WEEKS}) AS BIGINT) % 7")),
+                ("inv_item_sk", _int(f"1 + CAST(FLOOR(id/{_N_INV_WEEKS}) AS BIGINT) % {_N_ITEM}")),
+                ("inv_warehouse_sk", _int(f"1 + CAST(FLOOR(id/{_N_INV_WEEKS * _N_ITEM}) AS BIGINT) % {_N_WAREHOUSE}")),
+                # Burst gate (id*37) % 97 < 11 ≈ 1-in-8.8 with period 97:
+                # a fixed every-9th gate could never put bursts in BOTH
+                # January and February (8 consecutive snapshots < 9), so
+                # q39's month-paired cov join was structurally empty.
+                ("inv_quantity_on_hand", _int("CASE WHEN (id*37) % 97 < 11 THEN 100 + (id*7) % 900 ELSE (id*3) % 30 END")),
             ],
         ),
         # The returned subset of store_sales' id space: every 13th sale,
@@ -582,7 +597,8 @@ def materialize(spark: SparkSession, sf_dir: str) -> str:
     for name in TPCDS_GEN_TABLES:
         df = generate_frame(spark, name, n_fact)
         n = _specs("spark")[name][0]
-        files = 1 if n is not None else max(4, min(32, n_fact // 50_000 + 1))
+        rows = n if n is not None else n_fact
+        files = 1 if rows <= 100_000 else max(4, min(32, rows // 50_000 + 1))
         df.repartition(files).write.mode("overwrite").parquet(f"{out}/{name}")
     _MATERIALIZED[key] = out
     return out
