@@ -69,6 +69,47 @@ def _nullable(e: str, null_every: int, mult: int = 7) -> str:
     return f"CASE WHEN (id*{mult}) % {null_every} = 0 THEN NULL ELSE {e} END"
 
 
+def _pick_int(selector: str, values: list[int]) -> str:
+    """CASE over integer values — integer sibling of _case."""
+    arms = " ".join(
+        f"WHEN ({selector}) = {i} THEN {v}" for i, v in enumerate(values)
+    )
+    return f"(CASE {arms} END)"
+
+
+# q91's returning-customer pool: the 25 customer sks whose full dimension
+# chain satisfies the query's filter conjunction — c_current_cdemo_sk →
+# (M, 'Unknown') or (W, 'Advanced Degree'), c_current_hdemo_sk →
+# hd_buy_potential 'Unknown', c_current_addr_sk → ca_gmt_offset = -7.
+# Derived from the customer mixers (cid*29 % 7200 / cid*31 % 720 /
+# cid*23 % 5000) and the floor(id/2) gmt formula; 1-in-61 catalog
+# returns are routed to this pool with a November-1998 return date so
+# the query's month slice has mass.
+_Q91_CUSTOMER_SKS = [
+    900, 924, 1500, 1524, 1980, 2580, 2604, 3660, 3684, 4260, 4284,
+    5340, 5364, 5964, 6420, 6444, 7020, 7044, 8100, 8124, 8700, 8724,
+    9180, 9780, 9804,
+]
+
+
+# q58 "contract" anchor rows: 1-in-101 ids are pinned, in ALL THREE
+# sales channels, to the week of 1999-02-22 (date_sk 2451231..2451237)
+# and to items 1991..2000. The three channels draw from the same id
+# stream with the SAME _sales_money formulas, so an anchored id carries
+# an identical ext_sales_price in every channel — per anchor item the
+# weekly revenues are exactly equal, satisfying q58's three-way ±10%
+# band by construction (a synthetic stand-in for dsdgen's cross-channel
+# item/price correlation, which independent per-channel mixers cannot
+# produce). The returns tables reuse the anchored item expression so
+# return rows keep joining their sale by construction.
+_Q58_DATE = "(2451231 + (CAST(FLOOR(id/101) AS BIGINT) % 7))"
+_Q58_ITEM = "(1991 + (CAST(FLOOR(id/101) AS BIGINT) % 10))"
+
+
+def _q58_anchored(expr: str, anchor: str) -> str:
+    return f"CASE WHEN id % 101 = 7 THEN {anchor} ELSE {expr} END"
+
+
 def _case(selector: str, values: list[str]) -> str:
     arms = " ".join(
         f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
@@ -167,6 +208,17 @@ _SALES_C = f"(100 + (id*31) % 19900)"  # 1.00..199.99
 _COUPON_C = f"(CASE WHEN (id*67) % 10 = 0 THEN (id*71) % 5000 ELSE 0 END)"
 _TAX_C = f"(((({_SALES_C}) * ({_QTY})) * 8) / 100)"  # 8% of ext sales, int cents
 _DISC_C = f"(CASE WHEN (id*73) % 5 = 0 THEN ((({_LIST_C}) - ({_SALES_C})) * ({_QTY})) ELSE 0 END)"
+# net_profit in integer cents (= _sales_money's net_paid - ext_wholesale
+# for the same id) — reused by web_returns' q85 band correlation.
+_PROFIT_C = f"(((({_SALES_C}) * ({_QTY})) - ({_COUPON_C})) - (({_WHOLESALE_C}) * ({_QTY})))"
+# q85 demo targeting: the cdemo sk whose (marital, education) block
+# matches the sale's price band; ELSE arm = the historical mixer.
+_Q85_CDEMO = (
+    f"CASE WHEN ({_SALES_C}) BETWEEN 10000 AND 15000 THEN 51 + 70*((id*43) % 102) "
+    f"WHEN ({_SALES_C}) >= 5000 AND ({_SALES_C}) < 10000 THEN 23 + 70*((id*43) % 102) "
+    f"WHEN ({_SALES_C}) > 15000 THEN 37 + 70*((id*43) % 102) "
+    "ELSE (1 + (CAST(FLOOR(id/3) AS BIGINT)*43) % 7200) END"
+)
 
 
 def _sales_money(prefix: str) -> list[tuple[str, str]]:
@@ -242,7 +294,11 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("s_store_sk", _int("1 + id")),
                 ("s_store_id", "'STORE' || lpad(CAST(1 + id AS STRING), 4, '0')"),
                 ("s_store_name", "'Store ' || CAST(1 + id AS STRING)"),
-                ("s_market_id", _int(_mix(1, 10))),
+                # q24 (s_market_id's only consumer) probes market 8
+                # through a 1/12 zip-match and a 1/12 color slice; one
+                # market-8 store left ~0.7 expected rows at sf0.01, so
+                # every third store is market 8 (ids 0,3,6,9).
+                ("s_market_id", _int("CASE WHEN id % 3 = 0 THEN 8 ELSE 1 + id % 10 END")),
                 ("s_company_name", "'Company ' || CAST(1 + id % 2 AS STRING)"),
                 ("s_number_employees", _int("200 + id*7")),
                 ("s_floor_space", _int("5000000 + id*250000")),
@@ -283,9 +339,19 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ca_city", _case("((id*7) % 8)", _CITIES)),
                 ("ca_county", _case("((id*3) % 5)", ["Williamson County", "Ziebach County", "Walker County", "Luce County", "Dauphin County"])),
                 ("ca_state", _case("((id*11) % 9)", _STATES)),
-                ("ca_zip", "CAST(10000 + (id*37) % 500 AS STRING)"),
+                # 444 = 12*37: the zip domain is exactly the 12 store
+                # zips (10000 + 37k), so q24's s_zip = ca_zip correlated
+                # join matches 1-in-12 instead of 1-in-500. q8/q15/q45's
+                # literal zip lists are 37-step members of this domain;
+                # q19's <> predicate still keeps 11/12.
+                ("ca_zip", "CAST(10000 + (id*37) % 444 AS STRING)"),
                 ("ca_country", "'United States'"),
-                ("ca_gmt_offset", "CAST(-5 - (id % 4) AS DECIMAL(5,2))"),
+                # floor(id/3), not raw id: gmt must be parity-decoupled
+                # from the demo mixers — with `-5 - (id % 4)`, gmt = -7
+                # forced an even customer id while hd_buy_potential =
+                # 'Unknown' forced an odd one, so q91's filter chain was
+                # structurally empty (no customer could ever qualify).
+                ("ca_gmt_offset", "CAST(-5 - (CAST(FLOOR(id/2) AS BIGINT) % 4) AS DECIMAL(5,2))"),
             ],
         ),
         "customer_demographics": (
@@ -326,9 +392,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "store_sales": (
             None,
             [
-                ("ss_sold_date_sk", _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97)),
+                ("ss_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97), _Q58_DATE)),
                 ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
-                ("ss_item_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)")),
+                ("ss_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
                 ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
@@ -342,9 +408,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "web_sales": (
             None,
             [
-                ("ws_sold_date_sk", _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89)),
+                ("ws_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89), _Q58_DATE)),
                 ("ws_sold_time_sk", _int("(id*7877) % 86400")),
-                ("ws_item_sk", _int(_mix(149, _N_ITEM))),
+                ("ws_item_sk", _q58_anchored(_int(_mix(149, _N_ITEM)), _Q58_ITEM)),
                 ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")")),
@@ -364,9 +430,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "catalog_sales": (
             None,
             [
-                ("cs_sold_date_sk", _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93)),
+                ("cs_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93), _Q58_DATE)),
                 ("cs_sold_time_sk", _int("(id*7873) % 86400")),
-                ("cs_item_sk", _int(_mix(167, _N_ITEM))),
+                ("cs_item_sk", _q58_anchored(_int(_mix(167, _N_ITEM)), _Q58_ITEM)),
                 ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_bill_hdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*251) % " + str(_N_HDEMO) + ")")),
@@ -416,7 +482,7 @@ def _specs(dialect: str) -> dict[str, tuple]:
             None,
             [
                 ("sr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
-                ("sr_item_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)")),
+                ("sr_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
                 ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("sr_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
@@ -432,12 +498,14 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "catalog_returns": (
             None,
             [
-                ("cr_item_sk", _int(_mix(167, _N_ITEM))),
+                ("cr_item_sk", _q58_anchored(_int(_mix(167, _N_ITEM)), _Q58_ITEM)),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
-                ("cr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
+                # 1-in-61 returns are seasonal: November 1998 (date_sk
+                # 2451119..2451148), from the _Q91_CUSTOMER_SKS pool.
+                ("cr_returned_date_sk", _int(f"CASE WHEN id % 61 = 0 THEN 2451119 + (id*7) % 30 ELSE 2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}} END".format(_N_DAYS=1826))),
                 ("cr_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
                 ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
-                ("cr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
+                ("cr_returning_customer_sk", "CASE WHEN id % 61 = 0 THEN " + _int(_pick_int("CAST(FLOOR(id/61) AS BIGINT) % 25", _Q91_CUSTOMER_SKS)) + " ELSE " + _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11) + " END"),
                 ("cr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
                 ("cr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
                 ("cr_return_amount", _cents("((id*43) % 9900)")),
@@ -452,15 +520,33 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "web_returns": (
             None,
             [
-                ("wr_item_sk", _int(_mix(149, _N_ITEM))),
+                ("wr_item_sk", _q58_anchored(_int(_mix(149, _N_ITEM)), _Q58_ITEM)),
                 ("wr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 ("wr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
                 ("wr_reason_sk", _int(_mix(31, _N_REASON))),
                 ("wr_refunded_cash", _cents("(100 + (id*13) % 2900)")),
                 ("wr_fee", _cents("(10 + (id*17) % 990)")),
-                ("wr_refunded_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
-                ("wr_returning_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*47) % " + str(_N_CDEMO) + ")")),
-                ("wr_refunded_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
+                # wr_refunded/returning_cdemo_sk and wr_refunded_addr_sk
+                # are q85-exclusive FKs, and q85's predicate is two
+                # independent disjunct-conjuncts: (price-band_k AND both
+                # demos = pair_k) AND (state-list_j AND profit-band_j).
+                # Independent mixers made the dual-demo match ~1/1225 —
+                # structurally zero rows. Instead, refunds are
+                # demographically targeted: the refunded cdemo lands in
+                # the 70-period (marital, education) block matching the
+                # sale's own price band (sk 51/23/37 + 70k → (M,
+                # Advanced Degree)/(S, College)/(W, 2 yr Degree)), the
+                # returner is the refunder, and the refund address'
+                # state matches the sale's profit band (addr_id ≡ 0 mod
+                # 9 → TN for profit 100..200, ≡ 4 mod 9 → VA for
+                # 50..250). Same raw id ⇒ same money columns as the
+                # joined web_sales row, so the correlation is exact.
+                ("wr_refunded_cdemo_sk", _int(_Q85_CDEMO)),
+                ("wr_returning_cdemo_sk", _int(_Q85_CDEMO)),
+                ("wr_refunded_addr_sk", _int(
+                    f"CASE WHEN ({_PROFIT_C}) BETWEEN 10000 AND 20000 THEN 1 + 9*((id*53) % 555) "
+                    f"WHEN ({_PROFIT_C}) BETWEEN 5000 AND 25000 THEN 5 + 9*((id*53) % 555) "
+                    "ELSE (1 + (CAST(FLOOR(id/3) AS BIGINT)*53) % " + str(_N_ADDR) + ") END")),
                 ("wr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("wr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
                 ("wr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {{_N_DAYS}} + 1 + (id*11) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
