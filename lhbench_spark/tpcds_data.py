@@ -110,6 +110,92 @@ def _q58_anchored(expr: str, anchor: str) -> str:
     return f"CASE WHEN id % 101 = 7 THEN {anchor} ELSE {expr} END"
 
 
+# ---------------------------------------------------------------------------
+# Cross-channel anchor classes for the join-chain-starved queries (q25,
+# q29, q23b, q54). Like the q58 contract rows, one residue class of the
+# shared fact id stream is pinned in EVERY table the query's join chain
+# touches, so the chain exists by construction at every SF (a synthetic
+# stand-in for dsdgen's cross-channel correlation, which independent
+# per-channel mixers cannot produce). All classes live on id % 600 —
+# divisible by 3, so the two "item flow" classes survive store_returns'
+# `id % 3 = 0` subset filter and catalog_returns' `id % 5 = 0` filter
+# (120 and 420 are ≡ 0 mod 5 too, hence the cr item/customer mirrors).
+# Ladders are wrapped INSIDE _q58_anchored where both apply, so the q58
+# class keeps precedence on the ~1/60600 collisions.
+#
+#   120: q25 item flow — ss sale April 2000 → sr return ≤ Jun 2000 →
+#        cs rebuy May–Oct 2000, same customer + item (the cs row at the
+#        SAME raw id replicates ss's customer/item mixers).
+#   420: q29 item flow — ss April 1999 → sr ≤ Jun 1999 → cs 1999–2001.
+#   253: q23b best-customer rows — cs in Feb 2000, billed to one of the
+#        ss quadratic mixer's heavy-hitter customers (the mixer
+#        (7t²+41t) % 2000 has period 2000 in the ticket index t, so its
+#        multiplicity profile — and hence the best-customer set — is
+#        SF-independent; 549/1549/299/1799 sit at ≥0.85× the max store
+#        spend at every SF, far above q23's 0.5× HAVING bar), with cs
+#        items 1991..2000 (frequent by the q58 anchors' repeated
+#        (item, d_date) cells). No ss-side pinning needed.
+#   91:  q54 seed — cs in Dec 1998 of a Music/class5 item (item id ≡ 18
+#        mod 50 ⇔ sk ≡ 19 mod 50), billed to a _Q54_CUSTOMER_SKS member.
+#   317: q54 revenue — ss in Jan–Mar 1999 (d_month_seq 1188..1190) by
+#        the same customer pool.
+#   94:  q31 web-growth rows — ws in Q3 2000, billed to Walker-County
+#        addresses (addr id ≡ 4 mod 5). Walker's Q1→Q2 web growth beats
+#        its store growth naturally (wg12 1.003 vs sg12 0.924 at
+#        sf0.01); the ~30% Q3 value bump closes the one failing leg
+#        (wg23 1.03 vs sg23 1.15), restoring the single-county result
+#        the flow classes' April-2000 store rows had perturbed to zero.
+#        The bump fraction is SF-independent (class mass and natural
+#        county-quarter mass both scale with n). Residue 94 chosen for
+#        its quantity: every id % 600 class has CONSTANT ws_quantity
+#        (17·600 ≡ 0 mod 100), and 94's is 99 — a residue like 530
+#        (qty 11) carries too little value per row to move the ratio.
+#        94 % 6 ≠ 0, so web_returns needs no mirror.
+#
+# _Q54_CUSTOMER_SKS: 8 spread customers from the 537 of 1..2000 whose
+# c_current_addr_sk resolves to a (ca_county, ca_state) pair that some
+# store's (s_county, s_state) covers — q54's my_revenue requires the
+# county+state correlated join to hit.
+_Q54_CUSTOMER_SKS = [1, 246, 500, 751, 1004, 1250, 1504, 1750]
+_Q23_CUSTOMER_SKS = [549, 1549, 299, 1799]
+
+_K600 = "CAST(FLOOR(id/600) AS BIGINT)"
+# Natural (non-null) store_sales mixers, reused verbatim by the anchored
+# arms of sr (same id space) and cs (cross-channel replication).
+_TK = "CAST(FLOOR(id/4) AS BIGINT)"
+_SS_CUST_RAW = f"(1 + ({_TK}*{_TK}*7 + {_TK}*41) % 2000)"
+_SS_ITEM_RAW = f"(1 + ({_TK}*{_TK}*11 + {_TK}*37 + (id % 4)*499) % 2000)"
+_SS_STORE_RAW = "(1 + (" + _TK + "*59) % 12)"
+
+# Date-sk anchors (all constants are offsets from d_date_sk 2450815 =
+# 1998-01-01): April 2000 = 2451636..2451665, April 1999 = 2451270..,
+# Feb 2000 = 2451576..2451604, Dec 1998 = 2451149.., Jan–Mar 1999 =
+# 2451180..2451269. Returns land 1..60 days after the anchored sale, so
+# q25's return window (moy 4..10 / 2000) and q29's (moy 4..7 / 1999)
+# both hold by construction.
+_FLOW_SS_DATE = {120: f"(2451636 + ({_K600}*7) % 30)",
+                 420: f"(2451270 + ({_K600}*7) % 30)"}
+_FLOW_SR_DATE = {r: f"({d} + 1 + (id*3) % 60)" for r, d in _FLOW_SS_DATE.items()}
+_FLOW_CS_DATE = {120: f"(2451676 + ({_K600}*11) % 120)",
+                 420: f"(2451310 + ({_K600}*11) % 300)"}
+_Q23_DATE = f"(2451576 + ({_K600}*5) % 29)"
+_Q54_CS_DATE = f"(2451149 + ({_K600}*7) % 31)"
+_Q54_SS_DATE = f"(2451180 + ({_K600}*13) % 90)"
+_Q23_CS_ITEM = f"(1991 + ({_K600} % 10))"
+_Q54_CS_ITEM = f"(19 + 50*({_K600} % 40))"
+_Q54_CUST = _pick_int(f"{_K600} % 8", _Q54_CUSTOMER_SKS)
+_Q23_CUST = _pick_int(f"{_K600} % 4", _Q23_CUSTOMER_SKS)
+# Q3 2000 = offsets 912..1003 (92 days).
+_Q31_WS_DATE = f"(2451727 + ({_K600}*7) % 92)"
+_Q31_WS_ADDR = f"(5 + 5*({_K600} % 1000))"
+
+
+def _ladder(base: str, arms: list[tuple[int, str]]) -> str:
+    """CASE ladder over id % 600 residue arms, falling back to base."""
+    whens = " ".join(f"WHEN id % 600 = {r} THEN {v}" for r, v in arms)
+    return f"CASE {whens} ELSE {base} END"
+
+
 def _case(selector: str, values: list[str]) -> str:
     arms = " ".join(
         f"WHEN {i} THEN '{v}'" for i, v in enumerate(values)
@@ -392,14 +478,22 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "store_sales": (
             None,
             [
-                ("ss_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97), _Q58_DATE)),
+                ("ss_sold_date_sk", _q58_anchored(_ladder(
+                    _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97),
+                    [(120, _int(_FLOW_SS_DATE[120])), (420, _int(_FLOW_SS_DATE[420])),
+                     (317, _int(_Q54_SS_DATE))]), _Q58_DATE)),
                 ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
                 ("ss_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
-                ("ss_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
+                ("ss_customer_sk", _ladder(
+                    _nullable(_int(_SS_CUST_RAW), 89, mult=11),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (317, _int(_Q54_CUST))])),
                 ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
                 ("ss_addr_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
-                ("ss_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
+                ("ss_store_sk", _ladder(
+                    _nullable(_int(_SS_STORE_RAW), 101, mult=13),
+                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW))])),
                 ("ss_promo_sk", _int(_mix(61, _N_PROMO))),
                 ("ss_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
             ]
@@ -408,12 +502,16 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "web_sales": (
             None,
             [
-                ("ws_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89), _Q58_DATE)),
+                ("ws_sold_date_sk", _q58_anchored(_ladder(
+                    _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89),
+                    [(94, _int(_Q31_WS_DATE))]), _Q58_DATE)),
                 ("ws_sold_time_sk", _int("(id*7877) % 86400")),
                 ("ws_item_sk", _q58_anchored(_int(_mix(149, _N_ITEM)), _Q58_ITEM)),
                 ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
-                ("ws_bill_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")")),
+                ("ws_bill_addr_sk", _ladder(
+                    _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")"),
+                    [(94, _int(_Q31_WS_ADDR))])),
                 ("ws_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
                 ("ws_ship_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {_N_DAYS} + 1 + (id*5) % 60) % {_N_DAYS}")),
                 ("ws_warehouse_sk", _int(_mix(7, _N_WAREHOUSE))),
@@ -430,10 +528,19 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "catalog_sales": (
             None,
             [
-                ("cs_sold_date_sk", _q58_anchored(_nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93), _Q58_DATE)),
+                ("cs_sold_date_sk", _q58_anchored(_ladder(
+                    _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93),
+                    [(120, _int(_FLOW_CS_DATE[120])), (420, _int(_FLOW_CS_DATE[420])),
+                     (253, _int(_Q23_DATE)), (91, _int(_Q54_CS_DATE))]), _Q58_DATE)),
                 ("cs_sold_time_sk", _int("(id*7873) % 86400")),
-                ("cs_item_sk", _q58_anchored(_int(_mix(167, _N_ITEM)), _Q58_ITEM)),
-                ("cs_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11)),
+                ("cs_item_sk", _q58_anchored(_ladder(
+                    _int(_mix(167, _N_ITEM)),
+                    [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
+                     (253, _int(_Q23_CS_ITEM)), (91, _int(_Q54_CS_ITEM))]), _Q58_ITEM)),
+                ("cs_bill_customer_sk", _ladder(
+                    _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (253, _int(_Q23_CUST)), (91, _int(_Q54_CUST))])),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_bill_hdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*251) % " + str(_N_HDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
@@ -481,11 +588,17 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "store_returns": (
             None,
             [
-                ("sr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}")),
+                ("sr_returned_date_sk", _ladder(
+                    _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}"),
+                    [(120, _int(_FLOW_SR_DATE[120])), (420, _int(_FLOW_SR_DATE[420]))])),
                 ("sr_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
-                ("sr_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*7 + CAST(FLOOR(id/4) AS BIGINT)*41) % 2000)"), 89, mult=11)),
+                ("sr_customer_sk", _ladder(
+                    _nullable(_int(_SS_CUST_RAW), 89, mult=11),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW))])),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
-                ("sr_store_sk", _nullable(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*59) % " + str(_N_STORE) + ")"), 101, mult=13)),
+                ("sr_store_sk", _ladder(
+                    _nullable(_int(_SS_STORE_RAW), 101, mult=13),
+                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW))])),
                 ("sr_reason_sk", _int(_mix(23, _N_REASON))),
                 ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
@@ -498,14 +611,21 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "catalog_returns": (
             None,
             [
-                ("cr_item_sk", _q58_anchored(_int(_mix(167, _N_ITEM)), _Q58_ITEM)),
+                # Item/customer mirrors for the flow classes (120/420 are
+                # ≡ 0 mod 5, so every flow order also has a cr row) keep
+                # the cr→cs join-back invariant on anchored ids.
+                ("cr_item_sk", _q58_anchored(_ladder(
+                    _int(_mix(167, _N_ITEM)),
+                    [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW))]), _Q58_ITEM)),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 # 1-in-61 returns are seasonal: November 1998 (date_sk
                 # 2451119..2451148), from the _Q91_CUSTOMER_SKS pool.
                 ("cr_returned_date_sk", _int(f"CASE WHEN id % 61 = 0 THEN 2451119 + (id*7) % 30 ELSE 2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}} END".format(_N_DAYS=1826))),
                 ("cr_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
                 ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
-                ("cr_returning_customer_sk", "CASE WHEN id % 61 = 0 THEN " + _int(_pick_int("CAST(FLOOR(id/61) AS BIGINT) % 25", _Q91_CUSTOMER_SKS)) + " ELSE " + _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11) + " END"),
+                ("cr_returning_customer_sk", "CASE WHEN id % 61 = 0 THEN " + _int(_pick_int("CAST(FLOOR(id/61) AS BIGINT) % 25", _Q91_CUSTOMER_SKS)) + " ELSE " + _ladder(
+                    _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW))]) + " END"),
                 ("cr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
                 ("cr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
                 ("cr_return_amount", _cents("((id*43) % 9900)")),
