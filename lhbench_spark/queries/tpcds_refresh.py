@@ -327,3 +327,143 @@ def tpcds_refresh_merged_state(spark, sf_dir):
             F.sum("ss_ext_sales_price").cast("double").alias("sales_sum"),
         )
     )
+
+
+_CSV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT cs_order_number, cs_sold_date_sk, cs_sold_time_sk,
+         cs_bill_customer_sk, cs_ship_customer_sk, cs_call_center_sk,
+         cs_ship_mode_sk, cs_item_sk, cs_quantity + 100 AS cs_quantity,
+         cs_sales_price, cs_coupon_amt, cs_ext_ship_cost, cs_ship_date_sk,
+         cs_catalog_page_sk, 1 AS cs_promo_sk, cs_warehouse_sk
+  FROM catalog_sales WHERE cs_order_number % 7 = 1
+), hdr AS (
+  SELECT cs_order_number AS cord_order_id,
+         DATE '1998-01-01' + CAST(MIN(cs_sold_date_sk) - 2450815 AS INT)
+           AS cord_order_date,
+         MIN(cs_sold_time_sk) AS cord_order_time,
+         'CUST' || lpad(CAST(MIN(cs_bill_customer_sk) AS STRING), 10, '0')
+           AS cord_bill_customer_id,
+         'CUST' || lpad(CAST(MIN(cs_ship_customer_sk) AS STRING), 10, '0')
+           AS cord_ship_customer_id,
+         'CC' || lpad(CAST(MIN(cs_call_center_sk) AS STRING), 4, '0')
+           AS cord_call_center_id,
+         'SHIP' || lpad(CAST(MIN(cs_ship_mode_sk) AS STRING), 4, '0')
+           AS cord_ship_mode_id
+  FROM delta GROUP BY cs_order_number
+), lin AS (
+  SELECT cs_order_number AS clin_order_id, cs_item_sk AS clin_item_sk,
+         cs_quantity AS clin_quantity, cs_sales_price AS clin_sales_price,
+         cs_coupon_amt AS clin_coupon_amt,
+         DATE '1998-01-01' + CAST(cs_ship_date_sk - 2450815 AS INT)
+           AS clin_ship_date,
+         cp.cp_catalog_number AS clin_catalog_number,
+         cp.cp_catalog_page_number AS clin_catalog_page_number,
+         'PROMO' || lpad(CAST(cs_promo_sk AS STRING), 6, '0')
+           AS clin_promotion_id,
+         cs_warehouse_sk AS clin_warehouse_sk
+  FROM delta LEFT JOIN catalog_page cp
+    ON delta.cs_catalog_page_sk = cp.cp_catalog_page_sk
+), cpd AS (
+  SELECT cp_catalog_number, cp_catalog_page_number,
+         MIN(cp_catalog_page_sk) AS cp_catalog_page_sk
+  FROM catalog_page GROUP BY 1, 2
+), rv AS (
+  SELECT d1.d_year AS sold_year, cc.cc_name AS call_center_name,
+         c1.c_customer_sk AS cs_bill_customer_sk,
+         cpd.cp_catalog_page_sk AS cs_catalog_page_sk,
+         t.t_time_sk AS cs_sold_time_sk,
+         d2.d_date_sk AS cs_ship_date_sk,
+         w.w_warehouse_sk AS cs_warehouse_sk,
+         p.p_promo_sk AS cs_promo_sk,
+         c2.c_customer_sk AS cs_ship_customer_sk,
+         sm.sm_ship_mode_sk AS cs_ship_mode_sk,
+         lin.clin_quantity AS cs_quantity,
+         lin.clin_sales_price * lin.clin_quantity AS cs_ext_sales_price,
+         i.i_current_price * lin.clin_quantity AS cs_ext_list_price,
+         (lin.clin_sales_price * lin.clin_quantity) - lin.clin_coupon_amt
+           - (i.i_wholesale_cost * lin.clin_quantity) AS cs_net_profit
+  FROM lin
+  JOIN hdr ON lin.clin_order_id = hdr.cord_order_id
+  LEFT JOIN date_dim d1 ON hdr.cord_order_date = d1.d_date
+  LEFT JOIN time_dim t ON hdr.cord_order_time = t.t_time
+  LEFT JOIN customer c1 ON hdr.cord_bill_customer_id = c1.c_customer_id
+  LEFT JOIN customer c2 ON hdr.cord_ship_customer_id = c2.c_customer_id
+  LEFT JOIN call_center cc ON hdr.cord_call_center_id = cc.cc_call_center_id
+  LEFT JOIN ship_mode sm ON hdr.cord_ship_mode_id = sm.sm_ship_mode_id
+  LEFT JOIN date_dim d2 ON lin.clin_ship_date = d2.d_date
+  LEFT JOIN cpd ON lin.clin_catalog_number = cpd.cp_catalog_number
+               AND lin.clin_catalog_page_number = cpd.cp_catalog_page_number
+  LEFT JOIN warehouse w ON lin.clin_warehouse_sk = w.w_warehouse_sk
+  LEFT JOIN item i ON lin.clin_item_sk = i.i_item_sk
+  LEFT JOIN promotion p ON lin.clin_promotion_id = p.p_promo_id
+)
+SELECT COALESCE(sold_year, 0) AS sold_year,
+       COALESCE(call_center_name, 'UNKNOWN') AS call_center_name,
+       COUNT(*) AS cnt,
+       CAST(SUM(cs_bill_customer_sk) AS BIGINT) AS bill_sk_sum,
+       CAST(SUM(cs_ship_customer_sk) AS BIGINT) AS ship_sk_sum,
+       CAST(SUM(cs_catalog_page_sk) AS BIGINT) AS page_sk_sum,
+       CAST(SUM(cs_sold_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(cs_ship_date_sk) AS BIGINT) AS ship_date_sk_sum,
+       CAST(SUM(cs_warehouse_sk) AS BIGINT) AS wh_sk_sum,
+       CAST(SUM(cs_promo_sk) AS BIGINT) AS promo_sk_sum,
+       CAST(SUM(cs_ship_mode_sk) AS BIGINT) AS sm_sk_sum,
+       CAST(SUM(cs_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(cs_ext_sales_price) AS DOUBLE) AS sales_sum,
+       CAST(SUM(cs_ext_list_price) AS DOUBLE) AS list_sum,
+       CAST(SUM(cs_net_profit) AS DOUBLE) AS profit_sum
+FROM rv GROUP BY 1, 2
+""")
+
+
+@query(
+    "tpcds_refresh_csv_dense",
+    tags=("tpcds", "refresh", "csv", "staging"),
+    oracle=_CSV_DENSE_ORACLE,
+)
+def tpcds_refresh_csv_dense(spark, sf_dir):
+    """The reference-density catalog refresh chain: the round-1 delta
+    split into the dsdgen-shaped order-header/lineitem staging pair,
+    CSV round-tripped (pipe, headerless, explicit schemas — business
+    ids, calendar dates and decimals survive the flat file), then the
+    12-join csv_view shape resolving every surrogate key through its
+    dimension (TPCDSRefreshSchema.scala:737-788). The aggregate sums
+    each RESOLVED key column, so a single mis-resolved id anywhere in
+    the chain fails the value compare."""
+    work = tempfile.mkdtemp(prefix="lhbench_csvdense_")
+    hdr0, lin0 = rt.stage_catalog_pair(spark, sf_dir, 1)
+    write_staging_csv(hdr0, f"{work}/hdr")
+    write_staging_csv(lin0, f"{work}/lin")
+    hdr = read_staging_csv(spark, f"{work}/hdr", rt.catalog_order_schema())
+    lin = read_staging_csv(spark, f"{work}/lin", rt.catalog_lineitem_schema())
+    rv = rt.csv_dense_view(
+        hdr, lin,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "call_center"),
+        rt._dim(spark, sf_dir, "ship_mode"),
+        rt._dim(spark, sf_dir, "catalog_page"),
+        rt._dim(spark, sf_dir, "warehouse"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "promotion"),
+    )
+    return rv.groupBy(
+        F.coalesce("sold_year", F.lit(0)).alias("sold_year"),
+        F.coalesce("call_center_name", F.lit("UNKNOWN")).alias("call_center_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cs_bill_customer_sk").cast("bigint").alias("bill_sk_sum"),
+        F.sum("cs_ship_customer_sk").cast("bigint").alias("ship_sk_sum"),
+        F.sum("cs_catalog_page_sk").cast("bigint").alias("page_sk_sum"),
+        F.sum("cs_sold_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("cs_ship_date_sk").cast("bigint").alias("ship_date_sk_sum"),
+        F.sum("cs_warehouse_sk").cast("bigint").alias("wh_sk_sum"),
+        F.sum("cs_promo_sk").cast("bigint").alias("promo_sk_sum"),
+        F.sum("cs_ship_mode_sk").cast("bigint").alias("sm_sk_sum"),
+        F.sum("cs_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("cs_ext_sales_price").cast("double").alias("sales_sum"),
+        F.sum("cs_ext_list_price").cast("double").alias("list_sum"),
+        F.sum("cs_net_profit").cast("double").alias("profit_sum"),
+    )

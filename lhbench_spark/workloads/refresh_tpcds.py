@@ -284,6 +284,200 @@ def iv_view(delta: DataFrame, date_dim, item, warehouse) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dense catalog staging chain — the reference's csv_view DENSITY.
+#
+# The reference stages the catalog channel as an order-header/lineitem
+# flat-file PAIR carrying business ids and raw dates, and its refresh
+# view resolves every surrogate key through a dimension join:
+# s_catalog_order + s_catalog_order_lineitem LEFT-joined to date_dim ×2,
+# time_dim, customer ×2, call_center, ship_mode, catalog_page (composite
+# (catalog_number, page_number) key), warehouse, item, promotion — 12
+# joins (TPCDSRefreshSchema.scala:160-287 staging schemas, :737-788 the
+# view). The simple csv_view above joins 4 post-hoc dims; this chain
+# reproduces the reference shape: 2 staged relations + 11 dim joins.
+#
+# Deviations, both forced by the generated dims:
+# - clin_item_sk stays a surrogate key: the generated item dim is
+#   SCD-style (i_item_id deliberately non-unique, ~2 sks per id) but has
+#   no i_rec_end_date column, so the reference's `i_rec_end_date IS
+#   NULL` disambiguator (TPCDSRefreshSchema.scala:787) has no analog.
+# - catalog_page's composite (number, page_number) key is ambiguous for
+#   20 of 120 pages (the 1+id%100 mixer wraps), so the view joins a
+#   MIN-sk-per-composite subview — the same shape as the reference's
+#   composite join (:784-785), made deterministic.
+
+_D0_SQL = "DATE'1998-01-01'"
+
+
+def _sk_to_date(col: str) -> F.Column:
+    """date_sk → calendar DATE (date_sk 2450815 = 1998-01-01), for
+    staging files that carry raw dates like dsdgen's."""
+    return F.expr(f"date_add({_D0_SQL}, CAST({col} - 2450815 AS INT))")
+
+
+def _sk_to_id(col: str, prefix: str, width: int) -> F.Column:
+    """Surrogate key → the dim's business-id string (the generated dims
+    derive ids as PREFIX || lpad(sk)), for dsdgen-shaped staging."""
+    return F.expr(f"'{prefix}' || lpad(CAST({col} AS STRING), {width}, '0')")
+
+
+def stage_catalog_pair(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> tuple[DataFrame, DataFrame]:
+    """One round's catalog delta split into the dsdgen-shaped staging
+    pair: an order header (order-level attributes MIN-collapsed, keys
+    rendered as business ids / calendar dates) and a lineitem file (one
+    row per sale, catalog page rendered as the composite
+    (catalog_number, page_number) the reference's view re-resolves)."""
+    delta = stage_delta(spark, sf_dir, "catalog_sales", round_no)
+    hdr = delta.groupBy("cs_order_number").agg(
+        F.min("cs_sold_date_sk").alias("_date_sk"),
+        F.min("cs_sold_time_sk").alias("cord_order_time"),
+        F.min("cs_bill_customer_sk").alias("_bill_sk"),
+        F.min("cs_ship_customer_sk").alias("_ship_sk"),
+        F.min("cs_call_center_sk").alias("_cc_sk"),
+        F.min("cs_ship_mode_sk").alias("_sm_sk"),
+    ).select(
+        F.col("cs_order_number").alias("cord_order_id"),
+        _sk_to_date("_date_sk").alias("cord_order_date"),
+        "cord_order_time",
+        _sk_to_id("_bill_sk", "CUST", 10).alias("cord_bill_customer_id"),
+        _sk_to_id("_ship_sk", "CUST", 10).alias("cord_ship_customer_id"),
+        _sk_to_id("_cc_sk", "CC", 4).alias("cord_call_center_id"),
+        _sk_to_id("_sm_sk", "SHIP", 4).alias("cord_ship_mode_id"),
+    )
+    cp = _dim(spark, sf_dir, "catalog_page")
+    lin = delta.join(
+        cp, delta.cs_catalog_page_sk == cp.cp_catalog_page_sk, "left"
+    ).select(
+        F.col("cs_order_number").alias("clin_order_id"),
+        F.col("cs_item_sk").alias("clin_item_sk"),
+        F.col("cs_quantity").alias("clin_quantity"),
+        F.col("cs_sales_price").alias("clin_sales_price"),
+        F.col("cs_coupon_amt").alias("clin_coupon_amt"),
+        F.col("cs_ext_ship_cost").alias("clin_ship_cost"),
+        _sk_to_date("cs_ship_date_sk").alias("clin_ship_date"),
+        F.col("cp_catalog_number").alias("clin_catalog_number"),
+        F.col("cp_catalog_page_number").alias("clin_catalog_page_number"),
+        _sk_to_id("cs_promo_sk", "PROMO", 6).alias("clin_promotion_id"),
+        F.col("cs_warehouse_sk").alias("clin_warehouse_sk"),
+    )
+    return hdr, lin
+
+
+def catalog_order_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+    return StructType([
+        StructField("cord_order_id", LongType()),
+        StructField("cord_order_date", DateType()),
+        StructField("cord_order_time", IntegerType()),
+        StructField("cord_bill_customer_id", StringType()),
+        StructField("cord_ship_customer_id", StringType()),
+        StructField("cord_call_center_id", StringType()),
+        StructField("cord_ship_mode_id", StringType()),
+    ])
+
+
+def catalog_lineitem_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, DecimalType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("clin_order_id", LongType()),
+        StructField("clin_item_sk", IntegerType()),
+        StructField("clin_quantity", IntegerType()),
+        StructField("clin_sales_price", DecimalType(12, 2)),
+        StructField("clin_coupon_amt", DecimalType(12, 2)),
+        StructField("clin_ship_cost", DecimalType(12, 2)),
+        StructField("clin_ship_date", DateType()),
+        StructField("clin_catalog_number", IntegerType()),
+        StructField("clin_catalog_page_number", IntegerType()),
+        StructField("clin_promotion_id", StringType()),
+        StructField("clin_warehouse_sk", IntegerType()),
+    ])
+
+
+def csv_dense_view(
+    hdr: DataFrame,
+    lin: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    call_center: DataFrame,
+    ship_mode: DataFrame,
+    catalog_page: DataFrame,
+    warehouse: DataFrame,
+    item: DataFrame,
+    promotion: DataFrame,
+) -> DataFrame:
+    """The reference csv_view shape: lineitem ⋈ order header, then every
+    surrogate key resolved through its dimension (business-id equality
+    for customer/call_center/ship_mode/promotion, calendar-date equality
+    for the two date roles, raw seconds for time_dim, the composite
+    (catalog_number, page_number) for catalog_page), with the money
+    columns derived from item prices × staged quantity exactly as the
+    reference computes them (TPCDSRefreshSchema.scala:755-772). No join
+    hints — the staged delta is the small side and AQE sizes every dim."""
+    d1, d2 = date_dim.alias("d1"), date_dim.alias("d2")
+    c1, c2 = customer.alias("c1"), customer.alias("c2")
+    cpd = catalog_page.groupBy("cp_catalog_number", "cp_catalog_page_number").agg(
+        F.min("cp_catalog_page_sk").alias("cp_catalog_page_sk")
+    )
+    qty = F.col("clin_quantity")
+    ext_sales = F.col("clin_sales_price") * qty
+    net_paid = ext_sales - F.col("clin_coupon_amt")
+    return (
+        lin.join(hdr, F.col("clin_order_id") == F.col("cord_order_id"))
+        .join(d1, F.col("cord_order_date") == F.col("d1.d_date"), "left")
+        .join(time_dim, F.col("cord_order_time") == F.col("t_time"), "left")
+        .join(c1, F.col("cord_bill_customer_id") == F.col("c1.c_customer_id"), "left")
+        .join(c2, F.col("cord_ship_customer_id") == F.col("c2.c_customer_id"), "left")
+        .join(call_center, F.col("cord_call_center_id") == F.col("cc_call_center_id"), "left")
+        .join(ship_mode, F.col("cord_ship_mode_id") == F.col("sm_ship_mode_id"), "left")
+        .join(d2, F.col("clin_ship_date") == F.col("d2.d_date"), "left")
+        .join(
+            cpd,
+            (F.col("clin_catalog_number") == cpd.cp_catalog_number)
+            & (F.col("clin_catalog_page_number") == cpd.cp_catalog_page_number),
+            "left",
+        )
+        .join(warehouse, F.col("clin_warehouse_sk") == F.col("w_warehouse_sk"), "left")
+        .join(item, F.col("clin_item_sk") == F.col("i_item_sk"), "left")
+        .join(promotion, F.col("clin_promotion_id") == F.col("p_promo_id"), "left")
+        .select(
+            F.col("d1.d_date_sk").alias("cs_sold_date_sk"),
+            F.col("d1.d_year").alias("sold_year"),
+            F.col("t_time_sk").alias("cs_sold_time_sk"),
+            F.col("d2.d_date_sk").alias("cs_ship_date_sk"),
+            F.col("c1.c_customer_sk").alias("cs_bill_customer_sk"),
+            F.col("c1.c_current_cdemo_sk").alias("cs_bill_cdemo_sk"),
+            F.col("c1.c_current_addr_sk").alias("cs_bill_addr_sk"),
+            F.col("c2.c_customer_sk").alias("cs_ship_customer_sk"),
+            F.col("cc_call_center_sk").alias("cs_call_center_sk"),
+            F.col("cc_name").alias("call_center_name"),
+            F.col("cp_catalog_page_sk").alias("cs_catalog_page_sk"),
+            F.col("sm_ship_mode_sk").alias("cs_ship_mode_sk"),
+            F.col("w_warehouse_sk").alias("cs_warehouse_sk"),
+            F.col("i_item_sk").alias("cs_item_sk"),
+            F.col("p_promo_sk").alias("cs_promo_sk"),
+            F.col("clin_order_id").alias("cs_order_number"),
+            qty.alias("cs_quantity"),
+            F.col("i_wholesale_cost").alias("cs_wholesale_cost"),
+            F.col("i_current_price").alias("cs_list_price"),
+            ((F.col("i_current_price") - F.col("clin_sales_price")) * qty).alias("cs_ext_discount_amt"),
+            ext_sales.alias("cs_ext_sales_price"),
+            (F.col("i_wholesale_cost") * qty).alias("cs_ext_wholesale_cost"),
+            (F.col("i_current_price") * qty).alias("cs_ext_list_price"),
+            net_paid.alias("cs_net_paid"),
+            (net_paid - F.col("i_wholesale_cost") * qty).alias("cs_net_profit"),
+        )
+    )
+
+
 @dataclass
 class MultiRefreshConfig:
     rounds: int = 10
