@@ -842,6 +842,48 @@ def materialize_partitioned_store_sales(spark: SparkSession, sf_dir: str) -> str
     return out
 
 
+# Zipf-head skew variant: dsdgen's real output has heavily skewed join
+# keys (a few hot items dominate sales), which the uniform modular
+# mixers above never produce — so bench plans at test SF would miss the
+# shuffle-skew behavior a 100 TB run hits. This opt-in variant reroutes
+# store_sales' item key through a Zipf-like head (55% → item 558, 20% →
+# item 1558, 10% → item 58, 15% natural tail) for the AQE skew-split
+# plan assertion (tests/test_plans.py); it never replaces the default
+# materialization, so every oracle still sees the uniform tables. The
+# two biggest hot sks are the manufact-128 items (item id ≡ 557 mod
+# 1000 ⇒ 1+(id*11)%1000 = 128), so tpcds_q03's item filter keeps the
+# hot join output non-empty — otherwise AQE collapses the whole plan to
+# EmptyRelation before any skew split can appear.
+SKEW_HOT_SHARES = ((55, 558), (75, 1558), (85, 58))
+
+_MATERIALIZED_SKEW: dict[str, str] = {}
+
+
+def materialize_skewed_store_sales(spark: SparkSession, sf_dir: str) -> str:
+    """store_sales with ss_item_sk rerouted through the Zipf head,
+    written once per (process, sf_dir); returns the parquet path."""
+    key = os.path.abspath(sf_dir)
+    if key in _MATERIALIZED_SKEW:
+        return _MATERIALIZED_SKEW[key]
+    out = tempfile.mkdtemp(prefix="lhbench_tpcds_skew_")
+    spec = _specs("spark")["store_sales"]
+    exprs = []
+    for c, e in spec[1]:
+        r = _render(e, "spark")
+        if c == "ss_item_sk":
+            arms = " ".join(
+                f"WHEN id % 100 < {cut} THEN {sk}" for cut, sk in SKEW_HOT_SHARES
+            )
+            r = _int(f"CASE {arms} ELSE {r} END")
+        exprs.append(f"{r} AS {c}")
+    df = spark.range(_fact_rows(spark, sf_dir)).selectExpr(*exprs)
+    # ≥8 files: AQE's skew split re-reads map-output ranges, so the
+    # skewed side needs multiple mappers to split across.
+    df.repartition(8).write.mode("overwrite").parquet(f"{out}/store_sales")
+    _MATERIALIZED_SKEW[key] = out
+    return out
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for every generated table (parquet-backed scans).
 
