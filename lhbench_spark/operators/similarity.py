@@ -307,6 +307,34 @@ def ivf_write_partitioned(
     )
 
 
+def ivf_append_partitioned(
+    batch: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index MAINTENANCE: assign only the arriving batch
+    to the EXISTING codebook's cells (same inline argmin as the initial
+    ingest — no codebook retrain, no corpus re-read) and append it into
+    the cell-partitioned store. Cost is O(batch): the job's only input
+    is the batch frame, and dynamic partition overwrite is not needed
+    because parquet append only touches the batch's own cell
+    directories. Probes over the store then see old and new vectors
+    identically — the maintenance path that keeps a 100 TB ANN index
+    serving while the corpus grows (re-clustering is a separate,
+    deliberate operation: see kmeans_refine)."""
+    from lhbench_spark import sinks
+    from lhbench_spark.operators import fan_out
+
+    b = fan_out(batch).select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    assigned = ivf_assign(b, cents, 1, id_col, "_cv")
+    sinks.write_partitioned(
+        assigned, out_dir, partition_by=("_cell",), mode="append",
+        files_per_partition=1,
+    )
+
+
 def ivf_partitioned_topk(
     spark,
     out_dir: str,

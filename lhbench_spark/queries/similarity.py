@@ -165,6 +165,36 @@ def ann_ivf_partitioned(spark, sf_dir):
     )
 
 
+@query(
+    "ann_ivf_incremental",
+    tags=("similarity", "embedding", "ann", "ivf", "incremental"),
+    oracle=_IVF_ORACLE,
+)
+def ann_ivf_incremental(spark, sf_dir):
+    """IVF index MAINTENANCE: build the cell-partitioned store from the
+    initial corpus only, then append a later-arriving batch via
+    ivf_append_partitioned — assignment against the EXISTING codebook,
+    O(batch) job input, no retrain, no corpus re-read (the incremental
+    sibling of dedup_incremental_store's signature-store probe). The
+    probe then runs over the grown store; results — and the oracle —
+    are identical to a from-scratch build over the full corpus, which
+    is exactly the maintenance contract: growth must not change what
+    queries see."""
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _ivf_cents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lhbench_ivfinc_") + "/by_cell"
+    base = emb.filter((emb.vec_id % 17) != 3)
+    batch = emb.filter((emb.vec_id % 17) == 3)
+    similarity.ivf_write_partitioned(base, cents, out)
+    similarity.ivf_append_partitioned(batch, cents, out)
+    queries = emb.filter(emb.vec_id < _NQUERIES)
+    return similarity.ivf_partitioned_topk(
+        spark, out, queries, k=_TOPK, probes=2, cents=cents
+    )
+
+
 _QUANT_ORACLE = """
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
