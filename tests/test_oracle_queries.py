@@ -78,12 +78,16 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # which stay covered by the full sweep). Round 7: the three r6
 # first-time greens (analytic_first_last_nth, ann_knn_classify,
 # ann_pq_recall) moved to DRIVER_GREEN, rotating tpcds_q18-q20 back
-# in — the window is now 27 never-checked non-TPC-DS queries + the
-# DPP/bloom scale demos + tpcds_q01-q20. Out-of-window
+# in; adding ann_ivf_incremental mid-round evicted tpcds_q20 again —
+# the window is now 28 never-checked non-TPC-DS queries + the
+# DPP/bloom scale demos + tpcds_q01-q19 (incl. 14a/b). The new
+# tpcds_refresh_csv_dense sorts after tpcds_q99, outside the window,
+# and is covered by the recorded sweep. Out-of-window
 # queries stay covered by the recorded full sweep
 # (reports/oracle_full_run.json, every query at sf0.001+sf0.01). Change
 # this list CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
+    "ann_ivf_incremental",
     "complex_q51_cumulative_join",
     "complex_q78_channel_join",
     "continuous_cdc_replica",
@@ -133,7 +137,6 @@ _GATE_WINDOW = [
     "tpcds_q17",
     "tpcds_q18",
     "tpcds_q19",
-    "tpcds_q20",
 ]
 
 
