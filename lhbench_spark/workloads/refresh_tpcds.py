@@ -532,7 +532,34 @@ def run(
         "inventory": lambda d: iv_view(d, dd, item, wh),
     }
 
+    time_dim = _dim(spark, sf_dir, "time_dim")
+    cc = _dim(spark, sf_dir, "call_center")
+    sm = _dim(spark, sf_dir, "ship_mode")
+    cp = _dim(spark, sf_dir, "catalog_page")
+
     for i in range(1, cfg.rounds + 1):
+        # Reference-density catalog chain once per round: stage the
+        # order-header/lineitem pair, fold it through the 12-join
+        # csv_view shape (see csv_dense_view).
+        hdr0, lin0 = stage_catalog_pair(spark, sf_dir, i)
+        hd, ld = f"{work}/stage/cord_{i}", f"{work}/stage/clin_{i}"
+        write_staging_csv(hdr0, hd)
+        write_staging_csv(lin0, ld)
+
+        def dense_round(hd=hd, ld=ld):
+            hdr = read_staging_csv(spark, hd, catalog_order_schema())
+            lin = read_staging_csv(spark, ld, catalog_lineitem_schema())
+            rv = csv_dense_view(
+                hdr, lin, dd, time_dim, cust, cc, sm, cp, wh, item, promo
+            )
+            return rv.agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum("cs_ext_sales_price").alias("sales_sum"),
+                F.sum("cs_bill_customer_sk").cast("bigint").alias("bill_sk_sum"),
+            )
+
+        runner.run_query(f"view-csv_dense-{i}", dense_round)
+
         for fact, meta in FACTS.items():
             sdir = f"{work}/stage/{fact}_{i}"
             write_staging_csv(stage_delta(spark, sf_dir, fact, i), sdir)
