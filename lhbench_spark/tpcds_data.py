@@ -874,7 +874,10 @@ def materialize_skewed_store_sales(spark: SparkSession, sf_dir: str) -> str:
             arms = " ".join(
                 f"WHEN id % 100 < {cut} THEN {sk}" for cut, sk in SKEW_HOT_SHARES
             )
-            r = _int(f"CASE {arms} ELSE {r} END")
+            # BIGINT literals on purpose: the default table's ss_item_sk
+            # is BIGINT (its q58 anchor arm is uncast), and the variant
+            # must keep the exact base schema.
+            r = f"CASE {arms} ELSE CAST({r} AS BIGINT) END"
         exprs.append(f"{r} AS {c}")
     df = spark.range(_fact_rows(spark, sf_dir)).selectExpr(*exprs)
     # ≥8 files: AQE's skew split re-reads map-output ranges, so the

@@ -110,3 +110,20 @@ def test_view_families_do_not_collide(spark):
     # Must repair the namespace, not hit the stale memo:
     q["adhoc_temp_view_join"].spark_fn(spark, SMOKE_SF).collect()
     q["tpcds_q03"].spark_fn(spark, SMOKE_SF).collect()
+
+
+def test_skewed_store_sales_matches_schema_and_head(spark):
+    """The Zipf-head skew variant must keep store_sales' exact schema
+    (so the real query texts run over it unchanged) and concentrate
+    ~85% of rows on the three hot items, with the tail drawn from the
+    default mixer."""
+    out = td.materialize(spark, SMOKE_SF)
+    base = spark.read.parquet(f"{out}/store_sales")
+    skew_out = td.materialize_skewed_store_sales(spark, SMOKE_SF)
+    skewed = spark.read.parquet(f"{skew_out}/store_sales")
+    assert skewed.schema == base.schema
+    assert skewed.count() == base.count()
+    hot = {sk for _, sk in td.SKEW_HOT_SHARES}
+    n = skewed.count()
+    n_hot = skewed.filter(skewed.ss_item_sk.isin(list(hot))).count()
+    assert 0.80 <= n_hot / n <= 0.90, n_hot / n
