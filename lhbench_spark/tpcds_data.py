@@ -102,7 +102,13 @@ _Q91_CUSTOMER_SKS = [
 # item/price correlation, which independent per-channel mixers cannot
 # produce). The returns tables reuse the anchored item expression so
 # return rows keep joining their sale by construction.
-_Q58_DATE = "(2451231 + (CAST(FLOOR(id/101) AS BIGINT) % 7))"
+# Date offset derives from (j%10)%7, NOT j%7: pairing the date to the
+# item residue collapses the (item, d_date) cell space from 70 to 10,
+# so q23's frequent-items HAVING COUNT(*) > 1 is reachable even at
+# sf0.001 (~15 anchors → 5 cells with 2 rows) instead of only at
+# sf0.01+. q58 is indifferent — any day inside the anchor week works,
+# and the three channels stay identical by construction.
+_Q58_DATE = "(2451231 + (CAST(FLOOR(id/101) AS BIGINT) % 10) % 7)"
 _Q58_ITEM = "(1991 + (CAST(FLOOR(id/101) AS BIGINT) % 10))"
 
 
@@ -127,6 +133,8 @@ def _q58_anchored(expr: str, anchor: str) -> str:
 #        cs rebuy May–Oct 2000, same customer + item (the cs row at the
 #        SAME raw id replicates ss's customer/item mixers).
 #   420: q29 item flow — ss April 1999 → sr ≤ Jun 1999 → cs 1999–2001.
+#   540: q17 item flow — ss in 2000Q1 → sr ≤ May 2000 → cs Apr–Aug
+#        2000 (d2/d3 within the query's 2000Q1–Q3 window).
 #   253: q23b best-customer rows — cs in Feb 2000, billed to one of the
 #        ss quadratic mixer's heavy-hitter customers (the mixer
 #        (7t²+41t) % 2000 has period 2000 in the ticket index t, so its
@@ -139,6 +147,15 @@ def _q58_anchored(expr: str, anchor: str) -> str:
 #        mod 50 ⇔ sk ≡ 19 mod 50), billed to a _Q54_CUSTOMER_SKS member.
 #   317: q54 revenue — ss in Jan–Mar 1999 (d_month_seq 1188..1190) by
 #        the same customer pool.
+#   266: November star-probe rows (ss only; 266 % 3 ≠ 0 so no
+#        store_returns mirror exists) — k cycles three (month, item)
+#        arms: Nov 1998 × manager-8 items (sk ≡ 40 mod 100) for q19,
+#        Nov 1999 × manager-28 items (sk ≡ 80 mod 100) for q55,
+#        Nov 2000 × manufact-128 items (sk 558/1558) for q03 — the
+#        month × item-attribute slices those brand probes group on,
+#        empty below sf0.01 under uniform mixers. Customer/store pinned
+#        non-null so the single sf0.001 anchor row can't be the
+#        nullable arm.
 #   94:  q31 web-growth rows — ws in Q3 2000, billed to Walker-County
 #        addresses (addr id ≡ 4 mod 5). Walker's Q1→Q2 web growth beats
 #        its store growth naturally (wg12 1.003 vs sg12 0.924 at
@@ -174,15 +191,26 @@ _SS_STORE_RAW = "(1 + (" + _TK + "*59) % 12)"
 # q25's return window (moy 4..10 / 2000) and q29's (moy 4..7 / 1999)
 # both hold by construction.
 _FLOW_SS_DATE = {120: f"(2451636 + ({_K600}*7) % 30)",
-                 420: f"(2451270 + ({_K600}*7) % 30)"}
+                 420: f"(2451270 + ({_K600}*7) % 30)",
+                 540: f"(2451545 + ({_K600}*7) % 90)"}
 _FLOW_SR_DATE = {r: f"({d} + 1 + (id*3) % 60)" for r, d in _FLOW_SS_DATE.items()}
 _FLOW_CS_DATE = {120: f"(2451676 + ({_K600}*11) % 120)",
-                 420: f"(2451310 + ({_K600}*11) % 300)"}
+                 420: f"(2451310 + ({_K600}*11) % 300)",
+                 540: f"(2451640 + ({_K600}*11) % 150)"}
 _Q23_DATE = f"(2451576 + ({_K600}*5) % 29)"
 _Q54_CS_DATE = f"(2451149 + ({_K600}*7) % 31)"
 _Q54_SS_DATE = f"(2451180 + ({_K600}*13) % 90)"
 _Q23_CS_ITEM = f"(1991 + ({_K600} % 10))"
 _Q54_CS_ITEM = f"(19 + 50*({_K600} % 40))"
+# November probes: Nov 1998 = offsets 304..333, Nov 1999 = 669..698,
+# Nov 2000 = 1035..1064 (all 2450815-based date_sks).
+_NOV_DATE = (f"CASE {_K600} % 3 WHEN 0 THEN 2451119 + ({_K600}*7) % 30 "
+             f"WHEN 1 THEN 2451484 + ({_K600}*7) % 30 "
+             f"ELSE 2451850 + ({_K600}*7) % 30 END")
+_NOV_ITEM = (f"CASE {_K600} % 3 "
+             f"WHEN 0 THEN 40 + 100*(CAST(FLOOR(id/1800) AS BIGINT) % 20) "
+             f"WHEN 1 THEN 80 + 100*(CAST(FLOOR(id/1800) AS BIGINT) % 20) "
+             f"ELSE CASE WHEN {_K600} % 2 = 0 THEN 558 ELSE 1558 END END")
 _Q54_CUST = _pick_int(f"{_K600} % 8", _Q54_CUSTOMER_SKS)
 _Q23_CUST = _pick_int(f"{_K600} % 4", _Q23_CUSTOMER_SKS)
 # Q3 2000 = offsets 912..1003 (92 days).
@@ -481,19 +509,25 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("ss_sold_date_sk", _q58_anchored(_ladder(
                     _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97),
                     [(120, _int(_FLOW_SS_DATE[120])), (420, _int(_FLOW_SS_DATE[420])),
+                     (540, _int(_FLOW_SS_DATE[540])),
+                     (266, _int(_NOV_DATE)),
                      (317, _int(_Q54_SS_DATE))]), _Q58_DATE)),
                 ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
-                ("ss_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
+                ("ss_item_sk", _q58_anchored(_ladder(
+                    _int(_SS_ITEM_RAW),
+                    [(266, _int(_NOV_ITEM))]), _Q58_ITEM)),
                 ("ss_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (540, _int(_SS_CUST_RAW)), (266, _int(_SS_CUST_RAW)),
                      (317, _int(_Q54_CUST))])),
                 ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
                 ("ss_addr_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
                 ("ss_store_sk", _ladder(
                     _nullable(_int(_SS_STORE_RAW), 101, mult=13),
-                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW))])),
+                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW)),
+                     (540, _int(_SS_STORE_RAW)), (266, _int(_SS_STORE_RAW))])),
                 ("ss_promo_sk", _int(_mix(61, _N_PROMO))),
                 ("ss_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
             ]
@@ -531,15 +565,18 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_sold_date_sk", _q58_anchored(_ladder(
                     _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93),
                     [(120, _int(_FLOW_CS_DATE[120])), (420, _int(_FLOW_CS_DATE[420])),
+                     (540, _int(_FLOW_CS_DATE[540])),
                      (253, _int(_Q23_DATE)), (91, _int(_Q54_CS_DATE))]), _Q58_DATE)),
                 ("cs_sold_time_sk", _int("(id*7873) % 86400")),
                 ("cs_item_sk", _q58_anchored(_ladder(
                     _int(_mix(167, _N_ITEM)),
                     [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
+                     (540, _int(_SS_ITEM_RAW)),
                      (253, _int(_Q23_CS_ITEM)), (91, _int(_Q54_CS_ITEM))]), _Q58_ITEM)),
                 ("cs_bill_customer_sk", _ladder(
                     _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (540, _int(_SS_CUST_RAW)),
                      (253, _int(_Q23_CUST)), (91, _int(_Q54_CUST))])),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_bill_hdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*251) % " + str(_N_HDEMO) + ")")),
@@ -590,15 +627,18 @@ def _specs(dialect: str) -> dict[str, tuple]:
             [
                 ("sr_returned_date_sk", _ladder(
                     _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}"),
-                    [(120, _int(_FLOW_SR_DATE[120])), (420, _int(_FLOW_SR_DATE[420]))])),
+                    [(120, _int(_FLOW_SR_DATE[120])), (420, _int(_FLOW_SR_DATE[420])),
+                     (540, _int(_FLOW_SR_DATE[540]))])),
                 ("sr_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
                 ("sr_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
-                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW))])),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (540, _int(_SS_CUST_RAW))])),
                 ("sr_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
                 ("sr_store_sk", _ladder(
                     _nullable(_int(_SS_STORE_RAW), 101, mult=13),
-                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW))])),
+                    [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW)),
+                     (540, _int(_SS_STORE_RAW)), (266, _int(_SS_STORE_RAW))])),
                 ("sr_reason_sk", _int(_mix(23, _N_REASON))),
                 ("sr_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
                 ("sr_return_quantity", f"CAST(1 + (id*5) % (1 + (id*17) % 100) AS INT)"),
@@ -616,7 +656,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 # the cr→cs join-back invariant on anchored ids.
                 ("cr_item_sk", _q58_anchored(_ladder(
                     _int(_mix(167, _N_ITEM)),
-                    [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW))]), _Q58_ITEM)),
+                    [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
+                     (540, _int(_SS_ITEM_RAW))]), _Q58_ITEM)),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 # 1-in-61 returns are seasonal: November 1998 (date_sk
                 # 2451119..2451148), from the _Q91_CUSTOMER_SKS pool.
@@ -625,7 +666,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
                 ("cr_returning_customer_sk", "CASE WHEN id % 61 = 0 THEN " + _int(_pick_int("CAST(FLOOR(id/61) AS BIGINT) % 25", _Q91_CUSTOMER_SKS)) + " ELSE " + _ladder(
                     _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
-                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW))]) + " END"),
+                    [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
+                     (540, _int(_SS_CUST_RAW))]) + " END"),
                 ("cr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
                 ("cr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*239) % " + str(_N_ADDR) + ")")),
                 ("cr_return_amount", _cents("((id*43) % 9900)")),
