@@ -156,6 +156,16 @@ def _q58_anchored(expr: str, anchor: str) -> str:
 #        empty below sf0.01 under uniform mixers. Customer/store pinned
 #        non-null so the single sf0.001 anchor row can't be the
 #        nullable arm.
+#   30:  q83/q71 three-channel rows (30 ≡ 0 mod 3, 5 AND 6 — the one
+#        residue family present in ALL THREE returns subsets) — every
+#        channel's sale gets a manager-1 item (sk ≡ 1 mod 100), a Dec
+#        1999 sale date and a breakfast/dinner sold-time (q71's month ×
+#        manager × meal-time slice), and each channel's RETURN is
+#        pinned to one of q83's three probe weeks (1999-06-30 /
+#        1999-08-28 / 1999-11-18 cycling on k%3) with the same item in
+#        sr, cr and wr, so q83's three-way i_item_id join intersects by
+#        construction. Item arms mirror into the returns tables to keep
+#        the return→sale join-back invariant.
 #   94:  q31 web-growth rows — ws in Q3 2000, billed to Walker-County
 #        addresses (addr id ≡ 4 mod 5). Walker's Q1→Q2 web growth beats
 #        its store growth naturally (wg12 1.003 vs sg12 0.924 at
@@ -202,6 +212,14 @@ _Q54_CS_DATE = f"(2451149 + ({_K600}*7) % 31)"
 _Q54_SS_DATE = f"(2451180 + ({_K600}*13) % 90)"
 _Q23_CS_ITEM = f"(1991 + ({_K600} % 10))"
 _Q54_CS_ITEM = f"(19 + 50*({_K600} % 40))"
+# q83/q71 class-30 anchors: Dec 1999 sales (offsets 699..729), manager-1
+# items, breakfast (7h) / dinner (18h) sold-times, returns on q83's
+# three probe dates (offsets 545 / 604 / 686).
+_MGR1_ITEM = f"(1 + 100*({_K600} % 20))"
+_DEC99_DATE = f"(2451514 + ({_K600}*7) % 31)"
+_MEAL_TIME = f"(CASE WHEN {_K600} % 2 = 0 THEN 25200 ELSE 64800 END + id % 3600)"
+_Q83_RET_DATE = "(2450815 + " + _pick_int(f"{_K600} % 3", [545, 604, 686]) + ")"
+
 # November probes: Nov 1998 = offsets 304..333, Nov 1999 = 669..698,
 # Nov 2000 = 1035..1064 (all 2450815-based date_sks).
 _NOV_DATE = (f"CASE {_K600} % 3 WHEN 0 THEN 2451119 + ({_K600}*7) % 30 "
@@ -510,12 +528,14 @@ def _specs(dialect: str) -> dict[str, tuple]:
                     _nullable(_int(f"2450815 + (CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS}"), 97),
                     [(120, _int(_FLOW_SS_DATE[120])), (420, _int(_FLOW_SS_DATE[420])),
                      (540, _int(_FLOW_SS_DATE[540])),
-                     (266, _int(_NOV_DATE)),
+                     (266, _int(_NOV_DATE)), (30, _int(_DEC99_DATE)),
                      (317, _int(_Q54_SS_DATE))]), _Q58_DATE)),
-                ("ss_sold_time_sk", _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400")),
+                ("ss_sold_time_sk", _ladder(
+                    _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400"),
+                    [(30, _int(_MEAL_TIME))])),
                 ("ss_item_sk", _q58_anchored(_ladder(
                     _int(_SS_ITEM_RAW),
-                    [(266, _int(_NOV_ITEM))]), _Q58_ITEM)),
+                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
                 ("ss_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
@@ -538,9 +558,13 @@ def _specs(dialect: str) -> dict[str, tuple]:
             [
                 ("ws_sold_date_sk", _q58_anchored(_ladder(
                     _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89),
-                    [(94, _int(_Q31_WS_DATE))]), _Q58_DATE)),
-                ("ws_sold_time_sk", _int("(id*7877) % 86400")),
-                ("ws_item_sk", _q58_anchored(_int(_mix(149, _N_ITEM)), _Q58_ITEM)),
+                    [(94, _int(_Q31_WS_DATE)), (30, _int(_DEC99_DATE))]), _Q58_DATE)),
+                ("ws_sold_time_sk", _ladder(
+                    _int("(id*7877) % 86400"),
+                    [(30, _int(_MEAL_TIME))])),
+                ("ws_item_sk", _q58_anchored(_ladder(
+                    _int(_mix(149, _N_ITEM)),
+                    [(30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
                 ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_bill_addr_sk", _ladder(
@@ -565,13 +589,15 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cs_sold_date_sk", _q58_anchored(_ladder(
                     _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93),
                     [(120, _int(_FLOW_CS_DATE[120])), (420, _int(_FLOW_CS_DATE[420])),
-                     (540, _int(_FLOW_CS_DATE[540])),
+                     (540, _int(_FLOW_CS_DATE[540])), (30, _int(_DEC99_DATE)),
                      (253, _int(_Q23_DATE)), (91, _int(_Q54_CS_DATE))]), _Q58_DATE)),
-                ("cs_sold_time_sk", _int("(id*7873) % 86400")),
+                ("cs_sold_time_sk", _ladder(
+                    _int("(id*7873) % 86400"),
+                    [(30, _int(_MEAL_TIME))])),
                 ("cs_item_sk", _q58_anchored(_ladder(
                     _int(_mix(167, _N_ITEM)),
                     [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
-                     (540, _int(_SS_ITEM_RAW)),
+                     (540, _int(_SS_ITEM_RAW)), (30, _int(_MGR1_ITEM)),
                      (253, _int(_Q23_CS_ITEM)), (91, _int(_Q54_CS_ITEM))]), _Q58_ITEM)),
                 ("cs_bill_customer_sk", _ladder(
                     _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
@@ -628,8 +654,10 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("sr_returned_date_sk", _ladder(
                     _int(f"2450815 + ((CAST(FLOOR(id/4) AS BIGINT)*131) % {_N_DAYS} + 1 + (id*3) % 90) % {_N_DAYS}"),
                     [(120, _int(_FLOW_SR_DATE[120])), (420, _int(_FLOW_SR_DATE[420])),
-                     (540, _int(_FLOW_SR_DATE[540]))])),
-                ("sr_item_sk", _q58_anchored(_int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*CAST(FLOOR(id/4) AS BIGINT)*11 + CAST(FLOOR(id/4) AS BIGINT)*37 + (id % 4)*499) % 2000)"), _Q58_ITEM)),
+                     (540, _int(_FLOW_SR_DATE[540])), (30, _int(_Q83_RET_DATE))])),
+                ("sr_item_sk", _q58_anchored(_ladder(
+                    _int(_SS_ITEM_RAW),
+                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
                 ("sr_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
@@ -657,11 +685,13 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cr_item_sk", _q58_anchored(_ladder(
                     _int(_mix(167, _N_ITEM)),
                     [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
-                     (540, _int(_SS_ITEM_RAW))]), _Q58_ITEM)),
+                     (540, _int(_SS_ITEM_RAW)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 # 1-in-61 returns are seasonal: November 1998 (date_sk
                 # 2451119..2451148), from the _Q91_CUSTOMER_SKS pool.
-                ("cr_returned_date_sk", _int(f"CASE WHEN id % 61 = 0 THEN 2451119 + (id*7) % 30 ELSE 2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}} END".format(_N_DAYS=1826))),
+                ("cr_returned_date_sk", _ladder(
+                    _int(f"CASE WHEN id % 61 = 0 THEN 2451119 + (id*7) % 30 ELSE 2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*127) % {{_N_DAYS}} + 1 + (id*7) % 90) % {{_N_DAYS}} END".format(_N_DAYS=1826)),
+                    [(30, _int(_Q83_RET_DATE))])),
                 ("cr_catalog_page_sk", _int(_mix(29, _N_CATALOGPAGE))),
                 ("cr_call_center_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*241) % " + str(_N_CALLCENTER) + ")")),
                 ("cr_returning_customer_sk", "CASE WHEN id % 61 = 0 THEN " + _int(_pick_int("CAST(FLOOR(id/61) AS BIGINT) % 25", _Q91_CUSTOMER_SKS)) + " ELSE " + _ladder(
@@ -682,7 +712,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
         "web_returns": (
             None,
             [
-                ("wr_item_sk", _q58_anchored(_int(_mix(149, _N_ITEM)), _Q58_ITEM)),
+                ("wr_item_sk", _q58_anchored(_ladder(
+                    _int(_mix(149, _N_ITEM)),
+                    [(30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
                 ("wr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 ("wr_return_quantity", f"CAST(1 + (id*7) % (1 + (id*17) % 100) AS INT)"),
                 ("wr_reason_sk", _int(_mix(31, _N_REASON))),
@@ -711,7 +743,9 @@ def _specs(dialect: str) -> dict[str, tuple]:
                     "ELSE (1 + (CAST(FLOOR(id/3) AS BIGINT)*53) % " + str(_N_ADDR) + ") END")),
                 ("wr_returning_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
                 ("wr_returning_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
-                ("wr_returned_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {{_N_DAYS}} + 1 + (id*11) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826))),
+                ("wr_returned_date_sk", _ladder(
+                    _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {{_N_DAYS}} + 1 + (id*11) % 90) % {{_N_DAYS}}".format(_N_DAYS=1826)),
+                    [(30, _int(_Q83_RET_DATE))])),
                 ("wr_web_page_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*197) % " + str(_N_WEBPAGE) + ")")),
                 ("wr_return_amt", _cents("((id*43) % 9900)")),
                 ("wr_net_loss", _cents("(50 + (id*29) % 4950)")),
