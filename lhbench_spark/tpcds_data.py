@@ -231,9 +231,78 @@ _NOV_ITEM = (f"CASE {_K600} % 3 "
              f"ELSE CASE WHEN {_K600} % 2 = 0 THEN 558 ELSE 1558 END END")
 _Q54_CUST = _pick_int(f"{_K600} % 8", _Q54_CUSTOMER_SKS)
 _Q23_CUST = _pick_int(f"{_K600} % 4", _Q23_CUSTOMER_SKS)
-# Q3 2000 = offsets 912..1003 (92 days).
+# Q3 2000 = offsets 912..1003 (92 days). Residue 94 alone closed the
+# wg23-vs-sg23 leg at sf0.01 but not at sf0.001 (3 anchored ids against
+# ~15 natural Walker Q3 rows left wg23 1.17 vs sg23 1.52), so the family
+# is widened to {94, 154, 214, 274, 334} — same Walker-county addresses,
+# same Q3 window; the bump fraction stays SF-independent, it is just 5x
+# the mass (sf0.001 needs W3 +18% past the sg23 bar; five residues give
+# ~+45%, a margin that survives the per-id money variance).
+_Q31_RES = (94, 154, 214, 274, 334)
 _Q31_WS_DATE = f"(2451727 + ({_K600}*7) % 92)"
 _Q31_WS_ADDR = f"(5 + 5*({_K600} % 1000))"
+
+# ---------------------------------------------------------------------------
+# The year-over-year family (q4/q11/q74 growth joins, q78's never-returned
+# cross-channel triple, q14b's same-week-both-years gate, q46's
+# away-from-home weekend walk): five residues A..E = 151/211/271/331/391
+# (151 + 60j, all ≡ 1 mod 30, so none has a store/catalog/web return —
+# q78's anti-join sides stay NULL by construction). Every class id is one
+# sale of item 705 by customer 777 in each channel; the YEAR each channel
+# books it follows nested set-dominance
+#     ss00 = {B,E} ⊂ ws00 = {B,C,E} ⊂ cs00 = {B,C,D,E}
+#     cs99 = {A}   ⊂ ws99 = {A,D}   ⊂ ss99 = {A,C,D}
+# which makes catalog growth > web growth > store growth ALGEBRAICALLY —
+# each numerator gains a positive term and each denominator loses one, so
+# q4/q11/q74's strict ratio comparisons hold for ANY positive money values
+# at ANY scale factor (the money columns are the shared per-id formulas).
+# The ss dates are pinned to the two q14b probe weeks — 1999-12-11
+# (offset 709, a Saturday) and 2000-12-10 (offset 1074, a Sunday) — so the
+# item-705 brand group clears q14b's average-sales HAVING in both weeks,
+# and both dates satisfy q46's weekend filter; store 1 (Midway),
+# hdemo 5 (hd_dep_count = 4) and addr 2 (Riverside ≠ customer 777's
+# current Midway) complete q46's chain. ws years use October, cs July
+# (away from the Nov/Dec/Feb/April windows other classes probe).
+_YOY_RES = (151, 211, 271, 331, 391)  # A B C D E
+_YOY_SS_DATE = {151: "2451524", 271: "2451524", 331: "2451524",  # 1999-12-11
+                211: "2451889", 391: "2451889"}                  # 2000-12-10
+_YOY_WS_DATE = {151: f"(2451453 + ({_K600}*3) % 30)",   # Oct 1999: A, D
+                331: f"(2451453 + ({_K600}*3) % 30)",
+                211: f"(2451819 + ({_K600}*3) % 30)",   # Oct 2000: B, C, E
+                271: f"(2451819 + ({_K600}*3) % 30)",
+                391: f"(2451819 + ({_K600}*3) % 30)"}
+_YOY_CS_DATE = {151: f"(2451361 + ({_K600}*3) % 30)",   # Jul 1999: A
+                211: f"(2451727 + ({_K600}*3) % 30)",   # Jul 2000: B, C, D, E
+                271: f"(2451727 + ({_K600}*3) % 30)",
+                331: f"(2451727 + ({_K600}*3) % 30)",
+                391: f"(2451727 + ({_K600}*3) % 30)"}
+_YOY_ITEM, _YOY_CUST = 705, 777
+
+# q6 state anchor: residues 451/511/571 (same no-returns family) put six
+# January-2001 (d_month_seq 1212) store sales of item 901 — price $72.01,
+# 1.46x the Books category average, clearing the 1.2x gate — on customer
+# 778, whose current address resolves to TN, so one state reaches the
+# HAVING COUNT(*) >= 5 bar even at sf0.001.
+_Q06_RES = (451, 511, 571)
+_Q06_SS_DATE = f"(2451911 + ({_K600}*5) % 28)"
+_Q06_ITEM, _Q06_CUST = 901, 778
+
+# q64 item-flow: residue 33 (≡ 0 mod 3 ⇒ store_returns row exists; ∤5, ∤6)
+# sells item 705 — i_color 'floral' in q64's list, i_current_price $34.77
+# inside the 20..70 band — at store 1 in March 1999 (even k) and March
+# 2000 (odd k), returned via the mirrored sr arm, by customer 779 whose
+# ss_cdemo is pinned to sk 1 ('M') against current-demo 'S' for the
+# marital-status inequality. Residue 205 (≡ 0 mod 5 ⇒ catalog_returns row)
+# routes catalog sales of the same item through cs⋈cr so cs_ui's
+# sale > 2x refund HAVING holds. Together the cross_sales self-join finds
+# item 705 at store 1 in both years at every SF.
+_Q64_SS_RES, _Q64_CR_RES = 33, 205
+_Q64_SS_DATE = (f"CASE WHEN {_K600} % 2 = 0 THEN 2451239 + ({_K600}*3) % 28 "
+                f"ELSE 2451605 + ({_K600}*3) % 28 END")
+_Q64_CUST = 779
+
+# q85 date pin (_Q85_WS_DATE_BASE): defined after the money formulas it
+# references — see below, next to _Q85_CDEMO.
 
 
 def _ladder(base: str, arms: list[tuple[int, str]]) -> str:
@@ -350,6 +419,19 @@ _Q85_CDEMO = (
     f"WHEN ({_SALES_C}) >= 5000 AND ({_SALES_C}) < 10000 THEN 23 + 70*((id*43) % 102) "
     f"WHEN ({_SALES_C}) > 15000 THEN 37 + 70*((id*43) % 102) "
     "ELSE (1 + (CAST(FLOOR(id/3) AS BIGINT)*43) % 7200) END"
+)
+
+# q85 date pin: any web sale whose shared money formulas already land in
+# one of q85's (sales_price, net_profit) band pairs — and whose id is in
+# web_returns' 1-in-6 subset — is booked in October 2000, so the d_year =
+# 2000 slice always contains band-qualified returns (the wr-side demo and
+# address targeting key off the same band expressions, making the match
+# exact). Natural band hits exist at every SF (4 at sf0.001) but their
+# uniform dates put ~1/5 in 2000 — rounding to zero at small SF.
+_Q85_WS_DATE_BASE = (
+    f"CASE WHEN id % 6 = 0 AND ({_SALES_C}) BETWEEN 5000 AND 20000 "
+    f"AND ({_PROFIT_C}) BETWEEN 5000 AND 25000 "
+    f"THEN 2451819 + (id*3) % 30 ELSE {{base}} END"
 )
 
 
@@ -529,25 +611,42 @@ def _specs(dialect: str) -> dict[str, tuple]:
                     [(120, _int(_FLOW_SS_DATE[120])), (420, _int(_FLOW_SS_DATE[420])),
                      (540, _int(_FLOW_SS_DATE[540])),
                      (266, _int(_NOV_DATE)), (30, _int(_DEC99_DATE)),
-                     (317, _int(_Q54_SS_DATE))]), _Q58_DATE)),
+                     (317, _int(_Q54_SS_DATE))]
+                    + [(r, _int(_YOY_SS_DATE[r])) for r in _YOY_RES]
+                    + [(r, _int(_Q06_SS_DATE)) for r in _Q06_RES]
+                    + [(_Q64_SS_RES, _int(_Q64_SS_DATE))]), _Q58_DATE)),
                 ("ss_sold_time_sk", _ladder(
                     _int("(CAST(FLOOR(id/4) AS BIGINT)*7919) % 86400"),
                     [(30, _int(_MEAL_TIME))])),
                 ("ss_item_sk", _q58_anchored(_ladder(
                     _int(_SS_ITEM_RAW),
-                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
+                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM))]
+                    + [(r, str(_YOY_ITEM)) for r in _YOY_RES]
+                    + [(r, str(_Q06_ITEM)) for r in _Q06_RES]
+                    + [(_Q64_SS_RES, str(_YOY_ITEM))]), _Q58_ITEM)),
                 ("ss_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
                      (540, _int(_SS_CUST_RAW)), (266, _int(_SS_CUST_RAW)),
-                     (317, _int(_Q54_CUST))])),
-                ("ss_cdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")")),
-                ("ss_hdemo_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")")),
-                ("ss_addr_sk", _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")")),
+                     (317, _int(_Q54_CUST))]
+                    + [(r, str(_YOY_CUST)) for r in _YOY_RES]
+                    + [(r, str(_Q06_CUST)) for r in _Q06_RES]
+                    + [(_Q64_SS_RES, str(_Q64_CUST))])),
+                ("ss_cdemo_sk", _ladder(
+                    _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*43) % " + str(_N_CDEMO) + ")"),
+                    [(_Q64_SS_RES, "1")])),
+                ("ss_hdemo_sk", _ladder(
+                    _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*47) % " + str(_N_HDEMO) + ")"),
+                    [(r, "5") for r in _YOY_RES])),
+                ("ss_addr_sk", _ladder(
+                    _int("(1 + (CAST(FLOOR(id/4) AS BIGINT)*53) % " + str(_N_ADDR) + ")"),
+                    [(r, "2") for r in _YOY_RES])),
                 ("ss_store_sk", _ladder(
                     _nullable(_int(_SS_STORE_RAW), 101, mult=13),
                     [(120, _int(_SS_STORE_RAW)), (420, _int(_SS_STORE_RAW)),
-                     (540, _int(_SS_STORE_RAW)), (266, _int(_SS_STORE_RAW))])),
+                     (540, _int(_SS_STORE_RAW)), (266, _int(_SS_STORE_RAW))]
+                    + [(r, "1") for r in _YOY_RES]
+                    + [(_Q64_SS_RES, "1")])),
                 ("ss_promo_sk", _int(_mix(61, _N_PROMO))),
                 ("ss_ticket_number", "CAST(1 + FLOOR(id/4) AS BIGINT)"),
             ]
@@ -557,19 +656,25 @@ def _specs(dialect: str) -> dict[str, tuple]:
             None,
             [
                 ("ws_sold_date_sk", _q58_anchored(_ladder(
-                    _nullable(_int(f"2450815 + (id*139) % {_N_DAYS}"), 89),
-                    [(94, _int(_Q31_WS_DATE)), (30, _int(_DEC99_DATE))]), _Q58_DATE)),
+                    _int(_Q85_WS_DATE_BASE.format(
+                        base=_nullable(f"2450815 + (id*139) % {_N_DAYS}", 89))),
+                    [(r, _int(_Q31_WS_DATE)) for r in _Q31_RES]
+                    + [(30, _int(_DEC99_DATE))]
+                    + [(r, _int(_YOY_WS_DATE[r])) for r in _YOY_RES]), _Q58_DATE)),
                 ("ws_sold_time_sk", _ladder(
                     _int("(id*7877) % 86400"),
                     [(30, _int(_MEAL_TIME))])),
                 ("ws_item_sk", _q58_anchored(_ladder(
                     _int(_mix(149, _N_ITEM)),
-                    [(30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
-                ("ws_bill_customer_sk", _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11)),
+                    [(30, _int(_MGR1_ITEM))]
+                    + [(r, str(_YOY_ITEM)) for r in _YOY_RES]), _Q58_ITEM)),
+                ("ws_bill_customer_sk", _ladder(
+                    _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*11 + CAST(FLOOR(id/3) AS BIGINT)*151) % 2000)"), 83, mult=11),
+                    [(r, str(_YOY_CUST)) for r in _YOY_RES])),
                 ("ws_ship_customer_sk", _int(_mix(157, _N_CUST))),
                 ("ws_bill_addr_sk", _ladder(
                     _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*223) % " + str(_N_ADDR) + ")"),
-                    [(94, _int(_Q31_WS_ADDR))])),
+                    [(r, _int(_Q31_WS_ADDR)) for r in _Q31_RES])),
                 ("ws_ship_addr_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*229) % " + str(_N_ADDR) + ")")),
                 ("ws_ship_date_sk", _int(f"2450815 + ((CAST(FLOOR(id/3) AS BIGINT)*139) % {_N_DAYS} + 1 + (id*5) % 60) % {_N_DAYS}")),
                 ("ws_warehouse_sk", _int(_mix(7, _N_WAREHOUSE))),
@@ -590,7 +695,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                     _nullable(_int(f"2450815 + (id*127) % {_N_DAYS}"), 93),
                     [(120, _int(_FLOW_CS_DATE[120])), (420, _int(_FLOW_CS_DATE[420])),
                      (540, _int(_FLOW_CS_DATE[540])), (30, _int(_DEC99_DATE)),
-                     (253, _int(_Q23_DATE)), (91, _int(_Q54_CS_DATE))]), _Q58_DATE)),
+                     (253, _int(_Q23_DATE)), (91, _int(_Q54_CS_DATE))]
+                    + [(r, _int(_YOY_CS_DATE[r])) for r in _YOY_RES]), _Q58_DATE)),
                 ("cs_sold_time_sk", _ladder(
                     _int("(id*7873) % 86400"),
                     [(30, _int(_MEAL_TIME))])),
@@ -598,12 +704,15 @@ def _specs(dialect: str) -> dict[str, tuple]:
                     _int(_mix(167, _N_ITEM)),
                     [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
                      (540, _int(_SS_ITEM_RAW)), (30, _int(_MGR1_ITEM)),
-                     (253, _int(_Q23_CS_ITEM)), (91, _int(_Q54_CS_ITEM))]), _Q58_ITEM)),
+                     (253, _int(_Q23_CS_ITEM)), (91, _int(_Q54_CS_ITEM))]
+                    + [(r, str(_YOY_ITEM)) for r in _YOY_RES]
+                    + [(_Q64_CR_RES, str(_YOY_ITEM))]), _Q58_ITEM)),
                 ("cs_bill_customer_sk", _ladder(
                     _nullable(_int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*CAST(FLOOR(id/3) AS BIGINT)*13 + CAST(FLOOR(id/3) AS BIGINT)*173) % 2000)"), 87, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
                      (540, _int(_SS_CUST_RAW)),
-                     (253, _int(_Q23_CUST)), (91, _int(_Q54_CUST))])),
+                     (253, _int(_Q23_CUST)), (91, _int(_Q54_CUST))]
+                    + [(r, str(_YOY_CUST)) for r in _YOY_RES])),
                 ("cs_bill_cdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*179) % " + str(_N_CDEMO) + ")")),
                 ("cs_bill_hdemo_sk", _int("(1 + (CAST(FLOOR(id/3) AS BIGINT)*251) % " + str(_N_HDEMO) + ")")),
                 ("cs_ship_customer_sk", _int(_mix(181, _N_CUST))),
@@ -657,7 +766,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                      (540, _int(_FLOW_SR_DATE[540])), (30, _int(_Q83_RET_DATE))])),
                 ("sr_item_sk", _q58_anchored(_ladder(
                     _int(_SS_ITEM_RAW),
-                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
+                    [(266, _int(_NOV_ITEM)), (30, _int(_MGR1_ITEM)),
+                     (_Q64_SS_RES, str(_YOY_ITEM))]), _Q58_ITEM)),
                 ("sr_customer_sk", _ladder(
                     _nullable(_int(_SS_CUST_RAW), 89, mult=11),
                     [(120, _int(_SS_CUST_RAW)), (420, _int(_SS_CUST_RAW)),
@@ -685,7 +795,8 @@ def _specs(dialect: str) -> dict[str, tuple]:
                 ("cr_item_sk", _q58_anchored(_ladder(
                     _int(_mix(167, _N_ITEM)),
                     [(120, _int(_SS_ITEM_RAW)), (420, _int(_SS_ITEM_RAW)),
-                     (540, _int(_SS_ITEM_RAW)), (30, _int(_MGR1_ITEM))]), _Q58_ITEM)),
+                     (540, _int(_SS_ITEM_RAW)), (30, _int(_MGR1_ITEM)),
+                     (_Q64_CR_RES, str(_YOY_ITEM))]), _Q58_ITEM)),
                 ("cr_order_number", "CAST(1 + FLOOR(id/3) AS BIGINT)"),
                 # 1-in-61 returns are seasonal: November 1998 (date_sk
                 # 2451119..2451148), from the _Q91_CUSTOMER_SKS pool.
