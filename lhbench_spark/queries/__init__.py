@@ -23,6 +23,7 @@ from lhbench_spark.queries import (  # noqa: F401
     streamq,
     tpcds_queries,
     tpcds_refresh,
+    training,
 )
 
 __all__ = ["QueryDef", "all_queries", "get_query"]

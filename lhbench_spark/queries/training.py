@@ -1,0 +1,420 @@
+"""Training-run preparation queries over ``documents`` (north-star
+extension, the stage after :mod:`lhbench_spark.queries.assembly`).
+
+Four operations a large-scale pretraining pipeline runs between "corpus
+is clean" and "tokens hit the trainer", each expressed as a pure
+JVM-side plan (hash / window / aggregate — no Python anywhere) and each
+paired with a value-identical DuckDB oracle:
+
+- **Domain capping** (`train_domain_caps`): keep at most K documents per
+  source, highest-priority first — the anti-boilerplate guard against a
+  single domain flooding the mixture. The Spark plan is the *two-stage
+  exact top-k-per-key* pattern: a salted pre-prune bounds every window
+  partition before the exact per-source ranking, so one mega-domain
+  cannot serialize into a single sort task at 100 TB.
+- **Corpus-wide block dedup** (`train_line_dedup`): the C4/RefinedWeb
+  line-dedup recipe adapted to the word-stream fixtures — split every
+  document into fixed word blocks, keep each distinct block only at its
+  first corpus position, and reassemble the surviving text per document.
+- **Deterministic global shuffle** (`train_global_shuffle`): assign every
+  document a shard and an exact within-shard position from a salted
+  md5 key. Positions come from the *distributed order-index* pattern
+  (bounded per-(shard, key-range) counts -> prefix-sum offsets ->
+  local row_number), not one row_number over each whole shard.
+- **Epoch planning** (`train_epoch_plan`): per-source fractional-epoch
+  repetition counts (the LLaMA-style "this source gets 1.6 epochs"
+  table) derived from corpus statistics with pure integer arithmetic,
+  then a deterministic hash draw for the fractional epoch.
+
+Cross-engine determinism: every keep/assign decision is integer-valued
+— md5-prefix keys compared against integer thresholds (the
+``corpus_mixture_sample`` discipline), and the epoch weights are
+computed with bigint multiply-then-DIV instead of float ratios, so both
+engines evaluate bit-identical predicates with no rounding boundary.
+
+Reference provenance: the reference is a storage-format benchmark with
+no training-data surface (SURVEY.md §0); these extend the engine the
+same way its refresh workloads extend TPC-DS — see SURVEY.md §2
+"LLM-pipeline operators".
+"""
+
+from __future__ import annotations
+
+from lhbench_spark.catalog import table
+from lhbench_spark.queries.registry import query
+
+# 24-bit hash space (md5's first 6 hex digits) — shared decision space
+# with queries/assembly.py.
+_HASH_SPACE = 16777216
+
+
+def _key24_duck(salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 6)"
+        " AS BIGINT)"
+    )
+
+
+def _key24_spark(salt: str):
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+# -- Domain capping ----------------------------------------------------------
+# Keep <= CAP docs per source, priority (n_chars DESC, doc_id ASC) — a
+# total order, so top-k is unique. 100 TB shape: a naive
+# row_number() OVER (PARTITION BY source) sorts each whole domain in ONE
+# task; a crawl dump where one host holds 10^9 pages turns that into a
+# single straggler no matter how many executors exist (AQE cannot split
+# a window partition). The two-stage plan bounds it: stage 1 ranks
+# within (source, salt) — every partition is ~1/N_SALTS of the domain —
+# and keeps <= CAP per salt bucket; stage 2 ranks the <= CAP*N_SALTS
+# survivors per source exactly. Identical result (stage 1 can never
+# discard a global top-CAP row: a row dropped in its salt bucket has
+# CAP better rows in that same bucket, hence >= CAP better rows in the
+# domain), two bounded shuffles instead of one unbounded sort.
+
+_DOMAIN_CAP = 15
+_CAP_SALTS = 8
+
+_DOMAIN_CAPS_ORACLE = f"""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rk
+    FROM documents
+), tot AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum,
+       CAST(MIN(r.n_chars) AS BIGINT) AS cap_floor_chars
+FROM ranked r JOIN tot t USING (source)
+WHERE r.rk <= {_DOMAIN_CAP}
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "train_domain_caps",
+    tags=("training", "dedup", "documents", "extension"),
+    oracle=_DOMAIN_CAPS_ORACLE,
+)
+def train_domain_caps(spark, sf_dir):
+    """Per-source document cap (keep the top-K by priority): two-stage
+    exact top-k-per-key — salted pre-prune bounds every sort partition,
+    then an exact rank over the bounded survivors — so a mega-domain
+    never serializes into one window task at 100 TB."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    # Stage 1: prune inside (source, salt). The salt only has to spread
+    # rows, not match any oracle — xxhash64 stays JVM-side and cheap.
+    salted = docs.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_CAP_SALTS))
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= _DOMAIN_CAP)
+        .drop("salt", "r1")
+    )
+    # Stage 2: exact rank over <= CAP * N_SALTS rows per source.
+    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    kept = (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _DOMAIN_CAP)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.min("n_chars").alias("cap_floor_chars"),
+        )
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # Both sides are per-source aggregates (bounded at any corpus size).
+    return totals.join(kept, "source").select(
+        "source", "n_docs", "n_kept", "kept_id_sum", "cap_floor_chars"
+    )
+
+
+# -- Corpus-wide block dedup (C4-style line dedup) ---------------------------
+# Split each document into consecutive _BLOCK_WORDS-word blocks, keep a
+# block's text only at its FIRST corpus occurrence (min (doc_id,
+# block_idx) over its md5), reassemble per document. The dedup key is
+# md5(block) in BOTH engines — at 100 TB the first-occurrence shuffle
+# moves 16-byte digests, not block text, and both engines make
+# identical decisions under any (vanishingly unlikely) digest collision.
+# Shuffle ledger: blocks explode map-side (no shuffle), one hash-agg on
+# the digest, one digest join back, one doc_id re-agg — every stage is
+# key-distributed and O(blocks), never O(corpus^2).
+
+_BLOCK_WORDS = 8
+
+_LINE_DEDUP_ORACLE = f"""
+WITH blocks AS (
+    SELECT doc_id,
+           unnest(range(CAST(ceil(len(arr) / {_BLOCK_WORDS}.0) AS BIGINT)))
+               AS block_idx,
+           arr
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
+), named AS (
+    SELECT doc_id, block_idx,
+           array_to_string(
+               arr[(block_idx * {_BLOCK_WORDS} + 1):
+                   (block_idx * {_BLOCK_WORDS} + {_BLOCK_WORDS})], ' ') AS block
+    FROM blocks
+), keep AS (
+    SELECT doc_id, block_idx, block
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY md5(block) ORDER BY doc_id, block_idx) AS rk
+          FROM named)
+    WHERE rk = 1
+), tot AS (
+    SELECT doc_id,
+           CAST(ceil(len(string_split(text, ' ')) / {_BLOCK_WORDS}.0)
+                AS BIGINT) AS n_blocks
+    FROM documents
+)
+SELECT t.doc_id, t.n_blocks,
+       CAST(COUNT(k.block) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(k.block, ' ' ORDER BY k.block_idx), '')
+           AS dedup_text
+FROM tot t LEFT JOIN keep k USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "train_line_dedup",
+    tags=("training", "dedup", "documents", "extension"),
+    oracle=_LINE_DEDUP_ORACLE,
+)
+def train_line_dedup(spark, sf_dir):
+    """Corpus-wide first-occurrence block dedup (the C4 line-dedup
+    recipe over word blocks) with per-document reassembly of the
+    surviving text. Digest-keyed shuffles only; O(blocks) end to end."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    blocks_expr = F.expr(
+        "transform("
+        f"  sequence(0, CAST(ceil(size(split(text, ' ')) / {_BLOCK_WORDS}.0)"
+        "    AS INT) - 1),"
+        f"  i -> array_join(slice(split(text, ' '), i * {_BLOCK_WORDS} + 1,"
+        f"    {_BLOCK_WORDS}), ' '))"
+    )
+    named = docs.select(
+        "doc_id", F.posexplode(blocks_expr).alias("block_idx", "block")
+    ).withColumn("block_idx", F.col("block_idx").cast("long"))
+    firsts = named.groupBy(F.md5("block").alias("digest")).agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("first")
+    )
+    kept = (
+        named.withColumn("digest", F.md5("block"))
+        .join(firsts, "digest")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("block_idx") == F.col("first.block_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("block_idx", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+    totals = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(ceil(size(split(text, ' ')) / {_BLOCK_WORDS}.0) AS BIGINT)"
+        ).alias("n_blocks"),
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_blocks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
+    )
+
+
+# -- Deterministic global shuffle --------------------------------------------
+# Every document gets (shard, pos): shard = key24 % N_SHARDS, pos = its
+# exact rank within the shard under (key24, doc_id). 100 TB shape: a
+# row_number() over each whole shard sorts shard-sized data in
+# N_SHARDS tasks; instead the key space is cut into _POS_BUCKETS
+# contiguous ranges (the key's high bits, so bucket order == key
+# order), per-(shard, bucket) counts are prefix-summed on a bounded
+# N_SHARDS x _POS_BUCKETS frame, and the exact pos is the bucket offset
+# plus a local rank — the classic distributed order-index. Result is
+# identical to the naive per-shard row_number (the oracle computes THAT)
+# but every sort task holds ~1/_POS_BUCKETS of a shard.
+
+_N_SHARDS = 16
+_POS_BUCKETS = 64
+
+_GLOBAL_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, {_key24_duck("shuf1:")} AS k FROM documents
+)
+SELECT doc_id, k % {_N_SHARDS} AS shard,
+       row_number() OVER (
+           PARTITION BY k % {_N_SHARDS} ORDER BY k, doc_id) AS pos
+FROM keyed
+"""
+
+
+@query(
+    "train_global_shuffle",
+    tags=("training", "shuffle", "documents", "extension"),
+    oracle=_GLOBAL_SHUFFLE_ORACLE,
+)
+def train_global_shuffle(spark, sf_dir):
+    """Deterministic pre-training shuffle: hash-assigned shard + exact
+    within-shard position via the distributed order-index pattern
+    (bounded range counts -> prefix-sum offsets -> local rank), never a
+    whole-shard sort in one task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", _key24_spark("shuf1:").alias("k")
+    ).select(
+        "doc_id",
+        "k",
+        (F.col("k") % _N_SHARDS).alias("shard"),
+        # High bits of k: bucket b's keys all precede bucket b+1's keys.
+        F.floor(F.col("k") / (_HASH_SPACE // _POS_BUCKETS)).alias("bucket"),
+    )
+    counts = keyed.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # Prefix sum over the bounded (shard x bucket) frame — at most
+    # N_SHARDS * POS_BUCKETS rows at ANY corpus size.
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard",
+        "bucket",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_local = Window.partitionBy("shard", "bucket").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), ["shard", "bucket"])
+        .withColumn("pos", F.col("offset") + F.row_number().over(w_local))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# -- Epoch planning ----------------------------------------------------------
+# Per-source repetition counts for a fixed token budget: sources whose
+# documents are longer than the corpus mean get proportionally more
+# epochs (a stand-in for any externally supplied quality weight), capped
+# to [0.5, 2.5] epochs, milli-epoch precision. A document is repeated
+# floor(weight) times plus one more iff its hash key falls under the
+# fractional part — so a 1.6-epoch source repeats every doc once and a
+# deterministic 60% of docs twice. All arithmetic is bigint multiply +
+# integer DIV (no float ratio anywhere), so the weight table and every
+# draw are bit-identical across engines. 100 TB: one map-combined
+# stats agg (|sources| rows), the weight frame broadcasts, the plan
+# pass is scan-bound.
+
+_EPOCH_ORACLE = f"""
+WITH stats AS (
+    SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents GROUP BY source
+), weights AS (
+    SELECT source, n_docs,
+           least(2500, greatest(500,
+               (sum_chars * (SELECT SUM(n_docs) FROM stats) * 1000)
+                   // (n_docs * (SELECT SUM(sum_chars) FROM stats))
+           )) AS weight_m
+    FROM stats
+)
+SELECT d.source, CAST(w.n_docs AS BIGINT) AS n_docs,
+       CAST(w.weight_m AS BIGINT) AS weight_m,
+       CAST(SUM(w.weight_m // 1000
+                + CASE WHEN {_key24_duck("epoch1:")}
+                       < ((w.weight_m % 1000) * {_HASH_SPACE}) // 1000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS total_copies,
+       CAST(SUM(d.doc_id * (w.weight_m // 1000
+                + CASE WHEN {_key24_duck("epoch1:")}
+                       < ((w.weight_m % 1000) * {_HASH_SPACE}) // 1000
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS copies_id_checksum
+FROM documents d JOIN weights w USING (source)
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "train_epoch_plan",
+    tags=("training", "sample", "documents", "extension"),
+    oracle=_EPOCH_ORACLE,
+)
+def train_epoch_plan(spark, sf_dir):
+    """Fractional-epoch repetition plan per source (data-derived
+    milli-epoch weights, deterministic hash draw for the fractional
+    epoch) — integer arithmetic end to end, scan-bound after one
+    bounded stats aggregation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    # Corpus totals via a whole-frame window over the AGGREGATED stats
+    # (one row per source — bounded), same shape as corpus_mixture_sample.
+    w = Window.partitionBy()
+    weights = (
+        stats.withColumn("tot_docs", F.sum("n_docs").over(w))
+        .withColumn("tot_chars", F.sum("sum_chars").over(w))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.lit(2500).cast("long"),
+                F.greatest(
+                    F.lit(500).cast("long"),
+                    F.expr(
+                        "(sum_chars * tot_docs * 1000)"
+                        " DIV (n_docs * tot_chars)"
+                    ),
+                ),
+            ).alias("weight_m"),
+        )
+    )
+    key = _key24_spark("epoch1:")
+    extra = F.when(
+        key < F.expr(f"((weight_m % 1000) * {_HASH_SPACE}) DIV 1000"), 1
+    ).otherwise(0)
+    n_copies = F.expr("weight_m DIV 1000") + extra
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .groupBy("source", "n_docs", "weight_m")
+        .agg(
+            F.sum(n_copies).alias("total_copies"),
+            F.sum(F.col("doc_id") * n_copies).alias("copies_id_checksum"),
+        )
+    )
