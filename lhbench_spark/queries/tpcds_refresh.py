@@ -467,3 +467,360 @@ def tpcds_refresh_csv_dense(spark, sf_dir):
         F.sum("cs_ext_list_price").cast("double").alias("list_sum"),
         F.sum("cs_net_profit").cast("double").alias("profit_sum"),
     )
+
+
+_WSV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT ws_order_number, ws_sold_date_sk, ws_sold_time_sk,
+         ws_bill_customer_sk, ws_ship_customer_sk, ws_web_site_sk,
+         ws_ship_mode_sk, ws_item_sk, ws_quantity + 100 AS ws_quantity,
+         ws_sales_price, ws_coupon_amt, ws_ext_ship_cost, ws_ship_date_sk,
+         ws_web_page_sk, 1 AS ws_promo_sk, ws_warehouse_sk
+  FROM web_sales WHERE ws_order_number % 7 = 1
+), hdr AS (
+  SELECT ws_order_number AS word_order_id,
+         DATE '1998-01-01' + CAST(MIN(ws_sold_date_sk) - 2450815 AS INT)
+           AS word_order_date,
+         MIN(ws_sold_time_sk) AS word_order_time,
+         'CUST' || lpad(CAST(MIN(ws_bill_customer_sk) AS STRING), 10, '0')
+           AS word_bill_customer_id,
+         'CUST' || lpad(CAST(MIN(ws_ship_customer_sk) AS STRING), 10, '0')
+           AS word_ship_customer_id,
+         'SITE' || lpad(CAST(MIN(ws_web_site_sk) AS STRING), 4, '0')
+           AS word_web_site_id,
+         'SHIP' || lpad(CAST(MIN(ws_ship_mode_sk) AS STRING), 4, '0')
+           AS word_ship_mode_id
+  FROM delta GROUP BY ws_order_number
+), lin AS (
+  SELECT ws_order_number AS wlin_order_id, ws_item_sk AS wlin_item_sk,
+         ws_quantity AS wlin_quantity, ws_sales_price AS wlin_sales_price,
+         ws_coupon_amt AS wlin_coupon_amt,
+         ws_ext_ship_cost AS wlin_ship_cost,
+         DATE '1998-01-01' + CAST(ws_ship_date_sk - 2450815 AS INT)
+           AS wlin_ship_date,
+         'PAGE' || lpad(CAST(ws_web_page_sk AS STRING), 4, '0')
+           AS wlin_web_page_id,
+         ws_warehouse_sk AS wlin_warehouse_sk,
+         'PROMO' || lpad(CAST(ws_promo_sk AS STRING), 6, '0')
+           AS wlin_promotion_id
+  FROM delta
+), rv AS (
+  SELECT d1.d_year AS sold_year, wst.web_name AS web_site_name,
+         c1.c_customer_sk AS ws_bill_customer_sk,
+         c2.c_customer_sk AS ws_ship_customer_sk,
+         t.t_time_sk AS ws_sold_time_sk,
+         d2.d_date_sk AS ws_ship_date_sk,
+         wst.web_site_sk AS ws_web_site_sk,
+         wp.wp_web_page_sk AS ws_web_page_sk,
+         sm.sm_ship_mode_sk AS ws_ship_mode_sk,
+         w.w_warehouse_sk AS ws_warehouse_sk,
+         p.p_promo_sk AS ws_promo_sk,
+         lin.wlin_quantity AS ws_quantity,
+         lin.wlin_sales_price * lin.wlin_quantity AS ws_ext_sales_price,
+         i.i_current_price * lin.wlin_quantity AS ws_ext_list_price,
+         lin.wlin_ship_cost AS ws_ext_ship_cost,
+         (lin.wlin_sales_price * lin.wlin_quantity) - lin.wlin_coupon_amt
+           - (i.i_wholesale_cost * lin.wlin_quantity) AS ws_net_profit
+  FROM lin
+  JOIN hdr ON lin.wlin_order_id = hdr.word_order_id
+  LEFT JOIN date_dim d1 ON hdr.word_order_date = d1.d_date
+  LEFT JOIN time_dim t ON hdr.word_order_time = t.t_time
+  LEFT JOIN customer c1 ON hdr.word_bill_customer_id = c1.c_customer_id
+  LEFT JOIN customer c2 ON hdr.word_ship_customer_id = c2.c_customer_id
+  LEFT JOIN web_site wst ON hdr.word_web_site_id = wst.web_site_id
+  LEFT JOIN ship_mode sm ON hdr.word_ship_mode_id = sm.sm_ship_mode_id
+  LEFT JOIN date_dim d2 ON lin.wlin_ship_date = d2.d_date
+  LEFT JOIN web_page wp ON lin.wlin_web_page_id = wp.wp_web_page_id
+  LEFT JOIN warehouse w ON lin.wlin_warehouse_sk = w.w_warehouse_sk
+  LEFT JOIN item i ON lin.wlin_item_sk = i.i_item_sk
+  LEFT JOIN promotion p ON lin.wlin_promotion_id = p.p_promo_id
+)
+SELECT COALESCE(sold_year, 0) AS sold_year,
+       COALESCE(web_site_name, 'UNKNOWN') AS web_site_name,
+       COUNT(*) AS cnt,
+       CAST(SUM(ws_bill_customer_sk) AS BIGINT) AS bill_sk_sum,
+       CAST(SUM(ws_ship_customer_sk) AS BIGINT) AS ship_sk_sum,
+       CAST(SUM(ws_web_site_sk) AS BIGINT) AS site_sk_sum,
+       CAST(SUM(ws_web_page_sk) AS BIGINT) AS page_sk_sum,
+       CAST(SUM(ws_sold_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(ws_ship_date_sk) AS BIGINT) AS ship_date_sk_sum,
+       CAST(SUM(ws_warehouse_sk) AS BIGINT) AS wh_sk_sum,
+       CAST(SUM(ws_promo_sk) AS BIGINT) AS promo_sk_sum,
+       CAST(SUM(ws_ship_mode_sk) AS BIGINT) AS sm_sk_sum,
+       CAST(SUM(ws_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(ws_ext_sales_price) AS DOUBLE) AS sales_sum,
+       CAST(SUM(ws_ext_list_price) AS DOUBLE) AS list_sum,
+       CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS ship_cost_sum,
+       CAST(SUM(ws_net_profit) AS DOUBLE) AS profit_sum
+FROM rv GROUP BY 1, 2
+""")
+
+
+@query(
+    "tpcds_refresh_wsv_dense",
+    tags=("tpcds", "refresh", "wsv", "staging"),
+    oracle=_WSV_DENSE_ORACLE,
+)
+def tpcds_refresh_wsv_dense(spark, sf_dir):
+    """The reference-density web refresh chain: the round-1 delta split
+    into the dsdgen-shaped order-header/lineitem staging pair, CSV
+    round-tripped (pipe, headerless, explicit schemas), then the
+    12-relation wsv_view shape resolving both customer roles, site,
+    ship mode, page, warehouse, item, promotion and both date roles
+    (TPCDSRefreshSchema.scala:657-700). The aggregate sums each
+    RESOLVED key column, so a single mis-resolved id anywhere in the
+    chain fails the value compare."""
+    work = tempfile.mkdtemp(prefix="lhbench_wsvdense_")
+    hdr0, lin0 = rt.stage_web_pair(spark, sf_dir, 1)
+    write_staging_csv(hdr0, f"{work}/hdr")
+    write_staging_csv(lin0, f"{work}/lin")
+    hdr = read_staging_csv(spark, f"{work}/hdr", rt.web_order_schema())
+    lin = read_staging_csv(spark, f"{work}/lin", rt.web_lineitem_schema())
+    rv = rt.wsv_dense_view(
+        hdr, lin,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "web_site"),
+        rt._dim(spark, sf_dir, "ship_mode"),
+        rt._dim(spark, sf_dir, "web_page"),
+        rt._dim(spark, sf_dir, "warehouse"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "promotion"),
+    )
+    return rv.groupBy(
+        F.coalesce("sold_year", F.lit(0)).alias("sold_year"),
+        F.coalesce("web_site_name", F.lit("UNKNOWN")).alias("web_site_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("ws_bill_customer_sk").cast("bigint").alias("bill_sk_sum"),
+        F.sum("ws_ship_customer_sk").cast("bigint").alias("ship_sk_sum"),
+        F.sum("ws_web_site_sk").cast("bigint").alias("site_sk_sum"),
+        F.sum("ws_web_page_sk").cast("bigint").alias("page_sk_sum"),
+        F.sum("ws_sold_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("ws_ship_date_sk").cast("bigint").alias("ship_date_sk_sum"),
+        F.sum("ws_warehouse_sk").cast("bigint").alias("wh_sk_sum"),
+        F.sum("ws_promo_sk").cast("bigint").alias("promo_sk_sum"),
+        F.sum("ws_ship_mode_sk").cast("bigint").alias("sm_sk_sum"),
+        F.sum("ws_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("ws_ext_sales_price").cast("double").alias("sales_sum"),
+        F.sum("ws_ext_list_price").cast("double").alias("list_sum"),
+        F.sum("ws_ext_ship_cost").cast("double").alias("ship_cost_sum"),
+        F.sum("ws_net_profit").cast("double").alias("profit_sum"),
+    )
+
+
+_SSV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT ss_ticket_number, ss_sold_date_sk, ss_sold_time_sk,
+         ss_customer_sk, ss_store_sk, ss_item_sk,
+         ss_quantity + 100 AS ss_quantity, ss_sales_price, ss_coupon_amt,
+         1 AS ss_promo_sk
+  FROM store_sales WHERE ss_ticket_number % 7 = 1
+), hdr AS (
+  SELECT ss_ticket_number AS purc_purchase_id,
+         DATE '1998-01-01' + CAST(MIN(ss_sold_date_sk) - 2450815 AS INT)
+           AS purc_purchase_date,
+         MIN(ss_sold_time_sk) AS purc_purchase_time,
+         'CUST' || lpad(CAST(MIN(ss_customer_sk) AS STRING), 10, '0')
+           AS purc_customer_id,
+         'STORE' || lpad(CAST(MIN(ss_store_sk) AS STRING), 4, '0')
+           AS purc_store_id
+  FROM delta GROUP BY ss_ticket_number
+), lin AS (
+  SELECT ss_ticket_number AS plin_purchase_id, ss_item_sk AS plin_item_sk,
+         ss_quantity AS plin_quantity, ss_sales_price AS plin_sale_price,
+         ss_coupon_amt AS plin_coupon_amt,
+         'PROMO' || lpad(CAST(ss_promo_sk AS STRING), 6, '0')
+           AS plin_promotion_id
+  FROM delta
+), rv AS (
+  SELECT d.d_year AS sold_year, s.s_store_name AS store_name,
+         c.c_customer_sk AS ss_customer_sk,
+         c.c_current_addr_sk AS ss_addr_sk,
+         t.t_time_sk AS ss_sold_time_sk,
+         s.s_store_sk AS ss_store_sk,
+         p.p_promo_sk AS ss_promo_sk,
+         lin.plin_quantity AS ss_quantity,
+         lin.plin_sale_price * lin.plin_quantity AS ss_ext_sales_price,
+         i.i_current_price * lin.plin_quantity AS ss_ext_list_price,
+         (lin.plin_sale_price * lin.plin_quantity) - lin.plin_coupon_amt
+           - (i.i_wholesale_cost * lin.plin_quantity) AS ss_net_profit
+  FROM lin
+  JOIN hdr ON lin.plin_purchase_id = hdr.purc_purchase_id
+  LEFT JOIN date_dim d ON hdr.purc_purchase_date = d.d_date
+  LEFT JOIN time_dim t ON hdr.purc_purchase_time = t.t_time
+  LEFT JOIN customer c ON hdr.purc_customer_id = c.c_customer_id
+  LEFT JOIN store s ON hdr.purc_store_id = s.s_store_id
+  LEFT JOIN item i ON lin.plin_item_sk = i.i_item_sk
+  LEFT JOIN promotion p ON lin.plin_promotion_id = p.p_promo_id
+)
+SELECT COALESCE(sold_year, 0) AS sold_year,
+       COALESCE(store_name, 'UNKNOWN') AS store_name,
+       COUNT(*) AS cnt,
+       CAST(SUM(ss_customer_sk) AS BIGINT) AS cust_sk_sum,
+       CAST(SUM(ss_addr_sk) AS BIGINT) AS addr_sk_sum,
+       CAST(SUM(ss_sold_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(ss_store_sk) AS BIGINT) AS store_sk_sum,
+       CAST(SUM(ss_promo_sk) AS BIGINT) AS promo_sk_sum,
+       CAST(SUM(ss_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS sales_sum,
+       CAST(SUM(ss_ext_list_price) AS DOUBLE) AS list_sum,
+       CAST(SUM(ss_net_profit) AS DOUBLE) AS profit_sum
+FROM rv GROUP BY 1, 2
+""")
+
+
+@query(
+    "tpcds_refresh_ssv_dense",
+    tags=("tpcds", "refresh", "ssv", "staging"),
+    oracle=_SSV_DENSE_ORACLE,
+)
+def tpcds_refresh_ssv_dense(spark, sf_dir):
+    """The reference-density store refresh chain: the round-1 delta
+    split into the dsdgen-shaped purchase-header/lineitem staging pair,
+    CSV round-tripped (pipe, headerless, explicit schemas), then the
+    8-relation ssv_view shape resolving customer, store, date, time,
+    item and promotion (TPCDSRefreshSchema.scala:579-613). The
+    aggregate sums each RESOLVED key column, so a single mis-resolved
+    id anywhere in the chain fails the value compare."""
+    work = tempfile.mkdtemp(prefix="lhbench_ssvdense_")
+    hdr0, lin0 = rt.stage_store_pair(spark, sf_dir, 1)
+    write_staging_csv(hdr0, f"{work}/hdr")
+    write_staging_csv(lin0, f"{work}/lin")
+    hdr = read_staging_csv(spark, f"{work}/hdr", rt.purchase_order_schema())
+    lin = read_staging_csv(spark, f"{work}/lin", rt.purchase_lineitem_schema())
+    rv = rt.ssv_dense_view(
+        hdr, lin,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "store"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "promotion"),
+    )
+    return rv.groupBy(
+        F.coalesce("sold_year", F.lit(0)).alias("sold_year"),
+        F.coalesce("store_name", F.lit("UNKNOWN")).alias("store_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("ss_customer_sk").cast("bigint").alias("cust_sk_sum"),
+        F.sum("ss_addr_sk").cast("bigint").alias("addr_sk_sum"),
+        F.sum("ss_sold_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("ss_store_sk").cast("bigint").alias("store_sk_sum"),
+        F.sum("ss_promo_sk").cast("bigint").alias("promo_sk_sum"),
+        F.sum("ss_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("ss_ext_sales_price").cast("double").alias("sales_sum"),
+        F.sum("ss_ext_list_price").cast("double").alias("list_sum"),
+        F.sum("ss_net_profit").cast("double").alias("profit_sum"),
+    )
+
+
+_SRV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT sr_ticket_number, sr_returned_date_sk, sr_item_sk,
+         sr_customer_sk, sr_store_sk, sr_reason_sk,
+         sr_return_quantity + 100 AS sr_return_quantity,
+         sr_return_amt, sr_net_loss
+  FROM store_returns WHERE sr_ticket_number % 7 = 1
+), flat AS (
+  SELECT sr_ticket_number AS sret_ticket_number,
+         DATE '1998-01-01' + CAST(sr_returned_date_sk - 2450815 AS INT)
+           AS sret_return_date,
+         lpad(CAST(((sr_ticket_number * 7919 + sr_item_sk * 131) % 86400)
+              // 3600 AS STRING), 2, '0') || ':' ||
+         lpad(CAST(((sr_ticket_number * 7919 + sr_item_sk * 131) % 86400)
+              % 3600 // 60 AS STRING), 2, '0') || ':' ||
+         lpad(CAST((sr_ticket_number * 7919 + sr_item_sk * 131) % 60
+              AS STRING), 2, '0') AS sret_return_time,
+         sr_item_sk AS sret_item_sk,
+         'CUST' || lpad(CAST(sr_customer_sk AS STRING), 10, '0')
+           AS sret_customer_id,
+         'STORE' || lpad(CAST(sr_store_sk AS STRING), 4, '0')
+           AS sret_store_id,
+         'REASON' || lpad(CAST(sr_reason_sk AS STRING), 4, '0')
+           AS sret_reason_id,
+         sr_return_quantity AS sret_return_qty,
+         sr_return_amt AS sret_return_amt,
+         sr_net_loss AS sret_net_loss
+  FROM delta
+), rv AS (
+  SELECT d.d_year AS return_year, s.s_state AS store_state,
+         r.r_reason_desc AS reason_desc,
+         t.t_time_sk AS sr_return_time_sk,
+         c.c_customer_sk AS sr_customer_sk,
+         c.c_current_addr_sk AS sr_addr_sk,
+         s.s_store_sk AS sr_store_sk,
+         i.i_item_sk AS sr_item_sk,
+         f.sret_return_qty AS sr_return_quantity,
+         f.sret_return_amt AS sr_return_amt,
+         f.sret_net_loss AS sr_net_loss
+  FROM flat f
+  LEFT JOIN date_dim d ON f.sret_return_date = d.d_date
+  LEFT JOIN time_dim t
+    ON (CAST(substr(f.sret_return_time, 1, 2) AS INT) * 3600
+        + CAST(substr(f.sret_return_time, 4, 2) AS INT) * 60
+        + CAST(substr(f.sret_return_time, 7, 2) AS INT)) = t.t_time
+  LEFT JOIN item i ON f.sret_item_sk = i.i_item_sk
+  LEFT JOIN customer c ON f.sret_customer_id = c.c_customer_id
+  LEFT JOIN store s ON f.sret_store_id = s.s_store_id
+  LEFT JOIN reason r ON f.sret_reason_id = r.r_reason_id
+)
+SELECT COALESCE(return_year, 0) AS return_year,
+       COALESCE(store_state, 'UNKNOWN') AS store_state,
+       COALESCE(reason_desc, 'UNKNOWN') AS reason_desc,
+       COUNT(*) AS cnt,
+       CAST(SUM(sr_return_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(sr_customer_sk) AS BIGINT) AS cust_sk_sum,
+       CAST(SUM(sr_addr_sk) AS BIGINT) AS addr_sk_sum,
+       CAST(SUM(sr_store_sk) AS BIGINT) AS store_sk_sum,
+       CAST(SUM(sr_item_sk) AS BIGINT) AS item_sk_sum,
+       CAST(SUM(sr_return_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(sr_return_amt) AS DOUBLE) AS amt_sum,
+       CAST(SUM(sr_net_loss) AS DOUBLE) AS loss_sum
+FROM rv GROUP BY 1, 2, 3
+""")
+
+
+@query(
+    "tpcds_refresh_srv_dense",
+    tags=("tpcds", "refresh", "srv", "staging"),
+    oracle=_SRV_DENSE_ORACLE,
+)
+def tpcds_refresh_srv_dense(spark, sf_dir):
+    """The reference-density store-returns refresh chain: the round-1
+    delta staged as the dsdgen s_store_returns flat file — including
+    the HH:MM:SS return-time STRING the view must substr-decode back to
+    seconds to join time_dim (TPCDSRefreshSchema.scala:640-643) — CSV
+    round-tripped, then the 7-relation srv_view shape resolving date,
+    time, item, customer, store and reason. The aggregate sums each
+    RESOLVED key column, so a single mis-resolved id or a broken time
+    decode anywhere in the chain fails the value compare."""
+    work = tempfile.mkdtemp(prefix="lhbench_srvdense_")
+    flat0 = rt.stage_returns_flat(spark, sf_dir, 1)
+    write_staging_csv(flat0, f"{work}/flat")
+    flat = read_staging_csv(spark, f"{work}/flat", rt.returns_flat_schema())
+    rv = rt.srv_dense_view(
+        flat,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "store"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "reason"),
+    )
+    return rv.groupBy(
+        F.coalesce("return_year", F.lit(0)).alias("return_year"),
+        F.coalesce("store_state", F.lit("UNKNOWN")).alias("store_state"),
+        F.coalesce("reason_desc", F.lit("UNKNOWN")).alias("reason_desc"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("sr_return_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("sr_customer_sk").cast("bigint").alias("cust_sk_sum"),
+        F.sum("sr_addr_sk").cast("bigint").alias("addr_sk_sum"),
+        F.sum("sr_store_sk").cast("bigint").alias("store_sk_sum"),
+        F.sum("sr_item_sk").cast("bigint").alias("item_sk_sum"),
+        F.sum("sr_return_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("sr_return_amt").cast("double").alias("amt_sum"),
+        F.sum("sr_net_loss").cast("double").alias("loss_sum"),
+    )

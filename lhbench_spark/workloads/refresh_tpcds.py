@@ -478,6 +478,370 @@ def csv_dense_view(
     )
 
 
+def stage_web_pair(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> tuple[DataFrame, DataFrame]:
+    """One round's web delta split into the dsdgen-shaped staging pair
+    (the s_web_order / s_web_order_lineitem analog the reference's
+    wsv_view consumes, TPCDSRefreshSchema.scala:688-700): an order
+    header with order-level attributes MIN-collapsed and keys rendered
+    as business ids / calendar dates, and a lineitem file keeping the
+    per-sale measures. Item stays a surrogate key (the generated
+    i_item_id is SCD-non-unique, same convention as the catalog pair);
+    wlin_ship_cost carries the already-extended ws_ext_ship_cost
+    (the generator has no per-unit ship cost to stage)."""
+    delta = stage_delta(spark, sf_dir, "web_sales", round_no)
+    hdr = delta.groupBy("ws_order_number").agg(
+        F.min("ws_sold_date_sk").alias("_date_sk"),
+        F.min("ws_sold_time_sk").alias("word_order_time"),
+        F.min("ws_bill_customer_sk").alias("_bill_sk"),
+        F.min("ws_ship_customer_sk").alias("_ship_sk"),
+        F.min("ws_web_site_sk").alias("_site_sk"),
+        F.min("ws_ship_mode_sk").alias("_sm_sk"),
+    ).select(
+        F.col("ws_order_number").alias("word_order_id"),
+        _sk_to_date("_date_sk").alias("word_order_date"),
+        "word_order_time",
+        _sk_to_id("_bill_sk", "CUST", 10).alias("word_bill_customer_id"),
+        _sk_to_id("_ship_sk", "CUST", 10).alias("word_ship_customer_id"),
+        _sk_to_id("_site_sk", "SITE", 4).alias("word_web_site_id"),
+        _sk_to_id("_sm_sk", "SHIP", 4).alias("word_ship_mode_id"),
+    )
+    lin = delta.select(
+        F.col("ws_order_number").alias("wlin_order_id"),
+        F.col("ws_item_sk").alias("wlin_item_sk"),
+        F.col("ws_quantity").alias("wlin_quantity"),
+        F.col("ws_sales_price").alias("wlin_sales_price"),
+        F.col("ws_coupon_amt").alias("wlin_coupon_amt"),
+        F.col("ws_ext_ship_cost").alias("wlin_ship_cost"),
+        _sk_to_date("ws_ship_date_sk").alias("wlin_ship_date"),
+        _sk_to_id("ws_web_page_sk", "PAGE", 4).alias("wlin_web_page_id"),
+        F.col("ws_warehouse_sk").alias("wlin_warehouse_sk"),
+        _sk_to_id("ws_promo_sk", "PROMO", 6).alias("wlin_promotion_id"),
+    )
+    return hdr, lin
+
+
+def web_order_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+    return StructType([
+        StructField("word_order_id", LongType()),
+        StructField("word_order_date", DateType()),
+        StructField("word_order_time", IntegerType()),
+        StructField("word_bill_customer_id", StringType()),
+        StructField("word_ship_customer_id", StringType()),
+        StructField("word_web_site_id", StringType()),
+        StructField("word_ship_mode_id", StringType()),
+    ])
+
+
+def web_lineitem_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, DecimalType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("wlin_order_id", LongType()),
+        StructField("wlin_item_sk", IntegerType()),
+        StructField("wlin_quantity", IntegerType()),
+        StructField("wlin_sales_price", DecimalType(12, 2)),
+        StructField("wlin_coupon_amt", DecimalType(12, 2)),
+        StructField("wlin_ship_cost", DecimalType(12, 2)),
+        StructField("wlin_ship_date", DateType()),
+        StructField("wlin_web_page_id", StringType()),
+        StructField("wlin_warehouse_sk", IntegerType()),
+        StructField("wlin_promotion_id", StringType()),
+    ])
+
+
+def wsv_dense_view(
+    hdr: DataFrame,
+    lin: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    web_site: DataFrame,
+    ship_mode: DataFrame,
+    web_page: DataFrame,
+    warehouse: DataFrame,
+    item: DataFrame,
+    promotion: DataFrame,
+) -> DataFrame:
+    """The reference wsv_view shape (TPCDSRefreshSchema.scala:657-700):
+    lineitem ⋈ order header, then every surrogate key re-resolved
+    through its dimension — business-id equality for the two customer
+    roles, web_site, ship_mode, web_page and promotion; calendar-date
+    equality for the two date roles; raw seconds for time_dim; surrogate
+    keys for item/warehouse (see stage_web_pair) — with the money
+    columns derived from item prices × staged quantity exactly as the
+    reference computes them (:671-686). No join hints — the staged
+    delta is the small side and AQE sizes every dim."""
+    d1, d2 = date_dim.alias("d1"), date_dim.alias("d2")
+    c1, c2 = customer.alias("c1"), customer.alias("c2")
+    qty = F.col("wlin_quantity")
+    ext_sales = F.col("wlin_sales_price") * qty
+    net_paid = ext_sales - F.col("wlin_coupon_amt")
+    return (
+        lin.join(hdr, F.col("wlin_order_id") == F.col("word_order_id"))
+        .join(d1, F.col("word_order_date") == F.col("d1.d_date"), "left")
+        .join(time_dim, F.col("word_order_time") == F.col("t_time"), "left")
+        .join(c1, F.col("word_bill_customer_id") == F.col("c1.c_customer_id"), "left")
+        .join(c2, F.col("word_ship_customer_id") == F.col("c2.c_customer_id"), "left")
+        .join(web_site, F.col("word_web_site_id") == F.col("web_site_id"), "left")
+        .join(ship_mode, F.col("word_ship_mode_id") == F.col("sm_ship_mode_id"), "left")
+        .join(d2, F.col("wlin_ship_date") == F.col("d2.d_date"), "left")
+        .join(web_page, F.col("wlin_web_page_id") == F.col("wp_web_page_id"), "left")
+        .join(warehouse, F.col("wlin_warehouse_sk") == F.col("w_warehouse_sk"), "left")
+        .join(item, F.col("wlin_item_sk") == F.col("i_item_sk"), "left")
+        .join(promotion, F.col("wlin_promotion_id") == F.col("p_promo_id"), "left")
+        .select(
+            F.col("d1.d_date_sk").alias("ws_sold_date_sk"),
+            F.col("d1.d_year").alias("sold_year"),
+            F.col("t_time_sk").alias("ws_sold_time_sk"),
+            F.col("d2.d_date_sk").alias("ws_ship_date_sk"),
+            F.col("c1.c_customer_sk").alias("ws_bill_customer_sk"),
+            F.col("c1.c_current_addr_sk").alias("ws_bill_addr_sk"),
+            F.col("c2.c_customer_sk").alias("ws_ship_customer_sk"),
+            F.col("web_site_sk").alias("ws_web_site_sk"),
+            F.col("web_name").alias("web_site_name"),
+            F.col("wp_web_page_sk").alias("ws_web_page_sk"),
+            F.col("sm_ship_mode_sk").alias("ws_ship_mode_sk"),
+            F.col("w_warehouse_sk").alias("ws_warehouse_sk"),
+            F.col("i_item_sk").alias("ws_item_sk"),
+            F.col("p_promo_sk").alias("ws_promo_sk"),
+            F.col("wlin_order_id").alias("ws_order_number"),
+            qty.alias("ws_quantity"),
+            F.col("i_wholesale_cost").alias("ws_wholesale_cost"),
+            F.col("i_current_price").alias("ws_list_price"),
+            ((F.col("i_current_price") - F.col("wlin_sales_price")) * qty).alias("ws_ext_discount_amt"),
+            ext_sales.alias("ws_ext_sales_price"),
+            (F.col("i_wholesale_cost") * qty).alias("ws_ext_wholesale_cost"),
+            (F.col("i_current_price") * qty).alias("ws_ext_list_price"),
+            F.col("wlin_ship_cost").alias("ws_ext_ship_cost"),
+            net_paid.alias("ws_net_paid"),
+            (net_paid + F.col("wlin_ship_cost")).alias("ws_net_paid_inc_ship"),
+            (net_paid - F.col("i_wholesale_cost") * qty).alias("ws_net_profit"),
+        )
+    )
+
+
+def stage_store_pair(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> tuple[DataFrame, DataFrame]:
+    """One round's store delta split into the dsdgen-shaped staging
+    pair (the s_purchase / s_purchase_lineitem analog the reference's
+    ssv_view consumes, TPCDSRefreshSchema.scala:595-613): a purchase
+    header (ticket-level attributes MIN-collapsed, store and customer
+    rendered as business ids, the date as a calendar date) and a
+    lineitem file with the per-sale measures. Item stays a surrogate
+    key (SCD-non-unique id, same convention as the other pairs)."""
+    delta = stage_delta(spark, sf_dir, "store_sales", round_no)
+    hdr = delta.groupBy("ss_ticket_number").agg(
+        F.min("ss_sold_date_sk").alias("_date_sk"),
+        F.min("ss_sold_time_sk").alias("purc_purchase_time"),
+        F.min("ss_customer_sk").alias("_cust_sk"),
+        F.min("ss_store_sk").alias("_store_sk"),
+    ).select(
+        F.col("ss_ticket_number").alias("purc_purchase_id"),
+        _sk_to_date("_date_sk").alias("purc_purchase_date"),
+        "purc_purchase_time",
+        _sk_to_id("_cust_sk", "CUST", 10).alias("purc_customer_id"),
+        _sk_to_id("_store_sk", "STORE", 4).alias("purc_store_id"),
+    )
+    lin = delta.select(
+        F.col("ss_ticket_number").alias("plin_purchase_id"),
+        F.col("ss_item_sk").alias("plin_item_sk"),
+        F.col("ss_quantity").alias("plin_quantity"),
+        F.col("ss_sales_price").alias("plin_sale_price"),
+        F.col("ss_coupon_amt").alias("plin_coupon_amt"),
+        _sk_to_id("ss_promo_sk", "PROMO", 6).alias("plin_promotion_id"),
+    )
+    return hdr, lin
+
+
+def purchase_order_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+    return StructType([
+        StructField("purc_purchase_id", LongType()),
+        StructField("purc_purchase_date", DateType()),
+        StructField("purc_purchase_time", IntegerType()),
+        StructField("purc_customer_id", StringType()),
+        StructField("purc_store_id", StringType()),
+    ])
+
+
+def purchase_lineitem_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DecimalType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+    return StructType([
+        StructField("plin_purchase_id", LongType()),
+        StructField("plin_item_sk", IntegerType()),
+        StructField("plin_quantity", IntegerType()),
+        StructField("plin_sale_price", DecimalType(12, 2)),
+        StructField("plin_coupon_amt", DecimalType(12, 2)),
+        StructField("plin_promotion_id", StringType()),
+    ])
+
+
+def ssv_dense_view(
+    hdr: DataFrame,
+    lin: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    store: DataFrame,
+    item: DataFrame,
+    promotion: DataFrame,
+) -> DataFrame:
+    """The reference ssv_view shape (TPCDSRefreshSchema.scala:579-613):
+    lineitem ⋈ purchase header, customer and store resolved by
+    business id, the purchase date by calendar-date equality, the
+    purchase time by raw seconds, promotion by business id, item by
+    surrogate key — with the money columns derived from item prices ×
+    staged quantity as the reference computes them (:586-594; the
+    s_tax_precentage-derived columns are omitted: the generated store
+    dim carries no tax rate). No join hints — AQE sizes every dim."""
+    qty = F.col("plin_quantity")
+    ext_sales = F.col("plin_sale_price") * qty
+    net_paid = ext_sales - F.col("plin_coupon_amt")
+    return (
+        lin.join(hdr, F.col("plin_purchase_id") == F.col("purc_purchase_id"))
+        .join(date_dim, F.col("purc_purchase_date") == F.col("d_date"), "left")
+        .join(time_dim, F.col("purc_purchase_time") == F.col("t_time"), "left")
+        .join(customer, F.col("purc_customer_id") == F.col("c_customer_id"), "left")
+        .join(store, F.col("purc_store_id") == F.col("s_store_id"), "left")
+        .join(item, F.col("plin_item_sk") == F.col("i_item_sk"), "left")
+        .join(promotion, F.col("plin_promotion_id") == F.col("p_promo_id"), "left")
+        .select(
+            F.col("d_date_sk").alias("ss_sold_date_sk"),
+            F.col("d_year").alias("sold_year"),
+            F.col("t_time_sk").alias("ss_sold_time_sk"),
+            F.col("c_customer_sk").alias("ss_customer_sk"),
+            F.col("c_current_cdemo_sk").alias("ss_cdemo_sk"),
+            F.col("c_current_addr_sk").alias("ss_addr_sk"),
+            F.col("s_store_sk").alias("ss_store_sk"),
+            F.col("s_store_name").alias("store_name"),
+            F.col("p_promo_sk").alias("ss_promo_sk"),
+            F.col("i_item_sk").alias("ss_item_sk"),
+            F.col("plin_purchase_id").alias("ss_ticket_number"),
+            qty.alias("ss_quantity"),
+            F.col("i_wholesale_cost").alias("ss_wholesale_cost"),
+            F.col("i_current_price").alias("ss_list_price"),
+            ((F.col("i_current_price") - F.col("plin_sale_price")) * qty).alias("ss_ext_discount_amt"),
+            ext_sales.alias("ss_ext_sales_price"),
+            (F.col("i_wholesale_cost") * qty).alias("ss_ext_wholesale_cost"),
+            (F.col("i_current_price") * qty).alias("ss_ext_list_price"),
+            net_paid.alias("ss_net_paid"),
+            (net_paid - F.col("i_wholesale_cost") * qty).alias("ss_net_profit"),
+        )
+    )
+
+
+def stage_returns_flat(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> DataFrame:
+    """One round's store-returns delta as the dsdgen-shaped
+    s_store_returns flat file (TPCDSRefreshSchema.scala srv_view
+    inputs): business ids for customer/store/reason, the return date
+    as a calendar date, and — the reference's signature quirk — the
+    return time as an HH:MM:SS STRING the view must decode back to
+    seconds to join time_dim (:640-643). The generated fact carries no
+    time column, so the staged time derives deterministically from the
+    return's own keys (same expression in the oracle)."""
+    delta = stage_delta(spark, sf_dir, "store_returns", round_no)
+    sec = (F.col("sr_ticket_number") * 7919 + F.col("sr_item_sk") * 131) % 86400
+    hhmmss = F.concat_ws(
+        ":",
+        F.lpad(F.floor(sec / 3600).cast("string"), 2, "0"),
+        F.lpad(F.floor(sec % 3600 / 60).cast("string"), 2, "0"),
+        F.lpad((sec % 60).cast("string"), 2, "0"),
+    )
+    return delta.select(
+        F.col("sr_ticket_number").alias("sret_ticket_number"),
+        _sk_to_date("sr_returned_date_sk").alias("sret_return_date"),
+        hhmmss.alias("sret_return_time"),
+        F.col("sr_item_sk").alias("sret_item_sk"),
+        _sk_to_id("sr_customer_sk", "CUST", 10).alias("sret_customer_id"),
+        _sk_to_id("sr_store_sk", "STORE", 4).alias("sret_store_id"),
+        _sk_to_id("sr_reason_sk", "REASON", 4).alias("sret_reason_id"),
+        F.col("sr_return_quantity").alias("sret_return_qty"),
+        F.col("sr_return_amt").alias("sret_return_amt"),
+        F.col("sr_net_loss").alias("sret_net_loss"),
+    )
+
+
+def returns_flat_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, DecimalType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("sret_ticket_number", LongType()),
+        StructField("sret_return_date", DateType()),
+        StructField("sret_return_time", StringType()),
+        StructField("sret_item_sk", IntegerType()),
+        StructField("sret_customer_id", StringType()),
+        StructField("sret_store_id", StringType()),
+        StructField("sret_reason_id", StringType()),
+        StructField("sret_return_qty", IntegerType()),
+        StructField("sret_return_amt", DecimalType(12, 2)),
+        StructField("sret_net_loss", DecimalType(12, 2)),
+    ])
+
+
+def srv_dense_view(
+    flat: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    store: DataFrame,
+    item: DataFrame,
+    reason: DataFrame,
+) -> DataFrame:
+    """The reference srv_view shape (TPCDSRefreshSchema.scala:617-649):
+    the flat staging file resolved through six dimensions — calendar
+    date, the HH:MM:SS→seconds substr decode against time_dim (:640-643
+    verbatim semantics), item by surrogate key (SCD-non-unique id),
+    customer/store/reason by business id. No join hints — AQE sizes
+    every dim."""
+    t_expr = (
+        F.substring("sret_return_time", 1, 2).cast("int") * 3600
+        + F.substring("sret_return_time", 4, 2).cast("int") * 60
+        + F.substring("sret_return_time", 7, 2).cast("int")
+    )
+    return (
+        flat.join(date_dim, F.col("sret_return_date") == F.col("d_date"), "left")
+        .join(time_dim, t_expr == F.col("t_time"), "left")
+        .join(item, F.col("sret_item_sk") == F.col("i_item_sk"), "left")
+        .join(customer, F.col("sret_customer_id") == F.col("c_customer_id"), "left")
+        .join(store, F.col("sret_store_id") == F.col("s_store_id"), "left")
+        .join(reason, F.col("sret_reason_id") == F.col("r_reason_id"), "left")
+        .select(
+            F.col("d_date_sk").alias("sr_returned_date_sk"),
+            F.col("d_year").alias("return_year"),
+            F.col("t_time_sk").alias("sr_return_time_sk"),
+            F.col("i_item_sk").alias("sr_item_sk"),
+            F.col("c_customer_sk").alias("sr_customer_sk"),
+            F.col("c_current_cdemo_sk").alias("sr_cdemo_sk"),
+            F.col("c_current_addr_sk").alias("sr_addr_sk"),
+            F.col("s_store_sk").alias("sr_store_sk"),
+            F.col("s_state").alias("store_state"),
+            F.col("r_reason_sk").alias("sr_reason_sk"),
+            F.col("r_reason_desc").alias("reason_desc"),
+            F.col("sret_ticket_number").alias("sr_ticket_number"),
+            F.col("sret_return_qty").alias("sr_return_quantity"),
+            F.col("sret_return_amt").alias("sr_return_amt"),
+            F.col("sret_net_loss").alias("sr_net_loss"),
+        )
+    )
+
+
 @dataclass
 class MultiRefreshConfig:
     rounds: int = 10
