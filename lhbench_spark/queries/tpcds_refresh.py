@@ -824,3 +824,309 @@ def tpcds_refresh_srv_dense(spark, sf_dir):
         F.sum("sr_return_amt").cast("double").alias("amt_sum"),
         F.sum("sr_net_loss").cast("double").alias("loss_sum"),
     )
+
+
+_WRV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT wr_order_number, wr_returned_date_sk, wr_item_sk,
+         wr_returning_customer_sk, wr_reason_sk, wr_web_page_sk,
+         wr_return_quantity + 100 AS wr_return_quantity,
+         wr_return_amt, wr_fee, wr_refunded_cash, wr_net_loss
+  FROM web_returns WHERE wr_order_number % 7 = 1
+), flat AS (
+  SELECT wr_order_number AS wret_order_id,
+         DATE '1998-01-01' + CAST(wr_returned_date_sk - 2450815 AS INT)
+           AS wret_return_date,
+         lpad(CAST(((wr_order_number * 7919 + wr_item_sk * 131) % 86400)
+              // 3600 AS STRING), 2, '0') || ':' ||
+         lpad(CAST(((wr_order_number * 7919 + wr_item_sk * 131) % 86400)
+              % 3600 // 60 AS STRING), 2, '0') || ':' ||
+         lpad(CAST((wr_order_number * 7919 + wr_item_sk * 131) % 60
+              AS STRING), 2, '0') AS wret_return_time,
+         wr_item_sk AS wret_item_sk,
+         'CUST' || lpad(CAST(wr_returning_customer_sk AS STRING), 10, '0')
+           AS wret_return_customer_id,
+         'REASON' || lpad(CAST(wr_reason_sk AS STRING), 4, '0')
+           AS wret_reason_id,
+         'PAGE' || lpad(CAST(wr_web_page_sk AS STRING), 4, '0')
+           AS wret_web_page_id,
+         wr_return_quantity AS wret_return_qty,
+         wr_return_amt AS wret_return_amt,
+         wr_fee AS wret_return_fee,
+         wr_refunded_cash AS wret_refunded_cash,
+         wr_net_loss AS wret_net_loss
+  FROM delta
+), rv AS (
+  SELECT d.d_year AS return_year, i.i_category AS item_category,
+         r.r_reason_desc AS reason_desc,
+         t.t_time_sk AS wr_returned_time_sk,
+         c.c_customer_sk AS wr_returning_customer_sk,
+         c.c_current_addr_sk AS wr_returning_addr_sk,
+         i.i_item_sk AS wr_item_sk,
+         wp.wp_web_page_sk AS wr_web_page_sk,
+         f.wret_return_qty AS wr_return_quantity,
+         f.wret_return_amt AS wr_return_amt,
+         f.wret_return_fee AS wr_fee,
+         f.wret_refunded_cash AS wr_refunded_cash,
+         f.wret_net_loss AS wr_net_loss
+  FROM flat f
+  LEFT JOIN date_dim d ON f.wret_return_date = d.d_date
+  LEFT JOIN time_dim t
+    ON (CAST(substr(f.wret_return_time, 1, 2) AS INT) * 3600
+        + CAST(substr(f.wret_return_time, 4, 2) AS INT) * 60
+        + CAST(substr(f.wret_return_time, 7, 2) AS INT)) = t.t_time
+  LEFT JOIN item i ON f.wret_item_sk = i.i_item_sk
+  LEFT JOIN customer c ON f.wret_return_customer_id = c.c_customer_id
+  LEFT JOIN reason r ON f.wret_reason_id = r.r_reason_id
+  LEFT JOIN web_page wp ON f.wret_web_page_id = wp.wp_web_page_id
+)
+SELECT COALESCE(return_year, 0) AS return_year,
+       COALESCE(item_category, 'UNKNOWN') AS item_category,
+       COALESCE(reason_desc, 'UNKNOWN') AS reason_desc,
+       COUNT(*) AS cnt,
+       CAST(SUM(wr_returned_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(wr_returning_customer_sk) AS BIGINT) AS cust_sk_sum,
+       CAST(SUM(wr_returning_addr_sk) AS BIGINT) AS addr_sk_sum,
+       CAST(SUM(wr_item_sk) AS BIGINT) AS item_sk_sum,
+       CAST(SUM(wr_web_page_sk) AS BIGINT) AS page_sk_sum,
+       CAST(SUM(wr_return_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(wr_return_amt) AS DOUBLE) AS amt_sum,
+       CAST(SUM(wr_fee) AS DOUBLE) AS fee_sum,
+       CAST(SUM(wr_refunded_cash) AS DOUBLE) AS refund_sum,
+       CAST(SUM(wr_net_loss) AS DOUBLE) AS loss_sum
+FROM rv GROUP BY 1, 2, 3
+""")
+
+
+@query(
+    "tpcds_refresh_wrv_dense",
+    tags=("tpcds", "refresh", "wrv", "staging"),
+    oracle=_WRV_DENSE_ORACLE,
+)
+def tpcds_refresh_wrv_dense(spark, sf_dir):
+    """The reference-density web-returns refresh chain: the round-1
+    delta staged as the dsdgen s_web_returns flat file (HH:MM:SS
+    return-time string included), CSV round-tripped, then the
+    7-relation wrv_view shape resolving date, time, item, returning
+    customer, reason and web page
+    (TPCDSRefreshSchema.scala:702-735)."""
+    work = tempfile.mkdtemp(prefix="lhbench_wrvdense_")
+    flat0 = rt.stage_web_returns_flat(spark, sf_dir, 1)
+    write_staging_csv(flat0, f"{work}/flat")
+    flat = read_staging_csv(spark, f"{work}/flat", rt.web_returns_flat_schema())
+    rv = rt.wrv_dense_view(
+        flat,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "reason"),
+        rt._dim(spark, sf_dir, "web_page"),
+    )
+    return rv.groupBy(
+        F.coalesce("return_year", F.lit(0)).alias("return_year"),
+        F.coalesce("item_category", F.lit("UNKNOWN")).alias("item_category"),
+        F.coalesce("reason_desc", F.lit("UNKNOWN")).alias("reason_desc"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("wr_returned_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("wr_returning_customer_sk").cast("bigint").alias("cust_sk_sum"),
+        F.sum("wr_returning_addr_sk").cast("bigint").alias("addr_sk_sum"),
+        F.sum("wr_item_sk").cast("bigint").alias("item_sk_sum"),
+        F.sum("wr_web_page_sk").cast("bigint").alias("page_sk_sum"),
+        F.sum("wr_return_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("wr_return_amt").cast("double").alias("amt_sum"),
+        F.sum("wr_fee").cast("double").alias("fee_sum"),
+        F.sum("wr_refunded_cash").cast("double").alias("refund_sum"),
+        F.sum("wr_net_loss").cast("double").alias("loss_sum"),
+    )
+
+
+_CRV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT cr_order_number, cr_returned_date_sk, cr_item_sk,
+         cr_returning_customer_sk, cr_call_center_sk, cr_catalog_page_sk,
+         cr_return_quantity + 100 AS cr_return_quantity,
+         cr_return_amount, cr_refunded_cash, cr_reversed_charge,
+         cr_store_credit, cr_net_loss
+  FROM catalog_returns WHERE cr_order_number % 7 = 1
+), flat AS (
+  SELECT cr_order_number AS cret_order_id,
+         DATE '1998-01-01' + CAST(cr_returned_date_sk - 2450815 AS INT)
+           AS cret_return_date,
+         lpad(CAST(((cr_order_number * 7919 + cr_item_sk * 131) % 86400)
+              // 3600 AS STRING), 2, '0') || ':' ||
+         lpad(CAST(((cr_order_number * 7919 + cr_item_sk * 131) % 86400)
+              % 3600 // 60 AS STRING), 2, '0') || ':' ||
+         lpad(CAST((cr_order_number * 7919 + cr_item_sk * 131) % 60
+              AS STRING), 2, '0') AS cret_return_time,
+         cr_item_sk AS cret_item_sk,
+         'CUST' || lpad(CAST(cr_returning_customer_sk AS STRING), 10, '0')
+           AS cret_return_customer_id,
+         'CC' || lpad(CAST(cr_call_center_sk AS STRING), 4, '0')
+           AS cret_call_center_id,
+         'PAGE' || lpad(CAST(cr_catalog_page_sk AS STRING), 6, '0')
+           AS cret_catalog_page_id,
+         cr_return_quantity AS cret_return_qty,
+         cr_return_amount AS cret_return_amt,
+         cr_refunded_cash AS cret_refunded_cash,
+         cr_reversed_charge AS cret_reversed_charge,
+         cr_store_credit AS cret_merchant_credit,
+         cr_net_loss AS cret_net_loss
+  FROM delta
+), rv AS (
+  SELECT d.d_year AS return_year, cc.cc_name AS call_center_name,
+         t.t_time_sk AS cr_returned_time_sk,
+         c.c_customer_sk AS cr_returning_customer_sk,
+         c.c_current_addr_sk AS cr_returning_addr_sk,
+         i.i_item_sk AS cr_item_sk,
+         cp.cp_catalog_page_sk AS cr_catalog_page_sk,
+         f.cret_return_qty AS cr_return_quantity,
+         f.cret_return_amt AS cr_return_amount,
+         f.cret_return_amt - f.cret_refunded_cash - f.cret_reversed_charge
+           - f.cret_merchant_credit AS cr_residual_amount,
+         f.cret_net_loss AS cr_net_loss
+  FROM flat f
+  LEFT JOIN date_dim d ON f.cret_return_date = d.d_date
+  LEFT JOIN time_dim t
+    ON (CAST(substr(f.cret_return_time, 1, 2) AS INT) * 3600
+        + CAST(substr(f.cret_return_time, 4, 2) AS INT) * 60
+        + CAST(substr(f.cret_return_time, 7, 2) AS INT)) = t.t_time
+  LEFT JOIN item i ON f.cret_item_sk = i.i_item_sk
+  LEFT JOIN customer c ON f.cret_return_customer_id = c.c_customer_id
+  LEFT JOIN call_center cc ON f.cret_call_center_id = cc.cc_call_center_id
+  LEFT JOIN catalog_page cp ON f.cret_catalog_page_id = cp.cp_catalog_page_id
+)
+SELECT COALESCE(return_year, 0) AS return_year,
+       COALESCE(call_center_name, 'UNKNOWN') AS call_center_name,
+       COUNT(*) AS cnt,
+       CAST(SUM(cr_returned_time_sk) AS BIGINT) AS time_sk_sum,
+       CAST(SUM(cr_returning_customer_sk) AS BIGINT) AS cust_sk_sum,
+       CAST(SUM(cr_returning_addr_sk) AS BIGINT) AS addr_sk_sum,
+       CAST(SUM(cr_item_sk) AS BIGINT) AS item_sk_sum,
+       CAST(SUM(cr_catalog_page_sk) AS BIGINT) AS page_sk_sum,
+       CAST(SUM(cr_return_quantity) AS BIGINT) AS qty_sum,
+       CAST(SUM(cr_return_amount) AS DOUBLE) AS amt_sum,
+       CAST(SUM(cr_residual_amount) AS DOUBLE) AS residual_sum,
+       CAST(SUM(cr_net_loss) AS DOUBLE) AS loss_sum
+FROM rv GROUP BY 1, 2
+""")
+
+
+@query(
+    "tpcds_refresh_crv_dense",
+    tags=("tpcds", "refresh", "crv", "staging"),
+    oracle=_CRV_DENSE_ORACLE,
+)
+def tpcds_refresh_crv_dense(spark, sf_dir):
+    """The reference-density catalog-returns refresh chain: the round-1
+    delta staged as the dsdgen s_catalog_returns flat file (HH:MM:SS
+    return-time string included), CSV round-tripped, then the
+    7-relation crv_view shape resolving date, time, item, returning
+    customer, call center and catalog page
+    (TPCDSRefreshSchema.scala:790-834)."""
+    work = tempfile.mkdtemp(prefix="lhbench_crvdense_")
+    flat0 = rt.stage_catalog_returns_flat(spark, sf_dir, 1)
+    write_staging_csv(flat0, f"{work}/flat")
+    flat = read_staging_csv(
+        spark, f"{work}/flat", rt.catalog_returns_flat_schema()
+    )
+    rv = rt.crv_dense_view(
+        flat,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "time_dim"),
+        rt._dim(spark, sf_dir, "customer"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "call_center"),
+        rt._dim(spark, sf_dir, "catalog_page"),
+    )
+    return rv.groupBy(
+        F.coalesce("return_year", F.lit(0)).alias("return_year"),
+        F.coalesce("call_center_name", F.lit("UNKNOWN")).alias(
+            "call_center_name"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cr_returned_time_sk").cast("bigint").alias("time_sk_sum"),
+        F.sum("cr_returning_customer_sk").cast("bigint").alias("cust_sk_sum"),
+        F.sum("cr_returning_addr_sk").cast("bigint").alias("addr_sk_sum"),
+        F.sum("cr_item_sk").cast("bigint").alias("item_sk_sum"),
+        F.sum("cr_catalog_page_sk").cast("bigint").alias("page_sk_sum"),
+        F.sum("cr_return_quantity").cast("bigint").alias("qty_sum"),
+        F.sum("cr_return_amount").cast("double").alias("amt_sum"),
+        F.sum("cr_residual_amount").cast("double").alias("residual_sum"),
+        F.sum("cr_net_loss").cast("double").alias("loss_sum"),
+    )
+
+
+_IV_DENSE_ORACLE = compose_oracle("""
+WITH delta AS (
+  SELECT inv_date_sk, inv_item_sk, inv_warehouse_sk,
+         inv_quantity_on_hand + 100 AS inv_quantity_on_hand
+  FROM inventory WHERE inv_date_sk % 7 = 1
+), flat AS (
+  SELECT DATE '1998-01-01' + CAST(inv_date_sk - 2450815 AS INT)
+           AS invn_date,
+         inv_item_sk AS invn_item_sk,
+         'Warehouse ' || CAST(inv_warehouse_sk AS STRING)
+           AS invn_warehouse_name,
+         inv_quantity_on_hand AS invn_qty_on_hand
+  FROM delta
+), rv AS (
+  SELECT d.d_year AS snapshot_year, i.i_category AS item_category,
+         w.w_state AS warehouse_state,
+         d.d_date_sk AS inv_date_sk,
+         i.i_item_sk AS inv_item_sk,
+         w.w_warehouse_sk AS inv_warehouse_sk,
+         f.invn_qty_on_hand AS inv_quantity_on_hand
+  FROM flat f
+  LEFT JOIN warehouse w ON f.invn_warehouse_name = w.w_warehouse_name
+  LEFT JOIN item i ON f.invn_item_sk = i.i_item_sk
+  LEFT JOIN date_dim d ON d.d_date = f.invn_date
+)
+SELECT COALESCE(snapshot_year, 0) AS snapshot_year,
+       COALESCE(item_category, 'UNKNOWN') AS item_category,
+       COALESCE(warehouse_state, 'UNKNOWN') AS warehouse_state,
+       COUNT(*) AS cnt,
+       CAST(SUM(inv_date_sk) AS BIGINT) AS date_sk_sum,
+       CAST(SUM(inv_item_sk) AS BIGINT) AS item_sk_sum,
+       CAST(SUM(inv_warehouse_sk) AS BIGINT) AS wh_sk_sum,
+       CAST(SUM(inv_quantity_on_hand) AS BIGINT) AS qoh_sum
+FROM rv GROUP BY 1, 2, 3
+""")
+
+
+@query(
+    "tpcds_refresh_iv_dense",
+    tags=("tpcds", "refresh", "iv", "staging"),
+    oracle=_IV_DENSE_ORACLE,
+)
+def tpcds_refresh_iv_dense(spark, sf_dir):
+    """The reference-density inventory refresh chain: the round-1 delta
+    staged as the dsdgen s_inventory flat file (calendar date +
+    warehouse business string), CSV round-tripped, then the 4-relation
+    iv_view shape (TPCDSRefreshSchema.scala:836-844) — completing the
+    reference-density analog for all seven refresh views."""
+    work = tempfile.mkdtemp(prefix="lhbench_ivdense_")
+    flat0 = rt.stage_inventory_flat(spark, sf_dir, 1)
+    write_staging_csv(flat0, f"{work}/flat")
+    flat = read_staging_csv(spark, f"{work}/flat", rt.inventory_flat_schema())
+    rv = rt.iv_dense_view(
+        flat,
+        rt._dim(spark, sf_dir, "date_dim"),
+        rt._dim(spark, sf_dir, "item"),
+        rt._dim(spark, sf_dir, "warehouse"),
+    )
+    return rv.groupBy(
+        F.coalesce("snapshot_year", F.lit(0)).alias("snapshot_year"),
+        F.coalesce("item_category", F.lit("UNKNOWN")).alias("item_category"),
+        F.coalesce("warehouse_state", F.lit("UNKNOWN")).alias(
+            "warehouse_state"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("inv_date_sk").cast("bigint").alias("date_sk_sum"),
+        F.sum("inv_item_sk").cast("bigint").alias("item_sk_sum"),
+        F.sum("inv_warehouse_sk").cast("bigint").alias("wh_sk_sum"),
+        F.sum("inv_quantity_on_hand").cast("bigint").alias("qoh_sum"),
+    )

@@ -8,9 +8,8 @@ paired with a value-identical DuckDB oracle:
 
 - **Domain capping** (`train_domain_caps`): keep at most K documents per
   source, highest-priority first — the anti-boilerplate guard against a
-  single domain flooding the mixture. The Spark plan is the *two-stage
-  exact top-k-per-key* pattern: a salted pre-prune bounds every window
-  partition before the exact per-source ranking, so one mega-domain
+  single domain flooding the mixture. The rank filter compiles to a
+  map-side partial WindowGroupLimit (plan-tested), so one mega-domain
   cannot serialize into a single sort task at 100 TB.
 - **Corpus-wide block dedup** (`train_line_dedup`): the C4/RefinedWeb
   line-dedup recipe adapted to the word-stream fixtures — split every
@@ -69,20 +68,18 @@ def _key24_spark(salt: str):
 
 # -- Domain capping ----------------------------------------------------------
 # Keep <= CAP docs per source, priority (n_chars DESC, doc_id ASC) — a
-# total order, so top-k is unique. 100 TB shape: a naive
-# row_number() OVER (PARTITION BY source) sorts each whole domain in ONE
-# task; a crawl dump where one host holds 10^9 pages turns that into a
-# single straggler no matter how many executors exist (AQE cannot split
-# a window partition). The two-stage plan bounds it: stage 1 ranks
-# within (source, salt) — every partition is ~1/N_SALTS of the domain —
-# and keeps <= CAP per salt bucket; stage 2 ranks the <= CAP*N_SALTS
-# survivors per source exactly. Identical result (stage 1 can never
-# discard a global top-CAP row: a row dropped in its salt bucket has
-# CAP better rows in that same bucket, hence >= CAP better rows in the
-# domain), two bounded shuffles instead of one unbounded sort.
+# total order, so top-k is unique. 100 TB shape: the classic hazard is
+# a row_number() window sorting each whole domain in one task (a crawl
+# dump where one host holds 10^9 pages becomes a single straggler).
+# Spark >= 3.5 closes this natively: the rank-limit filter pushes a
+# WindowGroupLimit in PARTIAL mode below the Exchange, so each map task
+# forwards at most CAP rows per source and the final per-source sort
+# sees <= CAP x input-partitions rows, never the whole domain — the
+# plan-asserted map-side top-k (tests/test_plans.py). Hand-rolling a
+# salted two-stage top-k here would only ADD a shuffle; the idiomatic
+# single window IS the scale-correct plan on this engine.
 
 _DOMAIN_CAP = 15
-_CAP_SALTS = 8
 
 _DOMAIN_CAPS_ORACLE = f"""
 WITH ranked AS (
@@ -110,31 +107,16 @@ GROUP BY 1, 2
     oracle=_DOMAIN_CAPS_ORACLE,
 )
 def train_domain_caps(spark, sf_dir):
-    """Per-source document cap (keep the top-K by priority): two-stage
-    exact top-k-per-key — salted pre-prune bounds every sort partition,
-    then an exact rank over the bounded survivors — so a mega-domain
-    never serializes into one window task at 100 TB."""
+    """Per-source document cap (keep the top-K by priority). The rank
+    filter compiles to a map-side partial WindowGroupLimit, so no task
+    ever sorts a whole domain — see the module comment."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     docs = table(spark, sf_dir, "documents")
-    # Stage 1: prune inside (source, salt). The salt only has to spread
-    # rows, not match any oracle — xxhash64 stays JVM-side and cheap.
-    salted = docs.withColumn(
-        "salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_CAP_SALTS))
-    )
-    w1 = Window.partitionBy("source", "salt").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    survivors = (
-        salted.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= _DOMAIN_CAP)
-        .drop("salt", "r1")
-    )
-    # Stage 2: exact rank over <= CAP * N_SALTS rows per source.
-    w2 = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
     kept = (
-        survivors.withColumn("rk", F.row_number().over(w2))
+        docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _DOMAIN_CAP)
         .groupBy("source")
         .agg(

@@ -842,6 +842,282 @@ def srv_dense_view(
     )
 
 
+def _hhmmss(sec) -> F.Column:
+    """Render a seconds-of-day column as the HH:MM:SS string dsdgen
+    stages return times as (decoded back by the dense return views)."""
+    return F.concat_ws(
+        ":",
+        F.lpad(F.floor(sec / 3600).cast("string"), 2, "0"),
+        F.lpad(F.floor(sec % 3600 / 60).cast("string"), 2, "0"),
+        F.lpad((sec % 60).cast("string"), 2, "0"),
+    )
+
+
+def _decode_hhmmss(col: str) -> F.Column:
+    """The reference's substr time decode (TPCDSRefreshSchema.scala
+    :640-643), HH:MM:SS string → seconds-of-day."""
+    return (
+        F.substring(col, 1, 2).cast("int") * 3600
+        + F.substring(col, 4, 2).cast("int") * 60
+        + F.substring(col, 7, 2).cast("int")
+    )
+
+
+def stage_web_returns_flat(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> DataFrame:
+    """One round's web-returns delta as the dsdgen-shaped s_web_returns
+    flat file (wrv_view inputs, TPCDSRefreshSchema.scala:702-735):
+    business ids for the returning customer / reason / web page, the
+    return date as a calendar date, the return time as an HH:MM:SS
+    string (derived from the return's own keys — the generated fact has
+    no time column; same expression in the oracle)."""
+    delta = stage_delta(spark, sf_dir, "web_returns", round_no)
+    sec = (F.col("wr_order_number") * 7919 + F.col("wr_item_sk") * 131) % 86400
+    return delta.select(
+        F.col("wr_order_number").alias("wret_order_id"),
+        _sk_to_date("wr_returned_date_sk").alias("wret_return_date"),
+        _hhmmss(sec).alias("wret_return_time"),
+        F.col("wr_item_sk").alias("wret_item_sk"),
+        _sk_to_id("wr_returning_customer_sk", "CUST", 10).alias(
+            "wret_return_customer_id"
+        ),
+        _sk_to_id("wr_reason_sk", "REASON", 4).alias("wret_reason_id"),
+        _sk_to_id("wr_web_page_sk", "PAGE", 4).alias("wret_web_page_id"),
+        F.col("wr_return_quantity").alias("wret_return_qty"),
+        F.col("wr_return_amt").alias("wret_return_amt"),
+        F.col("wr_fee").alias("wret_return_fee"),
+        F.col("wr_refunded_cash").alias("wret_refunded_cash"),
+        F.col("wr_net_loss").alias("wret_net_loss"),
+    )
+
+
+def web_returns_flat_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, DecimalType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("wret_order_id", LongType()),
+        StructField("wret_return_date", DateType()),
+        StructField("wret_return_time", StringType()),
+        StructField("wret_item_sk", IntegerType()),
+        StructField("wret_return_customer_id", StringType()),
+        StructField("wret_reason_id", StringType()),
+        StructField("wret_web_page_id", StringType()),
+        StructField("wret_return_qty", IntegerType()),
+        StructField("wret_return_amt", DecimalType(12, 2)),
+        StructField("wret_return_fee", DecimalType(12, 2)),
+        StructField("wret_refunded_cash", DecimalType(12, 2)),
+        StructField("wret_net_loss", DecimalType(12, 2)),
+    ])
+
+
+def wrv_dense_view(
+    flat: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    item: DataFrame,
+    reason: DataFrame,
+    web_page: DataFrame,
+) -> DataFrame:
+    """The reference wrv_view shape (TPCDSRefreshSchema.scala:702-735):
+    the flat staging file resolved through six dimensions — calendar
+    date, the HH:MM:SS substr decode against time_dim, item by
+    surrogate key, returning customer / reason / web page by business
+    id. (The generated web_returns carries one customer role; the
+    refunded-side demo/addr keys stay raw fact FKs.)"""
+    return (
+        flat.join(date_dim, F.col("wret_return_date") == F.col("d_date"), "left")
+        .join(time_dim, _decode_hhmmss("wret_return_time") == F.col("t_time"), "left")
+        .join(item, F.col("wret_item_sk") == F.col("i_item_sk"), "left")
+        .join(customer, F.col("wret_return_customer_id") == F.col("c_customer_id"), "left")
+        .join(reason, F.col("wret_reason_id") == F.col("r_reason_id"), "left")
+        .join(web_page, F.col("wret_web_page_id") == F.col("wp_web_page_id"), "left")
+        .select(
+            F.col("d_date_sk").alias("wr_returned_date_sk"),
+            F.col("d_year").alias("return_year"),
+            F.col("t_time_sk").alias("wr_returned_time_sk"),
+            F.col("i_item_sk").alias("wr_item_sk"),
+            F.col("i_category").alias("item_category"),
+            F.col("c_customer_sk").alias("wr_returning_customer_sk"),
+            F.col("c_current_cdemo_sk").alias("wr_returning_cdemo_sk"),
+            F.col("c_current_addr_sk").alias("wr_returning_addr_sk"),
+            F.col("r_reason_sk").alias("wr_reason_sk"),
+            F.col("r_reason_desc").alias("reason_desc"),
+            F.col("wp_web_page_sk").alias("wr_web_page_sk"),
+            F.col("wret_order_id").alias("wr_order_number"),
+            F.col("wret_return_qty").alias("wr_return_quantity"),
+            F.col("wret_return_amt").alias("wr_return_amt"),
+            F.col("wret_return_fee").alias("wr_fee"),
+            F.col("wret_refunded_cash").alias("wr_refunded_cash"),
+            F.col("wret_net_loss").alias("wr_net_loss"),
+        )
+    )
+
+
+def stage_catalog_returns_flat(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> DataFrame:
+    """One round's catalog-returns delta as the dsdgen-shaped
+    s_catalog_returns flat file (crv_view inputs,
+    TPCDSRefreshSchema.scala:790-834): business ids for the returning
+    customer / call center / catalog page, calendar return date,
+    HH:MM:SS return time (derived; same expression in the oracle).
+    The generated fact has no reason/ship-mode/warehouse FKs, so the
+    chain resolves the six dimensions it carries."""
+    delta = stage_delta(spark, sf_dir, "catalog_returns", round_no)
+    sec = (F.col("cr_order_number") * 7919 + F.col("cr_item_sk") * 131) % 86400
+    return delta.select(
+        F.col("cr_order_number").alias("cret_order_id"),
+        _sk_to_date("cr_returned_date_sk").alias("cret_return_date"),
+        _hhmmss(sec).alias("cret_return_time"),
+        F.col("cr_item_sk").alias("cret_item_sk"),
+        _sk_to_id("cr_returning_customer_sk", "CUST", 10).alias(
+            "cret_return_customer_id"
+        ),
+        _sk_to_id("cr_call_center_sk", "CC", 4).alias("cret_call_center_id"),
+        _sk_to_id("cr_catalog_page_sk", "PAGE", 6).alias(
+            "cret_catalog_page_id"
+        ),
+        F.col("cr_return_quantity").alias("cret_return_qty"),
+        F.col("cr_return_amount").alias("cret_return_amt"),
+        F.col("cr_refunded_cash").alias("cret_refunded_cash"),
+        F.col("cr_reversed_charge").alias("cret_reversed_charge"),
+        F.col("cr_store_credit").alias("cret_merchant_credit"),
+        F.col("cr_net_loss").alias("cret_net_loss"),
+    )
+
+
+def catalog_returns_flat_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, DecimalType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    return StructType([
+        StructField("cret_order_id", LongType()),
+        StructField("cret_return_date", DateType()),
+        StructField("cret_return_time", StringType()),
+        StructField("cret_item_sk", IntegerType()),
+        StructField("cret_return_customer_id", StringType()),
+        StructField("cret_call_center_id", StringType()),
+        StructField("cret_catalog_page_id", StringType()),
+        StructField("cret_return_qty", IntegerType()),
+        StructField("cret_return_amt", DecimalType(12, 2)),
+        StructField("cret_refunded_cash", DecimalType(12, 2)),
+        StructField("cret_reversed_charge", DecimalType(12, 2)),
+        StructField("cret_merchant_credit", DecimalType(12, 2)),
+        StructField("cret_net_loss", DecimalType(12, 2)),
+    ])
+
+
+def crv_dense_view(
+    flat: DataFrame,
+    date_dim: DataFrame,
+    time_dim: DataFrame,
+    customer: DataFrame,
+    item: DataFrame,
+    call_center: DataFrame,
+    catalog_page: DataFrame,
+) -> DataFrame:
+    """The reference crv_view shape (TPCDSRefreshSchema.scala:790-834):
+    the flat staging file resolved through six dimensions — calendar
+    date, the HH:MM:SS substr decode against time_dim, item by
+    surrogate key, returning customer / call center / catalog page by
+    business id."""
+    return (
+        flat.join(date_dim, F.col("cret_return_date") == F.col("d_date"), "left")
+        .join(time_dim, _decode_hhmmss("cret_return_time") == F.col("t_time"), "left")
+        .join(item, F.col("cret_item_sk") == F.col("i_item_sk"), "left")
+        .join(customer, F.col("cret_return_customer_id") == F.col("c_customer_id"), "left")
+        .join(call_center, F.col("cret_call_center_id") == F.col("cc_call_center_id"), "left")
+        .join(catalog_page, F.col("cret_catalog_page_id") == F.col("cp_catalog_page_id"), "left")
+        .select(
+            F.col("d_date_sk").alias("cr_returned_date_sk"),
+            F.col("d_year").alias("return_year"),
+            F.col("t_time_sk").alias("cr_returned_time_sk"),
+            F.col("i_item_sk").alias("cr_item_sk"),
+            F.col("c_customer_sk").alias("cr_returning_customer_sk"),
+            F.col("c_current_addr_sk").alias("cr_returning_addr_sk"),
+            F.col("cc_call_center_sk").alias("cr_call_center_sk"),
+            F.col("cc_name").alias("call_center_name"),
+            F.col("cp_catalog_page_sk").alias("cr_catalog_page_sk"),
+            F.col("cret_order_id").alias("cr_order_number"),
+            F.col("cret_return_qty").alias("cr_return_quantity"),
+            F.col("cret_return_amt").alias("cr_return_amount"),
+            (
+                F.col("cret_return_amt")
+                - F.col("cret_refunded_cash")
+                - F.col("cret_reversed_charge")
+                - F.col("cret_merchant_credit")
+            ).alias("cr_residual_amount"),
+            F.col("cret_net_loss").alias("cr_net_loss"),
+        )
+    )
+
+
+def stage_inventory_flat(
+    spark: SparkSession, sf_dir: str, round_no: int
+) -> DataFrame:
+    """One round's inventory delta as the dsdgen-shaped s_inventory
+    flat file (iv_view inputs, TPCDSRefreshSchema.scala:836-844): the
+    snapshot date as a calendar DATE and the warehouse as a resolvable
+    business string. The generated warehouse dim carries no
+    w_warehouse_id, so the unique w_warehouse_name ('Warehouse N')
+    plays the business-key role; item stays a surrogate key
+    (SCD-non-unique id, same convention as every other pair)."""
+    delta = stage_delta(spark, sf_dir, "inventory", round_no)
+    return delta.select(
+        _sk_to_date("inv_date_sk").alias("invn_date"),
+        F.col("inv_item_sk").alias("invn_item_sk"),
+        F.concat(F.lit("Warehouse "), F.col("inv_warehouse_sk").cast("string"))
+            .alias("invn_warehouse_name"),
+        F.col("inv_quantity_on_hand").alias("invn_qty_on_hand"),
+    )
+
+
+def inventory_flat_schema() -> "StructType":
+    from pyspark.sql.types import (
+        DateType, IntegerType, StringType, StructField, StructType,
+    )
+    return StructType([
+        StructField("invn_date", DateType()),
+        StructField("invn_item_sk", IntegerType()),
+        StructField("invn_warehouse_name", StringType()),
+        StructField("invn_qty_on_hand", IntegerType()),
+    ])
+
+
+def iv_dense_view(
+    flat: DataFrame,
+    date_dim: DataFrame,
+    item: DataFrame,
+    warehouse: DataFrame,
+) -> DataFrame:
+    """The reference iv_view shape (TPCDSRefreshSchema.scala:836-844):
+    the flat staging file resolved through warehouse (business string),
+    item (surrogate key) and date_dim (calendar-date equality)."""
+    return (
+        flat.join(
+            warehouse,
+            F.col("invn_warehouse_name") == F.col("w_warehouse_name"),
+            "left",
+        )
+        .join(item, F.col("invn_item_sk") == F.col("i_item_sk"), "left")
+        .join(date_dim, F.col("d_date") == F.col("invn_date"), "left")
+        .select(
+            F.col("d_date_sk").alias("inv_date_sk"),
+            F.col("d_year").alias("snapshot_year"),
+            F.col("i_item_sk").alias("inv_item_sk"),
+            F.col("i_category").alias("item_category"),
+            F.col("w_warehouse_sk").alias("inv_warehouse_sk"),
+            F.col("w_state").alias("warehouse_state"),
+            F.col("invn_qty_on_hand").alias("inv_quantity_on_hand"),
+        )
+    )
+
+
 @dataclass
 class MultiRefreshConfig:
     rounds: int = 10
@@ -923,6 +1199,98 @@ def run(
             )
 
         runner.run_query(f"view-csv_dense-{i}", dense_round)
+
+        if i == 1:
+            # The other three reference-density chains once per run
+            # (first round): web/store header-lineitem pairs and the
+            # returns flat file with its HH:MM:SS time decode.
+            whd, wld = f"{work}/stage/word_{i}", f"{work}/stage/wlin_{i}"
+            wh0, wl0 = stage_web_pair(spark, sf_dir, i)
+            write_staging_csv(wh0, whd)
+            write_staging_csv(wl0, wld)
+            runner.run_query(
+                "view-wsv_dense-1",
+                lambda: wsv_dense_view(
+                    read_staging_csv(spark, whd, web_order_schema()),
+                    read_staging_csv(spark, wld, web_lineitem_schema()),
+                    dd, time_dim, cust,
+                    _dim(spark, sf_dir, "web_site"), sm,
+                    _dim(spark, sf_dir, "web_page"), wh, item, promo,
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("ws_ext_sales_price").alias("sales_sum"),
+                    F.sum("ws_bill_customer_sk").cast("bigint").alias("bill_sk_sum"),
+                ),
+            )
+            phd, pld = f"{work}/stage/purc_{i}", f"{work}/stage/plin_{i}"
+            ph0, pl0 = stage_store_pair(spark, sf_dir, i)
+            write_staging_csv(ph0, phd)
+            write_staging_csv(pl0, pld)
+            runner.run_query(
+                "view-ssv_dense-1",
+                lambda: ssv_dense_view(
+                    read_staging_csv(spark, phd, purchase_order_schema()),
+                    read_staging_csv(spark, pld, purchase_lineitem_schema()),
+                    dd, time_dim, cust, store, item, promo,
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("ss_ext_sales_price").alias("sales_sum"),
+                    F.sum("ss_customer_sk").cast("bigint").alias("cust_sk_sum"),
+                ),
+            )
+            rfd = f"{work}/stage/sret_{i}"
+            write_staging_csv(stage_returns_flat(spark, sf_dir, i), rfd)
+            runner.run_query(
+                "view-srv_dense-1",
+                lambda: srv_dense_view(
+                    read_staging_csv(spark, rfd, returns_flat_schema()),
+                    dd, time_dim, cust, store, item, reason,
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("sr_return_amt").alias("amt_sum"),
+                    F.sum("sr_customer_sk").cast("bigint").alias("cust_sk_sum"),
+                ),
+            )
+            wrfd = f"{work}/stage/wret_{i}"
+            write_staging_csv(stage_web_returns_flat(spark, sf_dir, i), wrfd)
+            runner.run_query(
+                "view-wrv_dense-1",
+                lambda: wrv_dense_view(
+                    read_staging_csv(spark, wrfd, web_returns_flat_schema()),
+                    dd, time_dim, cust, item, reason,
+                    _dim(spark, sf_dir, "web_page"),
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("wr_return_amt").alias("amt_sum"),
+                    F.sum("wr_returning_customer_sk").cast("bigint").alias("cust_sk_sum"),
+                ),
+            )
+            crfd = f"{work}/stage/cret_{i}"
+            write_staging_csv(stage_catalog_returns_flat(spark, sf_dir, i), crfd)
+            runner.run_query(
+                "view-crv_dense-1",
+                lambda: crv_dense_view(
+                    read_staging_csv(spark, crfd, catalog_returns_flat_schema()),
+                    dd, time_dim, cust, item, cc, cp,
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("cr_return_amount").alias("amt_sum"),
+                    F.sum("cr_returning_customer_sk").cast("bigint").alias("cust_sk_sum"),
+                ),
+            )
+            ifd = f"{work}/stage/invn_{i}"
+            write_staging_csv(stage_inventory_flat(spark, sf_dir, i), ifd)
+            runner.run_query(
+                "view-iv_dense-1",
+                lambda: iv_dense_view(
+                    read_staging_csv(spark, ifd, inventory_flat_schema()),
+                    dd, item, wh,
+                ).agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    dsum("inv_quantity_on_hand").alias("qoh_sum"),
+                    F.sum("inv_item_sk").cast("bigint").alias("item_sk_sum"),
+                ),
+            )
 
         for fact, meta in FACTS.items():
             sdir = f"{work}/stage/{fact}_{i}"

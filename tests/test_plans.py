@@ -470,3 +470,18 @@ def test_aqe_skew_split_on_tpcds_q03_plan(spark):
         )
     assert "skew=true" in executed, executed
     assert "AQEShuffleRead skewed" in executed, executed
+
+
+def test_domain_caps_rank_limit_pushes_map_side(spark):
+    """train_domain_caps relies on Spark's rank-limit pushdown for its
+    100 TB posture: the row_number <= K filter must compile to a
+    WindowGroupLimit in Partial mode BELOW the exchange (each map task
+    forwards at most K rows per source), so no task ever sorts a whole
+    domain. If a regression drops the pushdown, the scale story in
+    queries/training.py is void — fail loudly."""
+    from lhbench_spark.queries import get_query
+
+    df = get_query("train_domain_caps").spark_fn(spark, SMOKE_SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan

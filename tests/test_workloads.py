@@ -151,3 +151,36 @@ def test_smoke_workload(spark):
     rep = smoke.run(spark)
     assert not [q for q in rep.query_results if q.error_msg]
     assert rep.extra_metrics["smoke-ok-bool"] == 1.0
+
+
+def test_staging_csv_roundtrip_survives_embedded_delimiters(spark, tmp_path):
+    """dsdgen data embeds delimiters inside string fields (names with
+    commas; free text can contain the pipe itself). The staging
+    round-trip (write_staging_csv pipe-delimited -> read_staging_csv
+    explicit schema) must return byte-identical strings — Spark's CSV
+    writer quotes delimiter-bearing values and the reader must unquote
+    them, or every dense refresh chain silently mis-parses."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from lhbench_spark.workloads.refresh import (
+        read_staging_csv, write_staging_csv,
+    )
+
+    schema = StructType([
+        StructField("k", IntegerType()),
+        StructField("s", StringType()),
+    ])
+    rows = [
+        (1, "Warehouse, Inc"),
+        (2, "pipe|inside"),
+        (3, 'quote "double" inside'),
+        (4, "comma, pipe| and \"quote\""),
+        (5, None),
+    ]
+    src = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "staged")
+    write_staging_csv(src, path)
+    back = read_staging_csv(spark, path, schema)
+    assert sorted((r.k, r.s) for r in back.collect()) == sorted(rows)
