@@ -400,3 +400,126 @@ def train_epoch_plan(spark, sf_dir):
             F.sum(F.col("doc_id") * n_copies).alias("copies_id_checksum"),
         )
     )
+
+
+# -- BPE training loop (multi-round) -----------------------------------------
+# The full tokenizer-training inner loop, K genuine rounds: count
+# adjacent pairs over the CURRENT tokenization, pick the most frequent
+# (tie-broken by pair text), re-tokenize the whole corpus with a
+# leftmost non-overlapping fold, repeat — each round's statistics come
+# from the PREVIOUS round's merged corpus, which is what distinguishes
+# BPE training from applying K pre-learned merges. Pair keys join
+# tokens with '|' (tokens are [a-z0-9]+ or space-joined merges, so '|'
+# is unambiguous once merged tokens contain spaces); the merged token
+# itself stays space-joined, matching corpus_bpe_apply_merge. 100 TB
+# shape per round: pair enumeration is a scan-bound array projection,
+# the count is one map-side-combined hash agg + LIMIT 1
+# (TakeOrderedAndProject), the fold is a projection against the
+# broadcast 1-row winner — K rounds = K bounded shuffles, zero Python,
+# zero driver-side frequency tables.
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_pair_duck(toks: str) -> str:
+    return (
+        f"unnest(list_transform(range(1, len({toks})),"
+        f" i -> {toks}[i] || '|' || {toks}[i+1]))"
+    )
+
+
+def _bpe_oracle() -> str:
+    from lhbench_spark.operators import textnorm
+
+    ctes = [f"t0 AS (SELECT doc_id, {textnorm.tokens_duck('text')} AS toks FROM documents)"]
+    for r in range(_BPE_ROUNDS):
+        ctes.append(
+            f"top{r} AS (SELECT string_split(pair, '|')[1] AS pa,"
+            f" string_split(pair, '|')[2] AS pb,"
+            f" replace(pair, '|', ' ') AS merged"
+            f" FROM (SELECT {_bpe_pair_duck('toks')} AS pair FROM t{r})"
+            f" GROUP BY 1, 2, 3 ORDER BY COUNT(*) DESC, merged LIMIT 1)"
+        )
+        ctes.append(
+            f"t{r + 1} AS (SELECT doc_id,"
+            " list_reduce("
+            "   list_prepend([]::VARCHAR[], list_transform(toks, x -> [x])),"
+            "   (acc, x) -> CASE"
+            "     WHEN len(acc) > 0 AND acc[-1] = pa AND x[1] = pb"
+            "     THEN list_append(list_slice(acc, 1, len(acc) - 1), merged)"
+            "     ELSE list_append(acc, x[1]) END"
+            f" ) AS toks FROM t{r} CROSS JOIN top{r})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round,"
+        f" (SELECT merged FROM top{r}) AS merge_pair,"
+        f" (SELECT CAST(SUM(len(toks)) AS BIGINT) FROM t{r + 1}) AS tokens_after"
+        for r in range(_BPE_ROUNDS)
+    )
+    return f"WITH {', '.join(ctes)} {rows} ORDER BY round"
+
+
+@query(
+    "train_bpe_loop",
+    tags=("training", "tokens", "bpe", "documents", "extension"),
+    oracle=_bpe_oracle(),
+)
+def train_bpe_loop(spark, sf_dir):
+    """The BPE tokenizer training loop, three genuine rounds: each
+    round counts adjacent pairs over the previous round's re-tokenized
+    corpus, merges the winner corpus-wide, and reports the shrinking
+    token count — round statistics are data-derived from the merged
+    state, not a fixed merge list."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.operators import textnorm
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks")
+    )
+    pair_expr = (
+        "CASE WHEN size(toks) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), '|', element_at(toks, i + 1))) END"
+    )
+    fold_expr = (
+        "aggregate(toks, CAST(array() AS array<string>), "
+        "(acc, x) -> CASE "
+        "WHEN size(acc) > 0 AND element_at(acc, -1) = pa AND x = pb "
+        "THEN concat(slice(acc, 1, size(acc) - 1), array(merged)) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    rounds = []
+    for r in range(_BPE_ROUNDS):
+        top1 = (
+            t.select(F.explode(F.expr(pair_expr)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "pair",
+                "cnt",
+                F.replace(F.col("pair"), F.lit("|"), F.lit(" ")).alias("merged"),
+            )
+            .orderBy(F.desc("cnt"), F.asc("merged"))
+            .limit(1)
+            .select(
+                F.split("pair", "\\|").getItem(0).alias("pa"),
+                F.split("pair", "\\|").getItem(1).alias("pb"),
+                "merged",
+            )
+        )
+        t = t.crossJoin(F.broadcast(top1)).select(
+            "doc_id", F.expr(fold_expr).alias("toks"), "merged"
+        )
+        rounds.append(
+            t.agg(
+                F.lit(r + 1).alias("round"),
+                F.first("merged").alias("merge_pair"),
+                F.sum(F.size("toks")).cast("bigint").alias("tokens_after"),
+            )
+        )
+        t = t.drop("merged")
+    out = rounds[0]
+    for extra in rounds[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("round")
