@@ -523,3 +523,167 @@ def train_bpe_loop(spark, sf_dir):
     for extra in rounds[1:]:
         out = out.unionByName(extra)
     return out.orderBy("round")
+
+
+# -- Distributed logistic-regression training (exact GD loop) ----------------
+# The quality-classifier TRAINING side (corpus_quality_classifier applies
+# fixed weights; this FITS them): 3 full-batch gradient-descent steps of
+# a logistic head over integer text features, with every cross-engine
+# number EXACT by construction:
+#   - features are integers (bias, n_tokens, n_distinct_tokens, max
+#     token length) from the shared tokenizer;
+#   - weights live in integer micro-units; the per-row logit
+#     z = Σ w_j·x_j is a BIGINT dot product (exact, order-free);
+#   - the sigmoid is the smooth cubic surrogate
+#     s(z) = 0.5 + (3/8)z − (1/32)z³ clamped to [−2, 2] — multiplications
+#     by exact binary constants on bit-identical doubles, so both
+#     engines produce the same bits (no libm exp(), whose ulps differ
+#     across runtimes);
+#   - per-row gradient contributions round to integer micro-units via
+#     floor(v·1e6 + 0.5) (identical semantics both engines), so the
+#     corpus-wide gradient SUM is a bigint — exact under any summation
+#     order — and the weight update is integer DIV (truncation matches
+#     '//' in DuckDB, verified).
+# 100 TB shape per step: ONE map-side-combined aggregation over the
+# corpus (4 bigint sums + 2 counts); only the 4-number weight vector
+# leaves the cluster (the codebook-collect pattern of sim_kmeans).
+# Accuracy is an integer sign comparison — no float in the metric.
+
+_LR_STEPS = 3
+_LR_DIV = 1024  # lr = 1/1024 of the mean gradient, micro-unit integer DIV
+
+# Target: long-document class (n_chars >= 300, near the corpus
+# median) — a TEXT-DERIVED label. The synthetic corpus's lang/source
+# labels are independent of the token stream by construction (the
+# langid queries are oracle-parity demos, not accuracy demos), so a
+# label classifier could never move off baseline; the length class is
+# genuinely encoded in the features below, and accuracy climbing off
+# the ~50% baseline across steps proves the GD mechanics end to end.
+# Features: bias; English stopword hits; distinct-token count; max
+# token length — each CENTERED by a fixed integer offset (corpus-scale
+# medians: 3 / 25 / 8) so the class boundary is reachable without a
+# feature-scale-sized bias; centering by integer literals preserves
+# exactness. All integers from the shared tokenizer.
+_LOGREG_FEATS_DUCK = """
+    SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+           1 AS x0,
+           {en_hits} - 3 AS x1,
+           len(list_distinct(toks)) - 25 AS x2,
+           COALESCE(list_max(list_transform(toks, t -> length(t))), 0) - 8
+               AS x3
+    FROM (SELECT n_chars, {toks} AS toks FROM documents)
+"""
+
+_LOGREG_SIG = (
+    "CASE WHEN {z} <= -2.0 THEN 0.0 WHEN {z} >= 2.0 THEN 1.0 "
+    "ELSE 0.5 + {z} * 0.375 - {z} * {z} * {z} * 0.03125 END"
+)
+
+
+def _logreg_oracle() -> str:
+    from lhbench_spark.operators import textnorm
+
+    feats = _LOGREG_FEATS_DUCK.format(
+        toks=textnorm.tokens_duck("text"),
+        en_hits=textnorm.stopword_hits_duck("toks", "en"),
+    )
+    ctes = [f"feats AS ({feats})", "w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3)"]
+    for k in range(_LR_STEPS):
+        z = f"(CAST(w0*x0 + w1*x1 + w2*x2 + w3*x3 AS DOUBLE) / 1000000.0)"
+        s = _LOGREG_SIG.format(z="z")
+        ctes.append(
+            f"g{k} AS (SELECT "
+            + ", ".join(
+                f"CAST(SUM(CAST(floor((y - s) * x{j} * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s{j}"
+                for j in range(4)
+            )
+            + ", COUNT(*) AS n FROM (SELECT y, x0, x1, x2, x3, "
+            f"{s} AS s FROM (SELECT *, {z} AS z FROM feats CROSS JOIN w{k})))"
+        )
+        ctes.append(
+            f"w{k + 1} AS (SELECT "
+            + ", ".join(
+                f"(SELECT w{j} FROM w{k}) + s{j} // (n * {_LR_DIV}) AS w{j}"
+                for j in range(4)
+            )
+            + f" FROM g{k})"
+        )
+        ctes.append(
+            f"a{k + 1} AS (SELECT CAST(SUM(CASE WHEN "
+            "(w0*x0 + w1*x1 + w2*x2 + w3*x3 >= 0) = (y = 1) THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_correct FROM feats CROSS JOIN w{k + 1})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {k + 1} AS step, w0, w1, w2, w3,"
+        f" (SELECT n_correct FROM a{k + 1}) AS n_correct FROM w{k + 1}"
+        for k in range(_LR_STEPS)
+    )
+    return f"WITH {', '.join(ctes)} {rows} ORDER BY step"
+
+
+@query(
+    "train_logreg_fit",
+    tags=("training", "classifier", "documents", "extension"),
+    oracle=_logreg_oracle(),
+)
+def train_logreg_fit(spark, sf_dir):
+    """Fit the logistic quality/language head with 3 full-batch GD
+    steps — bigint dot products, a cubic sigmoid surrogate, micro-unit
+    integer weight updates — so the whole training trajectory is exact
+    and engine-independent. One aggregation pass per step; only the
+    4-number weight vector is collected (codebook pattern)."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.operators import textnorm
+
+    feats = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+            F.expr(textnorm.tokens_spark("text")).alias("toks"),
+        )
+        .select(
+            "y",
+            F.lit(1).alias("x0"),
+            F.expr(textnorm.stopword_hits_spark("toks", "en") + " - 3").alias(
+                "x1"
+            ),
+            F.expr("size(array_distinct(toks)) - 25").alias("x2"),
+            F.expr(
+                "COALESCE(array_max(transform(toks, t -> length(t))), 0) - 8"
+            ).alias("x3"),
+        )
+    )
+    w = [0, 0, 0, 0]
+    out_rows = []
+    for k in range(_LR_STEPS):
+        z = f"(CAST({w[0]}*x0 + {w[1]}*x1 + {w[2]}*x2 + {w[3]}*x3 AS DOUBLE) / 1000000.0)"
+        s = _LOGREG_SIG.format(z="z")
+        stepped = feats.withColumn("z", F.expr(z)).withColumn("s", F.expr(s))
+        sums = stepped.agg(
+            *[
+                F.sum(
+                    F.expr(
+                        f"CAST(floor((y - s) * x{j} * 1000000 + 0.5) AS BIGINT)"
+                    )
+                ).alias(f"s{j}")
+                for j in range(4)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = sums["n"]
+        w = [
+            w[j] + int(sums[f"s{j}"]) // (n * _LR_DIV)
+            if (int(sums[f"s{j}"]) >= 0 or int(sums[f"s{j}"]) % (n * _LR_DIV) == 0)
+            else w[j] - (-int(sums[f"s{j}"])) // (n * _LR_DIV)
+            for j in range(4)
+        ]
+        n_correct = feats.filter(
+            F.expr(
+                f"({w[0]}*x0 + {w[1]}*x1 + {w[2]}*x2 + {w[3]}*x3 >= 0) = (y = 1)"
+            )
+        ).count()
+        out_rows.append((k + 1, w[0], w[1], w[2], w[3], n_correct))
+    return spark.createDataFrame(
+        out_rows, "step int, w0 bigint, w1 bigint, w2 bigint, w3 bigint, n_correct bigint"
+    ).orderBy("step")

@@ -1016,8 +1016,14 @@ def materialize_partitioned_store_sales(spark: SparkSession, sf_dir: str) -> str
         return _MATERIALIZED_DPP[key]
     out = tempfile.mkdtemp(prefix="lhbench_tpcds_dpp_")
     n_fact = _fact_rows(spark, sf_dir)
+    # NULL partition keys are excluded explicitly, the reference loader's
+    # rule for every partitioned table (TPCDSDataLoad.scala:104-107 adds
+    # "WHERE <key> IS NOT NULL"): dsdgen emits null date FKs, and writing
+    # them would create a __HIVE_DEFAULT_PARTITION__ no TPC-DS filter
+    # ever prunes. (The slice predicate already drops NULLs implicitly;
+    # stating it keeps the parity visible and slice-independent.)
     df = generate_frame(spark, "store_sales", n_fact).where(
-        f"ss_sold_date_sk < {DPP_SLICE_END_SK}"
+        f"ss_sold_date_sk IS NOT NULL AND ss_sold_date_sk < {DPP_SLICE_END_SK}"
     )
     (
         df.repartition("ss_sold_date_sk")
