@@ -32,9 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Names already holding an external green row carry the documented
-    'verified_' prefix (registry.DRIVER_GREEN) so the gate's first-50
-    alphabetical sample advances to never-checked queries each round."""
+    Dict order is the gate-rotation lever: queries without an external
+    green row are inserted FIRST (the driver checks the first ~50 in
+    insertion order), and names already holding an external green row
+    carry the documented 'verified_' prefix (registry.DRIVER_GREEN) so
+    the rotation is visible in CORRECTNESS_r{N}.json itself."""
     return {name: qd.spark_fn for name, qd in gate_queries().items()}
 
 

@@ -191,6 +191,29 @@ def test_mapinpandas_is_arrow_batched(spark):
 _BOUNDED_OFFICIAL_CARTESIANS = {"tpcds_q77"}
 
 
+def unaggregated_cross_sides(optimized_node) -> list[str]:
+    """For every condition-less logical Join (the cross-product shape),
+    return the sides whose subtree holds NO Aggregate — i.e. sides whose
+    cardinality scales with the data instead of with a GROUP BY domain.
+    The bounded-cartesian exemption is valid only when this is empty:
+    agg × agg is domain² rows at any SF; raw × anything is the 100 TB
+    product this lint exists to ban."""
+    bad = []
+    for n in _iter_plan_nodes(optimized_node):
+        if n.getClass().getSimpleName() != "Join":
+            continue
+        if not n.condition().isEmpty():
+            continue
+        for label, side in (("left", n.left()), ("right", n.right())):
+            reduced = any(
+                c.getClass().getSimpleName() == "Aggregate"
+                for c in _iter_plan_nodes(side)
+            )
+            if not reduced:
+                bad.append(f"{label}: {side.toString().splitlines()[0][:120]}")
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_unbroadcast_cartesian(spark, name):
     """No registered query may plan a CartesianProduct: an intentional
@@ -199,12 +222,31 @@ def test_no_unbroadcast_cartesian(spark, name):
     slipped in — fine at sf0.01, fatal at 100 TB."""
     plan, _ = plans_for(spark, name)
     if name in _BOUNDED_OFFICIAL_CARTESIANS:
-        # Both cartesian inputs must still be aggregates (the bounded-
-        # cardinality justification above); a text edit that drops the
-        # GROUP BY turns this back into a hard failure.
-        assert "CartesianProduct" not in plan or "HashAggregate" in plan
+        # Both sides of every condition-less join must still be
+        # aggregates (the bounded-cardinality justification above); a
+        # text edit that drops either GROUP BY turns this back into a
+        # hard failure even though CartesianProduct stays in the plan.
+        _, _, node = plans3_for(spark, name)
+        raw_sides = unaggregated_cross_sides(node)
+        assert not raw_sides, f"{name} cross-joins unaggregated data: {raw_sides}"
         return
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_cross_side_lint_fires(spark):
+    """Self-check: a cross join with one raw side must be flagged; the
+    agg × agg shape (q77's justification) must pass."""
+    orders = table(spark, SMOKE_SF, "orders")
+    nation_agg = table(spark, SMOKE_SF, "nation").groupBy("n_regionkey").count()
+
+    raw = orders.crossJoin(nation_agg)
+    hits = unaggregated_cross_sides(raw._jdf.queryExecution().optimizedPlan())
+    assert hits and hits[0].startswith("left"), hits
+
+    both_agg = orders.groupBy("o_orderstatus").count().crossJoin(nation_agg)
+    assert not unaggregated_cross_sides(
+        both_agg._jdf.queryExecution().optimizedPlan()
+    )
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
