@@ -799,3 +799,101 @@ def events_malformed_json_salvage(spark, sf_dir):
             ),
         )
     )
+
+
+_INTERP_ORACLE = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hr, event_type,
+           {dsum_sql("value")} AS value_sum
+    FROM events GROUP BY 1, 2
+), b AS (
+    SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly
+), grid AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr, et.event_type
+    FROM b, (SELECT DISTINCT event_type FROM events) et
+), j AS (
+    SELECT g.hr, g.event_type, h.value_sum,
+           epoch_us(g.hr) // 1000000 AS hr_s
+    FROM grid g LEFT JOIN hourly h ON g.hr = h.hr AND g.event_type = h.event_type
+), ctx AS (
+    SELECT hr, event_type, value_sum, hr_s,
+           LAST_VALUE(value_sum IGNORE NULLS) OVER wp AS pv,
+           LAST_VALUE(CASE WHEN value_sum IS NOT NULL THEN hr_s END IGNORE NULLS)
+               OVER wp AS pt,
+           FIRST_VALUE(value_sum IGNORE NULLS) OVER wn AS nv,
+           FIRST_VALUE(CASE WHEN value_sum IS NOT NULL THEN hr_s END IGNORE NULLS)
+               OVER wn AS nt
+    FROM j
+    WINDOW
+      wp AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      wn AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hr,
+       (value_sum IS NOT NULL) AS is_observed,
+       ROUND(CASE
+           WHEN value_sum IS NOT NULL THEN value_sum
+           WHEN pv IS NULL OR nv IS NULL THEN NULL
+           ELSE pv + (nv - pv) * ((hr_s - pt) / (nt - pt))
+       END, 6) AS interp_value
+FROM ctx
+"""
+
+
+@query(
+    "ts_interpolate_linear",
+    tags=("events", "gapfill", "interpolate", "hypertable", "extension"),
+    oracle=_INTERP_ORACLE,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Time-bucket gap filling with LINEAR interpolation — the
+    hypertable `interpolate()` sibling of `adhoc_gapfill_locf`: build
+    the hourly grid per event type, then fill each gap hour with the
+    value on the straight line between the last observation before it
+    and the first one after it (boundary gaps stay NULL — there is no
+    second anchor to draw the line through). The anchors come from two
+    ignore-nulls running windows (backward last + forward first), so the
+    fill is two linear passes over the grid — whose size is hours ×
+    types, bounded by the time span, not the event volume, at any scale.
+    Cross-engine exactness: both anchors are identical doubles, the gap
+    fraction is a bigint-seconds ratio (IEEE division, bit-identical),
+    and the result rounds to 6 decimals per the repo convention."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(dsum("value").alias("value_sum"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    grid = hours.crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    j = grid.join(hourly, ["hr", "event_type"], "left").withColumn(
+        "hr_s", F.unix_timestamp("hr")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("value_sum").isNotNull(), F.col("hr_s"))
+    pv = F.last("value_sum", ignorenulls=True).over(wp)
+    pt = F.last(obs_hr, ignorenulls=True).over(wp)
+    nv = F.first("value_sum", ignorenulls=True).over(wn)
+    nt = F.first(obs_hr, ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("value_sum").isNotNull(), F.col("value_sum"))
+        .when(pv.isNull() | nv.isNull(), F.lit(None))
+        .otherwise(pv + (nv - pv) * ((F.col("hr_s") - pt) / (nt - pt)))
+    )
+    return j.select(
+        "event_type",
+        "hr",
+        F.col("value_sum").isNotNull().alias("is_observed"),
+        F.round(interp, 6).alias("interp_value"),
+    )

@@ -1,10 +1,12 @@
 """Training-run preparation queries over ``documents`` (north-star
 extension, the stage after :mod:`lhbench_spark.queries.assembly`).
 
-Four operations a large-scale pretraining pipeline runs between "corpus
+Operations a large-scale pretraining pipeline runs between "corpus
 is clean" and "tokens hit the trainer", each expressed as a pure
 JVM-side plan (hash / window / aggregate — no Python anywhere) and each
-paired with a value-identical DuckDB oracle:
+paired with a value-identical DuckDB oracle (later additions — the BPE
+training loop, the logistic-regression fit, temperature mixture
+weights — are documented at their definitions below):
 
 - **Domain capping** (`train_domain_caps`): keep at most K documents per
   source, highest-priority first — the anti-boilerplate guard against a
@@ -687,3 +689,68 @@ def train_logreg_fit(spark, sf_dir):
     return spark.createDataFrame(
         out_rows, "step int, w0 bigint, w1 bigint, w2 bigint, w3 bigint, n_correct bigint"
     ).orderBy("step")
+
+
+# -- Temperature-scaled mixture weights ---------------------------------------
+# The multilingual/temperature-sampling staple (alpha = 0.5, i.e.
+# p_i ∝ n_i^0.5): upweight small sources, damp the head, without the
+# degenerate uniform mixture. Exactness discipline: sqrt on a bigint is
+# a correctly-rounded IEEE op (bit-identical across engines — unlike
+# exp/ln, which is why the logreg query above uses a polynomial), and
+# the weight is then frozen into integer micro-units via
+# floor(sqrt(n)·1e6 + 0.5) so the cross-source total is a bigint sum —
+# exact under any aggregation order. Every share/boost below is a
+# division of identical doubles, so no rounding window exists anywhere.
+# 100 TB shape: one map-side-combined count per source, then all
+# arithmetic on the source-cardinality frame (bounded domain); the
+# global-total window runs over that already-aggregated frame only.
+
+_MIX_TEMP_ORACLE = """
+WITH per_src AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(floor(sqrt(COUNT(*)) * 1000000 + 0.5) AS BIGINT) AS wq
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       ROUND(wq / SUM(wq) OVER (), 9) AS temp_share,
+       ROUND(n_docs / SUM(n_docs) OVER (), 9) AS flat_share,
+       ROUND((wq / SUM(wq) OVER ()) / (n_docs / SUM(n_docs) OVER ()), 9)
+           AS boost
+FROM per_src
+"""
+
+
+@query(
+    "train_mixture_temperature",
+    tags=("training", "mixture", "documents", "extension"),
+    oracle=_MIX_TEMP_ORACLE,
+)
+def train_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled source mixture (p_i ∝ n_i^alpha, alpha = 0.5):
+    per-source sampling shares that damp the head domain and boost the
+    tail, next to the flat (proportional) share and the resulting boost
+    factor. See the module comment for the micro-unit exactness
+    discipline; the partition-less total window is over the per-source
+    aggregate (bounded domain), which the global-window plan lint
+    explicitly permits."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_src = per_src.withColumn(
+        "wq",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(1000000) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    w = Window.partitionBy()
+    temp_share = F.col("wq") / F.sum("wq").over(w)
+    flat_share = F.col("n_docs") / F.sum("n_docs").over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        F.round(temp_share, 9).alias("temp_share"),
+        F.round(flat_share, 9).alias("flat_share"),
+        F.round(temp_share / flat_share, 9).alias("boost"),
+    )

@@ -413,3 +413,266 @@ def columnar_jsonl_roundtrip(spark, sf_dir):
         F.sum(F.length("text")).cast("bigint").alias("char_sum"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+
+_ORC_ORACLE = """
+SELECT source,
+       COUNT(*) AS doc_cnt,
+       CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+@query(
+    "warehouse_orc_roundtrip",
+    tags=("source", "sink", "orc", "documents"),
+    oracle=_ORC_ORACLE,
+)
+def warehouse_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink — the second columnar on-disk format Spark ships
+    natively (the reference benchmarks parquet-family formats against
+    each other; ORC is the same class of columnar scan surface): write
+    the documents table as zstd ORC, read it back with an EXPLICIT
+    schema (schema is a contract, not a discovery — same rule as the
+    JSONL roundtrip), and aggregate per source. The oracle recomputes
+    from the parquet source, so the write -> read roundtrip is
+    value-checked end to end; ORC predicate pushdown and column pruning
+    come from the same DataSource V1 scan machinery the parquet plan
+    tests pin."""
+    docs = table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="lhbench_orc_") + "/docs"
+    docs.write.mode("overwrite").option("compression", "zstd").orc(out)
+    back = spark.read.schema(docs.schema).orc(out)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_chars").cast("bigint").alias("char_sum"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+# -- Exact-arithmetic HyperLogLog (register level) ----------------------------
+# agg_sketches gates Spark's built-in HLL++ behind error-bound booleans
+# (its binary sketch state is engine-private); this is the complement:
+# the HLL MECHANICS built from scratch so the ENTIRE sketch state is
+# value-identical across engines. 60-bit md5-prefix hash -> low 8 bits
+# pick one of m=256 registers, the remaining 52 bits' leading-zero rank
+# is the register value, per-register MAX is the mergeable state (one
+# map-side-combined agg — registers merge with max(), which is why HLL
+# shards/unions freely at 100 TB), and the harmonic-mean denominator
+# Σ 2^-rank is scaled by 2^53 into a BIGINT sum — exact under any
+# aggregation order, so the final estimate is one division of identical
+# doubles. No libm anywhere (the standard small-range ln() correction is
+# deliberately omitted — ln is not cross-engine bit-stable; the raw
+# estimator plus the exact NDV and the empty-register count are the
+# value-checked contract, and the relative-error column shows the
+# sketch's real accuracy at the test SF).
+_HLL_M = 256
+# alpha_256 * m^2 * 2^53, precomputed so the estimate is literal/S.
+_HLL_NUM = 4.2399330249068963e+20
+
+_HLL_ORACLE = f"""
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv
+    FROM documents
+), reg AS (
+    SELECT hv % {_HLL_M} AS register,
+           CASE WHEN hv // {_HLL_M} = 0 THEN 53
+                ELSE 53 - length(bin(hv // {_HLL_M})) END AS rnk
+    FROM h
+), st AS (
+    SELECT register, MAX(rnk) AS max_rank FROM reg GROUP BY register
+), agg AS (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - max_rank)) AS BIGINT) AS s,
+           COUNT(*) AS n_filled
+    FROM st
+), ex AS (SELECT COUNT(DISTINCT text) AS exact_ndv FROM documents)
+SELECT CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty_registers,
+       s AS harmonic_denom_q53,
+       ROUND({_HLL_NUM!r} / (s + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53)), 6)
+           AS hll_estimate,
+       CAST(exact_ndv AS BIGINT) AS exact_ndv,
+       ROUND(({_HLL_NUM!r} / (s + ({_HLL_M} - n_filled) * (CAST(1 AS BIGINT) << 53))
+              - exact_ndv) / exact_ndv, 6) AS rel_error
+FROM agg, ex
+"""
+
+
+@query(
+    "warehouse_hll_sketch",
+    tags=("agg", "sketch", "hll", "documents", "extension"),
+    oracle=_HLL_ORACLE,
+)
+def warehouse_hll_sketch(spark, sf_dir):
+    """From-scratch HyperLogLog with value-identical state across
+    engines — see the block comment above. Empty registers contribute
+    2^-0 = 1 to the harmonic denominator (the standard estimator), added
+    as (m - filled)·2^53 in the scaled-integer space."""
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    h = docs.select(hv.alias("hv"))
+    # integer DIV, not `/` (true division goes through double and loses
+    # exactness above 2^53 — hv is a 60-bit hash)
+    rem = F.expr(f"hv div {_HLL_M}")
+    reg = h.select(
+        (F.col("hv") % _HLL_M).alias("register"),
+        F.when(rem == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(rem)))
+        .alias("rnk"),
+    )
+    st = reg.groupBy("register").agg(F.max("rnk").alias("max_rank"))
+    agg = st.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - max_rank)"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n_filled"),
+    )
+    ex = docs.agg(F.countDistinct("text").alias("exact_ndv"))
+    row = agg.crossJoin(F.broadcast(ex))
+    denom = F.col("s") + (F.lit(_HLL_M) - F.col("n_filled")) * F.lit(
+        1 << 53
+    ).cast("bigint")
+    est = F.lit(_HLL_NUM) / denom
+    return row.select(
+        (F.lit(_HLL_M) - F.col("n_filled")).cast("bigint").alias(
+            "n_empty_registers"
+        ),
+        F.col("s").alias("harmonic_denom_q53"),
+        F.round(est, 6).alias("hll_estimate"),
+        F.col("exact_ndv").cast("bigint").alias("exact_ndv"),
+        F.round((est - F.col("exact_ndv")) / F.col("exact_ndv"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+# -- Declarative data-quality constraint audit --------------------------------
+# The expectations/constraints pass every warehouse load runs before
+# publishing (CHECK constraints, FK integrity, PK uniqueness) expressed
+# as one UNION ALL of per-rule audit rows. Scale shape: the three CHECK
+# rules are map-side-combined scan-aggregates (zero shuffle beyond the
+# 1-row combine); the two FK rules are LEFT ANTI joins that shuffle on
+# the key — at 100 TB AQE plans them as broadcast (customer-side) or
+# sort-merge with the runtime bloom filter the tpcds_bloom_semijoin demo
+# pins; PK uniqueness is one groupBy on the key counting surplus rows.
+# Each branch reduces to a single row before the union, so the final
+# frame is rule-cardinality no matter the SF.
+
+_CONSTRAINT_ORACLE = """
+SELECT 'orders_totalprice_positive' AS rule,
+       COUNT(*) AS n_checked,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_range', COUNT(*),
+       CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_range', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_customer_fk', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orders_fk', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'orders_pk_unique', (SELECT COUNT(*) FROM orders),
+       (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) g
+        WHERE c > 1)
+"""
+
+
+@query(
+    "warehouse_constraint_audit",
+    tags=("quality", "constraints", "fk", "extension"),
+    oracle=_CONSTRAINT_ORACLE,
+)
+def warehouse_constraint_audit(spark, sf_dir):
+    """Declarative constraint audit: three CHECK rules, two FK rules,
+    one PK-uniqueness rule, each reduced to (rule, n_checked,
+    n_violations) before a rule-cardinality UNION ALL — see the block
+    comment for the per-branch scale shapes."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+
+    def check(name, df, bad):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(
+                "n_violations"
+            ),
+        ).select("rule", "n_checked", "n_violations")
+
+    def fk(name, child, child_total, key_pair, parent):
+        orphans = child.join(parent, key_pair, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        return (
+            child_total.crossJoin(orphans)
+            .withColumn("rule", F.lit(name))
+            .select("rule", "n_checked", "n_violations")
+        )
+
+    checks = check(
+        "orders_totalprice_positive", orders, F.col("o_totalprice") <= 0
+    ).unionByName(
+        check(
+            "lineitem_qty_range",
+            lineitem,
+            ~F.col("l_quantity").between(1, 50),
+        )
+    ).unionByName(
+        check(
+            "lineitem_discount_range",
+            lineitem,
+            ~F.col("l_discount").between(0, 1),
+        )
+    )
+
+    o_total = orders.agg(F.count(F.lit(1)).alias("n_checked"))
+    l_total = lineitem.agg(F.count(F.lit(1)).alias("n_checked"))
+    fks = fk(
+        "orders_customer_fk",
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        o_total,
+        ["c_custkey"],
+        customer.select("c_custkey"),
+    ).unionByName(
+        fk(
+            "lineitem_orders_fk",
+            lineitem.select(F.col("l_orderkey").alias("o_orderkey")),
+            l_total,
+            ["o_orderkey"],
+            orders.select("o_orderkey"),
+        )
+    )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_violations")
+        )
+    )
+    pk = (
+        o_total.crossJoin(dup)
+        .withColumn("rule", F.lit("orders_pk_unique"))
+        .select("rule", "n_checked", "n_violations")
+    )
+    return checks.unionByName(fks).unionByName(pk)
