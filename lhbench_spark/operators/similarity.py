@@ -780,15 +780,21 @@ def semantic_dedup_census(
         n = len(ids)
         dropped = np.zeros(n, dtype=bool)
         chunk = 1024
+        # Quantize before the tau comparison. np.round is round-half-EVEN
+        # while DuckDB ROUND is half-away — at a midpoint of the scaled
+        # value the two rules differ by a full 1e-9 step, which is a
+        # systematic (not ulp-sized) divergence. Instead both engines
+        # apply the SAME IEEE ops — floor(x * 1e9 + 0.5) — to their own
+        # cosine; multiply/add/floor are correctly rounded everywhere,
+        # so the rule is identical and the only residual risk is the
+        # unavoidable ulp band around quantization boundaries (same band
+        # any rounding convention has).
+        tau_q = float(np.floor(tau * 1e9 + 0.5))
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
-            # Round before the tau comparison (repo convention, see
-            # cosine()): the oracle compares ROUND(cos, 9) >= tau, and an
-            # unrounded ulp difference at the dense tau boundary would
-            # flip the census between engines.
-            sims = np.round(v[s:e] @ v.T, 9)
+            sims_q = np.floor((v[s:e] @ v.T) * 1e9 + 0.5)
             for r in range(max(s, 1), e):
-                if (sims[r - s, :r] >= tau).any():
+                if (sims_q[r - s, :r] >= tau_q).any():
                     dropped[r] = True
         nd = int(dropped.sum())
         return pd.DataFrame(

@@ -568,7 +568,8 @@ WITH v AS (
 ), drops AS (
     SELECT DISTINCT b.cell, b.vec_id
     FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(a.ev, b.ev), 9) >= {_SEMANTIC_TAU}
+    WHERE floor(list_cosine_similarity(a.ev, b.ev) * 1e9 + 0.5)
+              >= floor({_SEMANTIC_TAU} * 1e9 + 0.5)
 ), sizes AS (
     SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY 1
 ), d AS (

@@ -407,7 +407,8 @@ def train_epoch_plan(spark, sf_dir):
 # -- BPE training loop (multi-round) -----------------------------------------
 # The full tokenizer-training inner loop, K genuine rounds: count
 # adjacent pairs over the CURRENT tokenization, pick the most frequent
-# (tie-broken by pair text), re-tokenize the whole corpus with a
+# (tie-broken by the injective '|'-joined pair key), re-tokenize the
+# whole corpus with a
 # leftmost non-overlapping fold, repeat — each round's statistics come
 # from the PREVIOUS round's merged corpus, which is what distinguishes
 # BPE training from applying K pre-learned merges. Pair keys join
@@ -435,12 +436,18 @@ def _bpe_oracle() -> str:
 
     ctes = [f"t0 AS (SELECT doc_id, {textnorm.tokens_duck('text')} AS toks FROM documents)"]
     for r in range(_BPE_ROUNDS):
+        # Tie-break on the '|'-joined pair key, which is injective over
+        # token pairs; the space-joined merged text is NOT (two distinct
+        # pairs of space-bearing merge tokens can render identically in
+        # rounds >= 2), so ordering by it would leave a count tie
+        # engine-arbitrary.
         ctes.append(
             f"top{r} AS (SELECT string_split(pair, '|')[1] AS pa,"
             f" string_split(pair, '|')[2] AS pb,"
             f" replace(pair, '|', ' ') AS merged"
-            f" FROM (SELECT {_bpe_pair_duck('toks')} AS pair FROM t{r})"
-            f" GROUP BY 1, 2, 3 ORDER BY COUNT(*) DESC, merged LIMIT 1)"
+            f" FROM (SELECT pair"
+            f"       FROM (SELECT {_bpe_pair_duck('toks')} AS pair FROM t{r})"
+            f"       GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1))"
         )
         ctes.append(
             f"t{r + 1} AS (SELECT doc_id,"
@@ -502,7 +509,8 @@ def train_bpe_loop(spark, sf_dir):
                 "cnt",
                 F.replace(F.col("pair"), F.lit("|"), F.lit(" ")).alias("merged"),
             )
-            .orderBy(F.desc("cnt"), F.asc("merged"))
+            # tie-break on the injective '|'-joined key (see oracle note)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .select(
                 F.split("pair", "\\|").getItem(0).alias("pa"),

@@ -559,10 +559,14 @@ def warehouse_hll_sketch(spark, sf_dir):
 # Each branch reduces to a single row before the union, so the final
 # frame is rule-cardinality no matter the SF.
 
+# Every CHECK rule is written as CASE WHEN <ok> THEN 0 ELSE 1 — a NULL
+# measure fails <ok> and counts as a violation in BOTH engines (the
+# audit's job is to flag unknowns, and SUM-of-CASE-with-negated-
+# predicate would silently pass NULLs on the Spark side only).
 _CONSTRAINT_ORACLE = """
 SELECT 'orders_totalprice_positive' AS rule,
        COUNT(*) AS n_checked,
-       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
            AS n_violations
 FROM orders
 UNION ALL
@@ -607,11 +611,14 @@ def warehouse_constraint_audit(spark, sf_dir):
     lineitem = table(spark, sf_dir, "lineitem")
     customer = table(spark, sf_dir, "customer")
 
-    def check(name, df, bad):
+    def check(name, df, ok):
+        # violation = NOT ok, with NULL counting as a violation (the
+        # when/otherwise falls through on NULL) — mirrors the oracle's
+        # CASE WHEN <ok> THEN 0 ELSE 1 exactly.
         return df.agg(
             F.lit(name).alias("rule"),
             F.count(F.lit(1)).alias("n_checked"),
-            F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias(
+            F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias(
                 "n_violations"
             ),
         ).select("rule", "n_checked", "n_violations")
@@ -627,18 +634,18 @@ def warehouse_constraint_audit(spark, sf_dir):
         )
 
     checks = check(
-        "orders_totalprice_positive", orders, F.col("o_totalprice") <= 0
+        "orders_totalprice_positive", orders, F.col("o_totalprice") > 0
     ).unionByName(
         check(
             "lineitem_qty_range",
             lineitem,
-            ~F.col("l_quantity").between(1, 50),
+            F.col("l_quantity").between(1, 50),
         )
     ).unionByName(
         check(
             "lineitem_discount_range",
             lineitem,
-            ~F.col("l_discount").between(0, 1),
+            F.col("l_discount").between(0, 1),
         )
     )
 

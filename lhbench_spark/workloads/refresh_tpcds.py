@@ -756,12 +756,7 @@ def stage_returns_flat(
     return's own keys (same expression in the oracle)."""
     delta = stage_delta(spark, sf_dir, "store_returns", round_no)
     sec = (F.col("sr_ticket_number") * 7919 + F.col("sr_item_sk") * 131) % 86400
-    hhmmss = F.concat_ws(
-        ":",
-        F.lpad(F.floor(sec / 3600).cast("string"), 2, "0"),
-        F.lpad(F.floor(sec % 3600 / 60).cast("string"), 2, "0"),
-        F.lpad((sec % 60).cast("string"), 2, "0"),
-    )
+    hhmmss = _hhmmss(sec)
     return delta.select(
         F.col("sr_ticket_number").alias("sret_ticket_number"),
         _sk_to_date("sr_returned_date_sk").alias("sret_return_date"),
@@ -810,11 +805,7 @@ def srv_dense_view(
     verbatim semantics), item by surrogate key (SCD-non-unique id),
     customer/store/reason by business id. No join hints — AQE sizes
     every dim."""
-    t_expr = (
-        F.substring("sret_return_time", 1, 2).cast("int") * 3600
-        + F.substring("sret_return_time", 4, 2).cast("int") * 60
-        + F.substring("sret_return_time", 7, 2).cast("int")
-    )
+    t_expr = _decode_hhmmss("sret_return_time")
     return (
         flat.join(date_dim, F.col("sret_return_date") == F.col("d_date"), "left")
         .join(time_dim, t_expr == F.col("t_time"), "left")

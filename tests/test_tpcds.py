@@ -122,8 +122,8 @@ def test_skewed_store_sales_matches_schema_and_head(spark):
     skew_out = td.materialize_skewed_store_sales(spark, SMOKE_SF)
     skewed = spark.read.parquet(f"{skew_out}/store_sales")
     assert skewed.schema == base.schema
-    assert skewed.count() == base.count()
-    hot = {sk for _, sk in td.SKEW_HOT_SHARES}
     n = skewed.count()
+    assert n == base.count()
+    hot = {sk for _, sk in td.SKEW_HOT_SHARES}
     n_hot = skewed.filter(skewed.ss_item_sk.isin(list(hot))).count()
     assert 0.80 <= n_hot / n <= 0.90, n_hot / n
