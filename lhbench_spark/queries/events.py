@@ -897,3 +897,61 @@ def ts_interpolate_linear(spark, sf_dir):
         F.col("value_sum").isNotNull().alias("is_observed"),
         F.round(interp, 6).alias("interp_value"),
     )
+
+
+_OHLC_ORACLE = """
+WITH k AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr, value,
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+    FROM events
+)
+SELECT event_type, hr,
+       arg_min(value, ord) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ord) AS close,
+       COUNT(*) AS n_events
+FROM k GROUP BY event_type, hr
+"""
+
+
+@query(
+    "ts_resample_ohlc",
+    tags=("events", "resample", "ohlc", "hypertable", "extension"),
+    oracle=_OHLC_ORACLE,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Hourly OHLC downsampling (open/high/low/close — the hypertable
+    candlestick resample): ONE map-side-combined hash aggregate, no
+    window sort anywhere. open/close use min_by/max_by over a
+    zero-padded (epoch-micros, event_id) string key — lexicographic
+    order equals chronological order, the key is unique (event_id
+    breaks microsecond ties identically in both engines), and arg-min
+    aggregates combine associatively, so the plan is partial-agg →
+    exchange-on-(type,hour) → final-agg at any scale. Values are raw
+    row doubles or min/max — nothing is computed, so no rounding is
+    needed anywhere."""
+    ev = table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; the UTC-session cast to TIMESTAMP is
+    # value-identical and unix_micros accepts it (same as the LTTB x)
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            "value",
+            ord_key.alias("ord"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.expr("min_by(value, ord)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, ord)").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

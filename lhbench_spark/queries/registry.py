@@ -12,6 +12,12 @@ Determinism contract (applies to every registered query):
   casting the result back to DOUBLE (helpers in
   ``lhbench_spark.functions.numeric``); per-row double arithmetic is
   IEEE-identical across engines and needs no such treatment.
+- Threshold/rank compares on derived floats round both sides first
+  (``ROUND(x, 9)`` — Spark and DuckDB both round decimal-half-away).
+  numpy paths must NOT use ``np.round`` (half-even); they quantize with
+  ``floor(x * 1e9 + 0.5)`` mirrored literally in the oracle, so the
+  rule is the same IEEE ops in both engines (see
+  ``operators/similarity.py`` semantic_dedup_census).
 - Output column names must match the oracle exactly (driver sorts columns
   by name before hashing).
 """
