@@ -438,7 +438,7 @@ SELECT vec_a, vec_b,
 FROM cand
 JOIN v va ON va.vec_id = vec_a
 JOIN v vb ON vb.vec_id = vec_b
-WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 9) >= 0.95
+WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 9) >= 0.4
 """
 
 
@@ -448,13 +448,18 @@ WHERE ROUND(list_cosine_similarity(va.ev, vb.ev), 9) >= 0.95
     oracle=_emb_near_dup_oracle(),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cosine ≥ 0.95) via banded
-    random-hyperplane LSH blocking — candidates stay near-linear in corpus
-    size (label blocks grow O(corpus) and went quadratic)."""
+    """Embedding near-dup pairs via banded random-hyperplane LSH
+    blocking — candidates stay near-linear in corpus size (label blocks
+    grow O(corpus) and went quadratic). The threshold is calibrated to
+    THIS corpus the same way as SemDeDup's tau: the synthetic embeddings
+    are near-orthogonal (max banded-candidate cosine ~0.49), so real
+    near-dup 0.95 never fires and every oracle match would be the
+    trivial 0 = 0; 0.4 sits just inside the candidate tail and yields
+    a non-empty, value-checked pair set at every SF."""
     from lhbench_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.4)
 
 
 _SPAN_K = 8

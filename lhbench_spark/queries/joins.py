@@ -214,13 +214,23 @@ def join_semi_exists(spark, sf_dir):
     oracle="""
 SELECT c_custkey, c_mktsegment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1995-01-01'
+                  AND o_orderdate <  DATE '1995-02-01')
 """,
 )
 def join_anti_not_exists(spark, sf_dir):
-    """Anti-join via NOT EXISTS — reference q16/q94 shape → LeftAnti."""
+    """Anti-join via NOT EXISTS — reference q16/q94 shape (predicate
+    inside the EXISTS, like q94's date window) → LeftAnti with the
+    filter pushed to the build side. The window is the generator's first
+    order month, so the result is NON-EMPTY at every SF — every customer
+    has *some* order by construction, and a 0 = 0 oracle match cannot
+    catch a wrong join."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-02-01")
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")

@@ -81,14 +81,23 @@ def setop_intersect(spark, sf_dir):
 SELECT c_custkey FROM customer
 EXCEPT
 SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
 """,
 )
 def setop_except(spark, sf_dir):
-    """EXCEPT — reference q87 double-EXCEPT chain. Customers with no
-    orders (the set-op twin of join_anti_not_exists)."""
+    """EXCEPT — reference q87 double-EXCEPT chain. Customers minus the
+    January-1995 buyers (the set-op twin of join_anti_not_exists; the
+    date window keeps the difference NON-EMPTY at every SF, because
+    every customer has some order by construction and 0 = 0 is not
+    correctness evidence)."""
     cust = table(spark, sf_dir, "customer").select("c_custkey")
-    ordered = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
+    ordered = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1995-02-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
     )
     return cust.subtract(ordered)  # subtract == EXCEPT (distinct) semantics
 

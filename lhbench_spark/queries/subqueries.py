@@ -21,7 +21,7 @@ from lhbench_spark.queries.registry import query
     oracle=f"""
 SELECT p_partkey, p_name, p_retailprice
 FROM part
-WHERE p_retailprice > 1.2 * (
+WHERE p_retailprice > 1.005 * (
     SELECT {davg_sql("p_retailprice")} FROM part
 )
 """,
@@ -30,13 +30,16 @@ def subq_scalar_uncorrelated(spark, sf_dir):
     """Uncorrelated scalar subquery (q32/q92 shape). Spark-first: the
     scalar aggregate is computed once and broadcast into the filter via a
     cross-join of a 1-row DataFrame — the same plan Catalyst builds for
-    the SQL form. Decimal-exact avg keeps the threshold engine-exact."""
+    the SQL form. Decimal-exact avg keeps the threshold engine-exact.
+    The 1.005 multiplier is calibrated to the generator's narrow
+    retail-price band (900-1000): q32's textbook 1.2x never fires there,
+    and a 0 = 0 oracle match is not correctness evidence."""
     part = table(spark, sf_dir, "part")
     threshold = part.agg(
         (
             F.sum(F.col("p_retailprice").cast("decimal(18,8)")).cast("double")
             / F.count("p_retailprice")
-            * 1.2
+            * 1.005
         ).alias("thr")
     )
     return (
