@@ -36,7 +36,7 @@ def main() -> int:
     # once), then run further iterations only while inside the budget —
     # the driver gets a parseable line no matter how slow the slowest
     # query iteration is.
-    # 1380s: room for 3 full iterations of the 285-query suite at sf0.1
+    # 1380s: room for 3 full iterations of the 287-query suite at sf0.1
     # even when one iteration absorbs a host-load stall era (measured
     # clean iterations 300-340s, stalled ones up to ~480s; the paired
     # 1.15x hard wall bounds the worst case at ~26 min). Fitting the 3rd

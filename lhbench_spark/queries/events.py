@@ -955,3 +955,99 @@ def ts_resample_ohlc(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# Lag-k autocorrelation of the hourly series, k = 1 (hour-over-hour
+# persistence) and 24 (daily seasonality). Pearson r over (v_t, v_{t-k})
+# pairs in the algebraic five-sum form, every sum decimal-exact (the
+# dsum discipline — products of identical doubles are identical, so
+# their decimal casts sum order-free), and the final r is arithmetic on
+# identical doubles (sqrt is correctly-rounded IEEE). The series is the
+# per-(type, hour) aggregate, so the windows and sums run over a frame
+# bounded by time span x types — never event volume. A zero-variance
+# side yields NULL via an explicit guard (identical in both engines,
+# instead of an engine-specific inf/NaN).
+_AUTOCORR_ORACLE = f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           {dsum_sql("value")} AS v
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, v,
+           LAG(v, 1)  OVER w AS l1,
+           LAG(v, 24) OVER w AS l24
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), stats AS (
+    SELECT event_type, 1 AS lag_hours,
+           COUNT(*) AS n_pairs,
+           {dsum_sql("v")} AS sx, {dsum_sql("l1")} AS sy,
+           {dsum_sql("v * v")} AS sxx, {dsum_sql("l1 * l1")} AS syy,
+           {dsum_sql("v * l1")} AS sxy
+    FROM lagged WHERE l1 IS NOT NULL GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 24,
+           COUNT(*),
+           {dsum_sql("v")}, {dsum_sql("l24")},
+           {dsum_sql("v * v")}, {dsum_sql("l24 * l24")},
+           {dsum_sql("v * l24")}
+    FROM lagged WHERE l24 IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, lag_hours, n_pairs,
+       ROUND(CASE
+           WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+           THEN (n_pairs * sxy - sx * sy)
+                / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+       END, 6) AS autocorr
+FROM stats
+"""
+
+
+@query(
+    "ts_autocorr",
+    tags=("events", "autocorr", "seasonality", "extension"),
+    oracle=_AUTOCORR_ORACLE,
+)
+def ts_autocorr(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly value series per
+    event type — the seasonality probe a metrics pipeline runs before
+    choosing window sizes. See the block comment for the exactness and
+    scale shape (everything past the first aggregate is bounded by time
+    span x types)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(dsum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 24).over(w).alias("l24"),
+    )
+
+    def branch(lcol: str, k: int):
+        return (
+            lagged.filter(F.col(lcol).isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                dsum("v").alias("sx"),
+                dsum(lcol).alias("sy"),
+                dsum(F.col("v") * F.col("v")).alias("sxx"),
+                dsum(F.col(lcol) * F.col(lcol)).alias("syy"),
+                dsum(F.col("v") * F.col(lcol)).alias("sxy"),
+            )
+            .withColumn("lag_hours", F.lit(k))
+        )
+
+    stats = branch("l1", 1).unionByName(branch("l24", 24))
+    n = F.col("n_pairs")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(varx * vary),
+    )
+    return stats.select(
+        "event_type", "lag_hours", "n_pairs", F.round(r, 6).alias("autocorr")
+    )

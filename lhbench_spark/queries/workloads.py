@@ -683,3 +683,150 @@ def warehouse_constraint_audit(spark, sf_dir):
         .select("rule", "n_checked", "n_violations")
     )
     return checks.unionByName(fks).unionByName(pk)
+
+
+# -- Exact-arithmetic Bloom filter (bit-position level) ------------------------
+# The companion to warehouse_hll_sketch, for the second classic sketch:
+# a Bloom filter whose ENTIRE state is value-identical across engines.
+# The engine already demonstrates Spark's built-in runtime bloom
+# pushdown (tpcds_bloom_semijoin, plan-asserted); this one builds the
+# filter from first principles so the membership math itself is
+# oracle-checked: k=3 salted md5 bit positions per key into m=4096
+# bits, the filter is the DISTINCT position set (<= m rows — a Bloom
+# filter is a GROUP BY in disguise, which is why it unions/shards for
+# free), probes check every distinct position via a broadcast join
+# against the bounded bit set, and the false-positive rate is measured
+# against exact membership (a digest semi-join). All counts are integer;
+# the only division is fp_count / nonmember_count on identical bigints.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+_BLOOM_SALTS = [f"b{j}" for j in range(_BLOOM_K)]
+
+
+def _bloom_pos_duck(key: str, salt: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || {key}), 1, 6) AS BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH build_keys AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+), probe_keys AS (
+    SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 1
+), bits AS (
+    SELECT DISTINCT pos FROM build_keys,
+    UNNEST([{", ".join(_bloom_pos_duck("text", s) for s in _BLOOM_SALTS)}]) t(pos)
+), probe_pos AS (
+    SELECT text, pos FROM (
+        SELECT DISTINCT text, pos FROM probe_keys,
+        UNNEST([{", ".join(_bloom_pos_duck("text", s) for s in _BLOOM_SALTS)}]) t(pos)
+    )
+), verdict AS (
+    SELECT p.text,
+           COUNT(*) AS n_pos,
+           SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+           EXISTS (SELECT 1 FROM build_keys b WHERE b.text = p.text) AS is_member
+    FROM probe_pos p LEFT JOIN bits ON p.pos = bits.pos
+    GROUP BY p.text
+)
+SELECT {_BLOOM_M} AS m_bits, {_BLOOM_K} AS k_hashes,
+       (SELECT COUNT(*) FROM build_keys) AS n_build,
+       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+       COUNT(*) AS n_probe,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+       CAST(SUM(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_positive,
+       CAST(SUM(CASE WHEN n_hit = n_pos AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       ROUND(CAST(SUM(CASE WHEN n_hit = n_pos AND NOT is_member THEN 1 ELSE 0 END)
+                  AS BIGINT)
+             / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT),
+             6) AS fp_rate
+FROM verdict
+"""
+
+
+@query(
+    "warehouse_bloom_membership",
+    tags=("sketch", "bloom", "documents", "extension"),
+    oracle=_BLOOM_ORACLE,
+)
+def warehouse_bloom_membership(spark, sf_dir):
+    """From-scratch Bloom filter with value-identical state across
+    engines and a measured false-positive rate — see the block comment.
+    The bit set is bounded by m (a literal), so the probe join
+    broadcasts legitimately at any SF; exact membership is a distinct
+    digest semi-join."""
+    docs = table(spark, sf_dir, "documents")
+    build_keys = docs.filter(F.col("doc_id") % 2 == 0).select("text").distinct()
+    probe_keys = docs.filter(F.col("doc_id") % 2 == 1).select("text").distinct()
+
+    def positions(df):
+        pos = F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(s), F.col("text"))), 1, 6),
+                    16,
+                    10,
+                ).cast("bigint")
+                % _BLOOM_M
+                for s in _BLOOM_SALTS
+            ]
+        )
+        return df.select("text", F.explode(pos).alias("pos")).distinct()
+
+    bits = positions(build_keys).select("pos").distinct()
+    probe_pos = positions(probe_keys)
+    hit = probe_pos.join(
+        F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left"
+    )
+    member = probe_keys.join(build_keys, "text", "left_semi").withColumn(
+        "_member", F.lit(True)
+    )
+    verdict = (
+        hit.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .join(member, "text", "left")
+        .withColumn("is_member", F.coalesce(F.col("_member"), F.lit(False)))
+    )
+    n_build = build_keys.agg(F.count(F.lit(1)).alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    pos_flag = F.col("n_hit") == F.col("n_pos")
+    out = verdict.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_member"),
+        F.sum(F.when(pos_flag, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(pos_flag & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("_n_nonmember"),
+    )
+    return (
+        out.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M).alias("m_bits"),
+            F.lit(_BLOOM_K).alias("k_hashes"),
+            F.col("n_build").cast("bigint").alias("n_build"),
+            F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+            "n_probe",
+            "n_member",
+            "n_bloom_positive",
+            "n_false_positive",
+            F.round(
+                F.col("n_false_positive") / F.col("_n_nonmember"), 6
+            ).alias("fp_rate"),
+        )
+    )
