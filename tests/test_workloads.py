@@ -184,3 +184,70 @@ def test_staging_csv_roundtrip_survives_embedded_delimiters(spark, tmp_path):
     write_staging_csv(src, path)
     back = read_staging_csv(spark, path, schema)
     assert sorted((r.k, r.s) for r in back.collect()) == sorted(rows)
+
+
+def test_hll_estimate_within_theoretical_bound(spark):
+    """HyperLogLog with m=256 registers has standard error 1.04/sqrt(m)
+    ≈ 6.5%; the raw estimator (no small-range correction) must land
+    within 3 sigma of the exact NDV at both smoke SFs — a sanity floor
+    under the exact oracle match (which proves parity, not accuracy)."""
+    from lhbench_spark.queries.workloads import warehouse_hll_sketch
+
+    for sf in (SMOKE_SF, SMOKE_SF.replace("0.001", "0.01")):
+        row = warehouse_hll_sketch(spark, sf).collect()[0]
+        assert row.exact_ndv > 0
+        assert abs(row.rel_error) <= 3 * 1.04 / (256 ** 0.5), (sf, row)
+
+
+def test_bloom_membership_properties(spark):
+    """Structural guarantees of the Bloom audit: no false negatives
+    (every true member is bloom-positive), the bit set never exceeds m,
+    and the measured FP rate stays under the loose m/k/n envelope for
+    this corpus (<= 25% — the exact value is oracle-checked; this guards
+    against a degenerate all-positive filter)."""
+    from lhbench_spark.queries.workloads import warehouse_bloom_membership
+
+    row = warehouse_bloom_membership(spark, SMOKE_SF).collect()[0]
+    assert row.n_bits_set <= row.m_bits
+    # no false negatives: positives must cover every true member
+    assert row.n_bloom_positive >= row.n_member
+    assert row.n_bloom_positive - row.n_false_positive == row.n_member
+    assert row.fp_rate is None or row.fp_rate <= 0.25, row
+
+
+def test_ohlc_matches_independent_window_method(spark):
+    """Cross-check the arg-min/arg-max OHLC against an independent
+    row_number-window formulation over the same ordering key — two
+    different plans, identical values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.catalog import table
+    from lhbench_spark.queries.events import ts_resample_ohlc
+
+    got = {
+        (r.event_type, r.hr): (r.open, r.close)
+        for r in ts_resample_ohlc(spark, SMOKE_SF).collect()
+    }
+    ev = table(spark, SMOKE_SF, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hr").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ref = (
+        ev.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .groupBy("event_type", "hr")
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        )
+    )
+    want = {(r.event_type, r.hr): (r.open, r.close) for r in ref.collect()}
+    assert got == want
