@@ -903,7 +903,7 @@ _OHLC_ORACLE = """
 WITH k AS (
     SELECT event_type, date_trunc('hour', ts) AS hr, value,
            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+               || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
     FROM events
 )
 SELECT event_type, hr,
@@ -937,7 +937,10 @@ def ts_resample_ohlc(spark, sf_dir):
     # value-identical and unix_micros accepts it (same as the LTTB x)
     ord_key = F.concat(
         F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        # 20 covers any BIGINT (19 digits) — lpad TRUNCATES when the
+        # value outgrows the pad, which would silently corrupt the
+        # open/close ordering (r7 advice)
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
     )
     return (
         ev.select(

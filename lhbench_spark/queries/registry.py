@@ -136,10 +136,11 @@ DRIVER_GREEN: dict[str, int] = {
     "analytic_frames_ntile": 5,
     "analytic_percent_rank": 5,
     "analytic_rank_over_rollup": 5,
-    "ann_knn_classify": 6,
     "ann_embedding_quantize": 5,
+    "ann_ivf_incremental": 7,
     "ann_ivf_partitioned": 5,
     "ann_ivf_topk": 5,
+    "ann_knn_classify": 6,
     "ann_label_centroids": 5,
     "ann_pq_recall": 6,
     "ann_recall": 5,
@@ -156,41 +157,64 @@ DRIVER_GREEN: dict[str, int] = {
     "columnar_unpivot": 5,
     "complex_q14_intersect_rollup": 5,
     "complex_q23_best_customers": 5,
+    "complex_q51_cumulative_join": 7,
     "complex_q64_bigjoin": 4,
+    "complex_q78_channel_join": 7,
+    "continuous_cdc_replica": 7,
     "continuous_dedup_replay": 4,
     "continuous_enrich_static": 4,
     "continuous_sessionize": 4,
     "continuous_sink_table": 4,
     "continuous_stateful_ema": 4,
+    "continuous_stream_join": 7,
     "continuous_tumbling_window": 4,
+    "corpus_bpe_apply_merge": 7,
+    "corpus_bpe_merge_step": 7,
     "corpus_bpe_tokens": 4,
+    "corpus_charlm_perplexity": 7,
     "corpus_chunk_windows": 4,
+    "corpus_curation_pipeline": 7,
     "corpus_decontaminate": 4,
+    "corpus_hashed_features": 7,
+    "corpus_mixture_sample": 7,
+    "corpus_pack_sequences": 7,
     "corpus_pii_redact": 4,
+    "corpus_quality_classifier": 7,
     "corpus_repetition_filters": 4,
     "corpus_tfidf_topterms": 4,
+    "corpus_train_split": 7,
     "csv_refresh_parts_view": 3,
     "csv_refresh_view": 3,
     "ctas_readback": 3,
     "dedup_cluster_keepers": 3,
+    "dedup_containment": 7,
     "dedup_embedding_cosine": 3,
     "dedup_exact": 3,
+    "dedup_incremental_store": 7,
     "dedup_minhash_lsh": 3,
     "dedup_minhash_top_pairs": 3,
     "dedup_ngram_jaccard": 3,
+    "dedup_repeated_spans": 7,
+    "dedup_semantic_cells": 7,
     "dedup_simhash": 3,
     "dedup_simhash_pairs": 3,
+    "events_downsample_lttb": 7,
     "events_funnel": 3,
     "events_hopping_window": 3,
     "events_hypertable_rollup": 3,
     "events_json_extract": 3,
+    "events_malformed_json_salvage": 7,
     "events_map_explode": 3,
+    "events_outlier_mad": 7,
     "events_retention": 3,
+    "events_rolling_features": 7,
+    "events_scd2_versions": 7,
     "events_sessionize": 3,
     "events_tumbling_window": 3,
     "file_count_answers": 3,
     "join_anti_not_exists": 3,
     "join_asof_last_event": 3,
+    "join_asof_next_event": 7,
     "join_bucketed_colocated": 3,
     "join_full_outer": 3,
     "join_left_outer": 3,
@@ -203,9 +227,12 @@ DRIVER_GREEN: dict[str, int] = {
     "merge_micro_counts": 3,
     "merge_upsert": 3,
     "multimodal_binary_meta": 3,
+    "multimodal_features": 7,
     "multimodal_sample_plan": 3,
     "range_gen_table": 3,
+    "sample_rand_filter": 7,
     "sample_stratified_hash": 3,
+    "sample_weighted_reservoir": 7,
     "scalar_casts": 2,
     "scalar_date_funcs": 2,
     "scalar_math_case": 2,
@@ -215,6 +242,7 @@ DRIVER_GREEN: dict[str, int] = {
     "setop_union_all_channels": 1,
     "sim_ann_lsh_topk": 1,
     "sim_bruteforce_topk": 1,
+    "sim_kmeans_recall": 7,
     "sort_topk": 1,
     "subq_in_list": 1,
     "subq_scalar_correlated": 1,
@@ -223,13 +251,34 @@ DRIVER_GREEN: dict[str, int] = {
     "text_langid": 1,
     "text_quality_scores": 1,
     "text_token_stats": 1,
+    "tpcds_bloom_semijoin": 7,
+    "tpcds_dpp_store_sales": 7,
+    "tpcds_q01": 7,
+    "tpcds_q02": 7,
+    "tpcds_q03": 7,
+    "tpcds_q04": 7,
+    "tpcds_q05": 7,
+    "tpcds_q06": 7,
+    "tpcds_q07": 7,
+    "tpcds_q08": 7,
+    "tpcds_q09": 7,
+    "tpcds_q10": 7,
+    "tpcds_q11": 7,
+    "tpcds_q13": 7,
+    "tpcds_q14a": 7,
+    "tpcds_q14b": 7,
+    "tpcds_q15": 7,
+    "tpcds_q16": 7,
+    "tpcds_q17": 7,
+    "tpcds_q18": 7,
+    "tpcds_q19": 7,
     "warehouse_db_lifecycle": 3,
     "win_avg_deviation": 1,
     "win_lag_lead_monthly": 1,
     "win_numbering": 1,
     "win_rank_topn_per_group": 1,
     "win_ratio_to_report": 1,
-    "win_running_total": 1
+    "win_running_total": 1,
 }
 
 GATE_VERIFIED_PREFIX = "verified_"
@@ -250,9 +299,16 @@ def gate_queries() -> dict[str, QueryDef]:
     Insertion order is the rotation lever (the driver checks the first
     ~50 entries in dict order — see the block comment above): queries
     without an external green row come first (canonical-sorted), then
-    the DRIVER_GREEN ones (canonical-sorted, 'verified_'-prefixed)."""
+    the DRIVER_GREEN ones ('verified_'-prefixed), ordered oldest
+    green-round first so that once the pending queue drains below the
+    window size, the stalest external verdicts are re-checked first —
+    the re-verification quota the r7 advice asked for (a regression in
+    an already-green query is otherwise only caught by the self-recorded
+    full sweep)."""
     pending = {n: qd for n, qd in sorted(_REGISTRY.items()) if n not in DRIVER_GREEN}
     green = {
-        gate_name(n): qd for n, qd in sorted(_REGISTRY.items()) if n in DRIVER_GREEN
+        gate_name(n): _REGISTRY[n]
+        for n in sorted(DRIVER_GREEN, key=lambda n: (DRIVER_GREEN[n], n))
+        if n in _REGISTRY
     }
     return {**pending, **green}

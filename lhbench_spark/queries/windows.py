@@ -57,8 +57,9 @@ def win_rank_topn_per_group(spark, sf_dir):
     tags=("window", "agg-over-agg"),
     oracle=f"""
 SELECT r_name, n_name, nation_rev,
-       nation_rev * 100 / CAST(SUM(CAST(nation_rev AS DECIMAL(18,8)))
-                              OVER (PARTITION BY r_name) AS DOUBLE) AS rev_pct
+       ROUND(nation_rev * 100 / CAST(SUM(CAST(nation_rev AS DECIMAL(18,8)))
+                                OVER (PARTITION BY r_name) AS DOUBLE), 9)
+           AS rev_pct
 FROM (
     SELECT r_name, n_name,
            {dsum_sql("l_extendedprice * (1 - l_discount)")} AS nation_rev
@@ -96,7 +97,10 @@ def win_ratio_to_report(spark, sf_dir):
         "r_name",
         "n_name",
         "nation_rev",
-        (F.col("nation_rev") * 100 / region_rev).alias("rev_pct"),
+        # ROUND(.., 9): r7's external gate (tpcds_q12) proved a
+        # windowed-decimal-cast RATIO can differ in the last ulp under a
+        # different DuckDB build — round before it recycles into the gate
+        F.round(F.col("nation_rev") * 100 / region_rev, 9).alias("rev_pct"),
     )
 
 
@@ -107,9 +111,9 @@ def win_ratio_to_report(spark, sf_dir):
 SELECT p_brand, p_type, brand_type_rev, brand_avg
 FROM (
     SELECT p_brand, p_type, brand_type_rev,
-           CAST(SUM(CAST(brand_type_rev AS DECIMAL(18,8)))
-                OVER (PARTITION BY p_brand) AS DOUBLE)
-           / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+           ROUND(CAST(SUM(CAST(brand_type_rev AS DECIMAL(18,8)))
+                      OVER (PARTITION BY p_brand) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY p_brand), 6) AS brand_avg
     FROM (
         SELECT p_brand, p_type, {dsum_sql("l_extendedprice")} AS brand_type_rev
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -137,7 +141,9 @@ def win_avg_deviation(spark, sf_dir):
         F.sum(F.col("brand_type_rev").cast("decimal(18,8)")).over(w).cast("double")
         / F.count(F.lit(1)).over(w)
     )
-    return bt.withColumn("brand_avg", brand_avg).filter(
+    # ROUND(.., 6) BEFORE the deviation filter (same q12-class ulp
+    # defense as rev_pct above; the oracle rounds in the same place)
+    return bt.withColumn("brand_avg", F.round(brand_avg, 6)).filter(
         F.col("brand_type_rev") > F.col("brand_avg") * 1.1
     )
 

@@ -743,7 +743,8 @@ SELECT {_BLOOM_M} AS m_bits, {_BLOOM_K} AS k_hashes,
             AS BIGINT) AS n_false_positive,
        ROUND(CAST(SUM(CASE WHEN n_hit = n_pos AND NOT is_member THEN 1 ELSE 0 END)
                   AS BIGINT)
-             / CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT),
+             / NULLIF(CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+                           AS BIGINT), 0),
              6) AS fp_rate
 FROM verdict
 """
@@ -825,8 +826,15 @@ def warehouse_bloom_membership(spark, sf_dir):
             "n_member",
             "n_bloom_positive",
             "n_false_positive",
+            # NULL (not NaN/inf) when every probe key is a member —
+            # DuckDB's double division would otherwise produce NaN on a
+            # zero denominator while Spark yields NULL (r7 advice).
             F.round(
-                F.col("n_false_positive") / F.col("_n_nonmember"), 6
+                F.when(
+                    F.col("_n_nonmember") > 0,
+                    F.col("n_false_positive") / F.col("_n_nonmember"),
+                ),
+                6,
             ).alias("fp_rate"),
         )
     )

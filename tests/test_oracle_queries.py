@@ -63,66 +63,65 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # registry.py's rotation comment). registry.gate_queries() therefore
 # inserts never-gate-checked queries FIRST (canonical-sorted), then the
 # DRIVER_GREEN ones, so each round's sample lands on queries that still
-# NEED external evidence. Round 7's window is the 28 never-checked
-# non-TPC-DS queries (rounds 5/6 additions incl. the 3 no-oracle
-# rows-only entries, plus ann_ivf_incremental added this round), the
-# DPP/bloom scale demos, then tpcds_q01-q19 (incl. 14a/b) up to the
-# 50-slot cut. tpcds_refresh_csv_dense and the other round-7 additions
-# sort after tpcds_q19, outside the window, and are covered by the
+# NEED external evidence. Round 8's window is tpcds_q12 (r7's one red
+# row — its revenueratio is now ROUND(.., 9)-hardened, so the re-gate
+# is the fix's proof) followed by tpcds_q20-q65 up to the 50-slot cut.
+# The remaining 61 pending (q66-q99, the 13 tpcds_refresh_* chains,
+# train_*, ts_*, warehouse_*) rotate in r9/r10 and stay covered by the
 # recorded full sweep (reports/oracle_full_run.json, every query at
 # sf0.001+sf0.01), as are all out-of-window queries. Change this list
 # CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
-    "ann_ivf_incremental",
-    "complex_q51_cumulative_join",
-    "complex_q78_channel_join",
-    "continuous_cdc_replica",
-    "continuous_stream_join",
-    "corpus_bpe_apply_merge",
-    "corpus_bpe_merge_step",
-    "corpus_charlm_perplexity",
-    "corpus_curation_pipeline",
-    "corpus_hashed_features",
-    "corpus_mixture_sample",
-    "corpus_pack_sequences",
-    "corpus_quality_classifier",
-    "corpus_train_split",
-    "dedup_containment",
-    "dedup_incremental_store",
-    "dedup_repeated_spans",
-    "dedup_semantic_cells",
-    "events_downsample_lttb",
-    "events_malformed_json_salvage",
-    "events_outlier_mad",
-    "events_rolling_features",
-    "events_scd2_versions",
-    "join_asof_next_event",
-    "multimodal_features",
-    "sample_rand_filter",
-    "sample_weighted_reservoir",
-    "sim_kmeans_recall",
-    "tpcds_bloom_semijoin",
-    "tpcds_dpp_store_sales",
-    "tpcds_q01",
-    "tpcds_q02",
-    "tpcds_q03",
-    "tpcds_q04",
-    "tpcds_q05",
-    "tpcds_q06",
-    "tpcds_q07",
-    "tpcds_q08",
-    "tpcds_q09",
-    "tpcds_q10",
-    "tpcds_q11",
     "tpcds_q12",
-    "tpcds_q13",
-    "tpcds_q14a",
-    "tpcds_q14b",
-    "tpcds_q15",
-    "tpcds_q16",
-    "tpcds_q17",
-    "tpcds_q18",
-    "tpcds_q19",
+    "tpcds_q20",
+    "tpcds_q21",
+    "tpcds_q22",
+    "tpcds_q23a",
+    "tpcds_q23b",
+    "tpcds_q24a",
+    "tpcds_q24b",
+    "tpcds_q25",
+    "tpcds_q26",
+    "tpcds_q27",
+    "tpcds_q28",
+    "tpcds_q29",
+    "tpcds_q30",
+    "tpcds_q31",
+    "tpcds_q32",
+    "tpcds_q33",
+    "tpcds_q34",
+    "tpcds_q35",
+    "tpcds_q36",
+    "tpcds_q37",
+    "tpcds_q38",
+    "tpcds_q39a",
+    "tpcds_q39b",
+    "tpcds_q40",
+    "tpcds_q41",
+    "tpcds_q42",
+    "tpcds_q43",
+    "tpcds_q44",
+    "tpcds_q45",
+    "tpcds_q46",
+    "tpcds_q47",
+    "tpcds_q48",
+    "tpcds_q49",
+    "tpcds_q50",
+    "tpcds_q51",
+    "tpcds_q52",
+    "tpcds_q53",
+    "tpcds_q54",
+    "tpcds_q55",
+    "tpcds_q56",
+    "tpcds_q57",
+    "tpcds_q58",
+    "tpcds_q59",
+    "tpcds_q60",
+    "tpcds_q61",
+    "tpcds_q62",
+    "tpcds_q63",
+    "tpcds_q64",
+    "tpcds_q65",
 ]
 
 

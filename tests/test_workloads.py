@@ -193,7 +193,9 @@ def test_hll_estimate_within_theoretical_bound(spark):
     under the exact oracle match (which proves parity, not accuracy)."""
     from lhbench_spark.queries.workloads import warehouse_hll_sketch
 
-    for sf in (SMOKE_SF, SMOKE_SF.replace("0.001", "0.01")):
+    # explicit SF pair — a string-replace on SMOKE_SF would silently
+    # degenerate to a duplicate run if SMOKE_SF ever changed (r7 advice)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         row = warehouse_hll_sketch(spark, sf).collect()[0]
         assert row.exact_ndv > 0
         assert abs(row.rel_error) <= 3 * 1.04 / (256 ** 0.5), (sf, row)

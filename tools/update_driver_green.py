@@ -36,10 +36,15 @@ def main() -> int:
             unknown.append(gate_name)
             continue
         # Green = full value match, or a clean rows-only run for the
-        # no-oracle queries (the driver records the weaker check there).
-        green = r.get("err") is None and (
-            r.get("hash_match") is True
-            or (r.get("hash_match") is None and r.get("spark_rows") is not None)
+        # no-oracle queries (the driver records the weaker check there;
+        # since r7 it marks those rows with err='no_oracle' rather than
+        # err=None, so both spellings are accepted).
+        green = (
+            r.get("err") is None and r.get("hash_match") is True
+        ) or (
+            r.get("err") in (None, "no_oracle")
+            and r.get("hash_match") is None
+            and r.get("spark_rows") is not None
         )
         if not green:
             red.append((gate_name, r))
