@@ -88,7 +88,9 @@ def get_query(name: str) -> QueryDef:
 # two entries were green under a former name: join_bucketed_colocated as
 # bucketed_colocated_join r1, warehouse_db_lifecycle as
 # catalog_db_lifecycle r3). gate_queries() (a) inserts never-checked
-# queries FIRST (canonical-sorted), then the already-green ones, and
+# queries FIRST (canonical-sorted), then the already-green ones
+# (oldest green round first, so once the pending queue drains below the
+# window size the stalest external verdicts are re-checked), and
 # (b) prefixes green names with "verified_" so the rotation is visible
 # in CORRECTNESS_r{N}.json itself — an explicit, documented rotation,
 # not hidden renaming: canonical names stay unchanged everywhere else
