@@ -127,3 +127,62 @@ def test_skewed_store_sales_matches_schema_and_head(spark):
     hot = {sk for _, sk in td.SKEW_HOT_SHARES}
     n_hot = skewed.filter(skewed.ss_item_sk.isin(list(hot))).count()
     assert 0.80 <= n_hot / n <= 0.90, n_hot / n
+
+
+def test_dstd_exact_stddev_bit_identical_across_engines(spark, oracle):
+    """The _dstd exact-sums stddev (tpcds_queries.py) exists because r7's
+    external gate showed engine-private float realizations (native
+    STDDEV_SAMP, windowed-decimal-cast ratios) can differ in the last
+    ulp under a different DuckDB build. Pin both halves of its claim:
+    (a) BIT-IDENTICAL doubles from Spark and DuckDB running the same
+    text (the decimal sums are exact, the IEEE chain is deterministic,
+    sqrt is correctly rounded), and (b) numerically equal to the native
+    stddev_samp within float tolerance (the algebraic form is the same
+    statistic)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.catalog import table
+    from lhbench_spark.queries.tpcds_queries import _dstd
+
+    con = oracle(SMOKE_SF)
+    text = (
+        f"SELECT l_returnflag, {_dstd('l_quantity')} AS std_q "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    table(spark, SMOKE_SF, "lineitem").createOrReplaceTempView("lineitem")
+    got = {r.l_returnflag: r.std_q for r in spark.sql(text).collect()}
+    want = {f: s for f, s in con.sql(text).fetchall()}
+    assert got == want, (got, want)  # exact, not approx — bit-identical
+
+    native = {
+        r.l_returnflag: r.std_native
+        for r in table(spark, SMOKE_SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.stddev_samp("l_quantity").alias("std_native"))
+        .collect()
+    }
+    for flag, v in got.items():
+        assert math.isclose(v, native[flag], rel_tol=1e-6), (flag, v, native[flag])
+
+
+def test_dstd_null_when_group_too_small(spark):
+    """_dstd must reproduce stddev_samp's NULL contract: NULL for n<=1
+    (and ignore NULL inputs in n)."""
+    from lhbench_spark.queries.tpcds_queries import _dstd
+
+    df = spark.createDataFrame(
+        [("a", 7), ("b", 3), ("b", None), ("c", 1), ("c", 5)],
+        "g string, x int",
+    )
+    df.createOrReplaceTempView("dstd_probe")
+    rows = {
+        r.g: r.s
+        for r in spark.sql(
+            f"SELECT g, {_dstd('x')} AS s FROM dstd_probe GROUP BY g"
+        ).collect()
+    }
+    assert rows["a"] is None  # n == 1
+    assert rows["b"] is None  # one non-null value
+    assert rows["c"] == round((((5 - 3) ** 2 + (1 - 3) ** 2) / 1) ** 0.5, 9)
