@@ -172,3 +172,33 @@ def test_gate_rotation_mapping_is_sound():
         bare = gname.removeprefix(GATE_VERIFIED_PREFIX)
         assert bare == qd.name
         assert (qd.name in DRIVER_GREEN) == gname.startswith(GATE_VERIFIED_PREFIX)
+
+
+def test_float_output_inventory_is_deliberate(oracle):
+    """Every FLOAT/DOUBLE output column of every registered oracle must
+    match the recorded inventory (reports/float_outputs.json). Float
+    outputs are the cross-build hash-fragility surface the r7 external
+    gate exposed (tpcds_q12's unrounded ratio failed on a last-ulp
+    realization difference in a different DuckDB build) — so adding one
+    is a conscious act: review the new column against SCALE.md's
+    three-tier float-determinism discipline (exact carriers → IEEE
+    chain → ROUND on division/sqrt/libm outputs), then regenerate with
+    `python tools/record_float_outputs.py`."""
+    import json
+    import os
+
+    from tools.record_float_outputs import SF_DIR, compute_inventory
+
+    con = oracle(SF_DIR)
+    got = compute_inventory(con)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "reports",
+        "float_outputs.json",
+    )
+    want = json.load(open(path))
+    assert got == want, (
+        "float output columns changed; review against SCALE.md's "
+        "determinism tiers, then `python tools/record_float_outputs.py` — "
+        f"diff queries: {sorted(set(got) ^ set(want)) or [k for k in got if got[k] != want.get(k)]}"
+    )
