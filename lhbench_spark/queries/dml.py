@@ -890,3 +890,177 @@ def acid_zorder_recluster(spark, sf_dir):
         .withColumn("key_pruned", F.lit(scanned("o_orderkey", 1024) < total_files))
         .withColumn("operation", F.lit(t.current.operation))
     )
+
+
+# -- MoR deletion vectors ------------------------------------------------------
+# The tombstone lifecycle end-to-end: upsert deltas, DELETE as a
+# pk-only deletion-vector commit (zero rewrites — Delta's deletion
+# vectors / Iceberg's delete files at key granularity), then a later
+# MERGE that RESURRECTS a tombstoned key subset (latest-per-key: the
+# newer delta supersedes the tombstone). Key classes by construction:
+# target keys ≡ 1 (mod 4); the delete hides the ≡ 5 (mod 8) half;
+# the resurrection source is ≡ 21 (mod 24) ⊂ deleted (21 ≡ 5 mod 8).
+_MOR_DV_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source1 AS (
+    SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+           o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_SOURCE_PRED}
+), state1 AS (
+    SELECT * FROM source1
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source1 s WHERE s.o_orderkey = t.o_orderkey)
+), state2 AS (
+    SELECT * FROM state1 WHERE NOT (o_orderkey % 8 = 5)
+), source2 AS (
+    SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+           o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 24 = 21
+), state3 AS (
+    SELECT * FROM source2
+    UNION ALL
+    SELECT t.* FROM state2 t
+    WHERE NOT EXISTS (SELECT 1 FROM source2 s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       0 AS files_rewritten
+FROM state3
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_mor_delete_vectors",
+    tags=("dml", "delete", "mor", "deletion-vector", "managed-table"),
+    oracle=_MOR_DV_ORACLE,
+)
+def acid_mor_delete_vectors(spark, sf_dir):
+    """Deletion-vector lifecycle on a merge-on-read table: upsert →
+    DELETE WHERE as a pk-only TOMBSTONE commit (write cost O(deleted
+    keys), files_rewritten must stay 0 across all three ops) →
+    a later MERGE resurrects a tombstoned key subset (the newer delta
+    wins the latest-per-key resolve over the tombstone). The read-back
+    aggregation value-checks the resolved state; the oracle replays the
+    same three ops relationally."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        table_mode="mor",
+        primary_keys=("o_orderkey",),
+    )
+    m1 = t.merge(_source(spark, sf_dir), on=["o_orderkey"])
+    m2 = t.delete("o_orderkey % 8 = 5")
+    resurrect = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey % 24 = 21")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("o_orderstatus", F.lit("R"))
+    )
+    m3 = t.merge(resurrect, on=["o_orderkey"])
+    rewrites = int(m1["files_rewritten"]) + int(m2["files_rewritten"]) + int(
+        m3["files_rewritten"]
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("files_rewritten", F.lit(rewrites).cast("int"))
+    )
+
+
+# -- MERGE full sync (WHEN NOT MATCHED BY SOURCE DELETE) -----------------------
+# Delta's third merge clause, scope-bounded the way real snapshot-apply
+# pipelines run it: inside the scope the target becomes EXACTLY the
+# source (matched → update, source-only → insert, target-only →
+# delete); outside the scope nothing is touched. Source keys: the
+# surviving ≡ 1 (mod 4) slice (update) plus a fresh ≡ 2 (mod 4) slice
+# (insert), both thinned by dropping ≡ 0 (mod 3) keys (those become the
+# scope's deletes); scope = post-1998 order dates (the generated domain is 1995-2001, so the scope splits it).
+_FULL_SYNC_SCOPE = "o_orderdate >= DATE '1998-01-01'"
+_FULL_SYNC_SRC_PRED = (
+    f"(o_orderkey % 4 = 1 OR o_orderkey % 4 = 2) AND {_FULL_SYNC_SCOPE} "
+    "AND o_orderkey % 3 <> 0"
+)
+
+_FULL_SYNC_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), source AS (
+    SELECT o_orderkey, o_custkey, 'S' AS o_orderstatus,
+           o_totalprice + 1 AS o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE {_FULL_SYNC_SRC_PRED}
+), synced AS (
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+      AND NOT ({_FULL_SYNC_SCOPE})
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       (SELECT COUNT(*) FROM target t
+        WHERE {_FULL_SYNC_SCOPE}
+          AND NOT EXISTS (SELECT 1 FROM source s
+                          WHERE s.o_orderkey = t.o_orderkey))
+           AS deleted_nmbs
+FROM synced
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_merge_full_sync",
+    tags=("dml", "merge", "full-sync", "not-matched-by-source", "managed-table"),
+    oracle=_FULL_SYNC_ORACLE,
+)
+def acid_merge_full_sync(spark, sf_dir):
+    """MERGE with WHEN NOT MATCHED BY SOURCE DELETE (the snapshot-apply
+    shape), bounded by a scope predicate: inside post-1998 dates the
+    table becomes exactly the source snapshot (updates + inserts +
+    deletes), pre-1998 rows are untouched and their files never rewrite.
+    The read-back aggregation value-checks the synced state AND the
+    commit's deleted_not_matched_by_source metric against the oracle's
+    relational replay."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        validate_count=False,
+    )
+    snapshot = (
+        table(spark, sf_dir, "orders")
+        .filter(_FULL_SYNC_SRC_PRED)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+        .withColumn("o_orderstatus", F.lit("S"))
+    )
+    metrics = t.merge(
+        snapshot,
+        on=["o_orderkey"],
+        when_not_matched_by_source="delete",
+        source_scope=_FULL_SYNC_SCOPE,
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn(
+            "deleted_nmbs",
+            F.lit(metrics["deleted_not_matched_by_source"]).cast("bigint"),
+        )
+    )

@@ -144,7 +144,9 @@ class FileEntry:
     # per-file min/max of the cluster columns (stringified), for skipping
     stats: dict[str, list] = field(default_factory=dict)
     # "data" = base file; "delta" = MoR merge delta (latest-per-key wins
-    # at read time until OPTIMIZE folds it in)
+    # at read time until OPTIMIZE folds it in); "tombstone" = MoR
+    # deletion vector (pk-only rows: the key is deleted as of this
+    # file's commit version unless a NEWER commit re-inserts it)
     kind: str = "data"
 
 
@@ -407,14 +409,14 @@ class ManagedTable:
                 files = [
                     e
                     for e in files
-                    if e.kind == "delta"
+                    if e.kind != "data"
                     or col not in e.stats
                     or e.stats[col][0] <= value <= e.stats[col][1]
                 ]
         if not files:
             empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
             return empty
-        if any(e.kind == "delta" for e in files):
+        if any(e.kind != "data" for e in files):
             return self._resolve_mor(m, files)
         # mergeSchema: versions appended with evolved (wider) schemas
         # reconcile deterministically — pre-evolution files surface the
@@ -446,22 +448,33 @@ class ManagedTable:
             ver_entries.append(F.lit(self._abs(e)))
             ver_entries.append(F.lit(_entry_version(e)))
         ver_map = F.create_map(*ver_entries)
+        norm = F.regexp_replace(F.input_file_name(), "^file://", "")
         union = (
             self.spark.read.option("mergeSchema", "true")
             .parquet(*[self._abs(e) for e in files])
-            .withColumn(
-                "_cv",
-                F.element_at(
-                    ver_map, F.regexp_replace(F.input_file_name(), "^file://", "")
-                ),
+            .withColumn("_cv", F.element_at(ver_map, norm))
+        )
+        has_ts = any(e.kind == "tombstone" for e in files)
+        if has_ts:
+            # Tombstone files carry ONLY the pk columns (mergeSchema
+            # fills the rest with NULL); they compete in the same
+            # latest-per-key pick, and a key whose WINNER is a tombstone
+            # is deleted — a newer data/delta row resurrects it. The
+            # flag rides the same path→literal map as the version.
+            ts_entries: list = []
+            for e in files:
+                ts_entries.append(F.lit(self._abs(e)))
+                ts_entries.append(F.lit(1 if e.kind == "tombstone" else 0))
+            union = union.withColumn(
+                "_ts", F.element_at(F.create_map(*ts_entries), norm)
             )
-        )
         w = Window.partitionBy(*keys).orderBy(F.desc("_cv"))
-        return (
-            union.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_cv")
+        picked = union.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
         )
+        if has_ts:
+            picked = picked.filter(F.col("_ts") == 0).drop("_ts")
+        return picked.drop("_rn", "_cv")
 
     # ---------- MERGE INTO (IncrementalTPCDSBenchmark.scala:276-281) ----------
 
@@ -472,15 +485,29 @@ class ManagedTable:
         validate_unique: bool = True,
         track_matches: bool = True,
         when_matched: str = "update",
+        when_not_matched_by_source: str | None = None,
+        source_scope: str | None = None,
     ) -> dict[str, int]:
         """Upsert: WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *.
+
+        ``when_not_matched_by_source="delete"`` adds Delta's third merge
+        clause (WHEN NOT MATCHED BY SOURCE DELETE — the full-sync /
+        snapshot-apply shape): target rows the source does NOT name are
+        deleted. ``source_scope`` is the bounding predicate real
+        pipelines put on that clause — only target rows matching it are
+        delete-eligible (without one, the clause must inspect EVERY
+        target row, a full-table rewrite on CoW; with one, the rewrite
+        set is matched-files ∪ in-scope-files, and at 100 TB the scope —
+        "this partition", "this day" — is what keeps the op bounded).
+        On MoR the same clause commits a deletion-vector tombstone for
+        the dead keys plus the source as a delta — zero rewrites.
 
         ``when_matched="delete"`` switches the matched clause to Delta's
         WHEN MATCHED DELETE: rows the source names are removed, source
         rows naming nothing are still inserted (the tombstone-merge shape
-        CDC appliers use). CoW only — a MoR delete would need tombstone
-        markers in the delta files, which this format does not carry; use
-        apply_changes() for feed-driven deletes instead.
+        CDC appliers use). On a MoR table this commits a deletion-vector
+        TOMBSTONE file for the matched keys plus a delta file for the
+        inserts — zero rewrites (``_merge_mor_delete``).
 
         File-level copy-on-write: only files containing a matched key are
         rewritten; the rest carry over by reference. Like Delta, a source
@@ -518,15 +545,25 @@ class ManagedTable:
                 )
         if when_matched not in ("update", "delete"):
             raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        if when_not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "when_not_matched_by_source must be None|'delete', got "
+                f"{when_not_matched_by_source!r}"
+            )
+        if when_not_matched_by_source and when_matched != "update":
+            raise ValueError(
+                "when_not_matched_by_source combines with "
+                "when_matched='update' only (full-sync semantics)"
+            )
         if self.checks:
             _enforce_checks(source, self.checks)
+        if when_not_matched_by_source:
+            if self.table_mode == "mor":
+                return self._merge_mor_full_sync(m, target, source, on, source_scope)
+            return self._merge_full_sync_cow(m, target, source, on, source_scope)
         if self.table_mode == "mor":
             if when_matched == "delete":
-                raise ValueError(
-                    "when_matched='delete' requires a cow table (MoR deltas "
-                    "carry no tombstones); use apply_changes() for "
-                    "feed-driven deletes"
-                )
+                return self._merge_mor_delete(m, target, source, on)
             return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
 
@@ -681,6 +718,210 @@ class ManagedTable:
         self.manifests.append(manifest)
         return manifest.metrics
 
+    def _merge_mor_delete(
+        self,
+        m: Manifest,
+        target: DataFrame,
+        source: DataFrame,
+        on: list[str],
+    ) -> dict[str, int]:
+        """MoR tombstone-merge: WHEN MATCHED DELETE writes the matched
+        keys as a deletion-vector TOMBSTONE file and WHEN NOT MATCHED
+        INSERT appends the unmatched source rows as a DELTA file — ONE
+        commit, zero data files rewritten. Write cost is O(source); the
+        one O(table-read) pass is the resolved-key semi/anti join that
+        splits the source (the same pass the CoW path pays for touch
+        detection). Metrics derive from the two files' footer counts."""
+        pk = self.primary_keys
+        if list(on) != pk:
+            raise ValueError(
+                f"mor merge key {on} must equal the declared primary key {pk}"
+            )
+        tkeys = target.select(*on)
+        skeys = source.select(*on).dropDuplicates()
+        matched_keys = skeys.join(tkeys, on, "left_semi")
+        inserts = source.select(*target.columns).join(tkeys, on, "left_anti")
+        version = m.version + 1
+        ts_dir = self._claim_data_dir(version)
+        matched_keys.repartition(1).write.parquet(ts_dir)
+        ts_entries = [
+            _file_entry(self.root, p, [], self.fs, kind="tombstone")
+            for p in _list_parquet(ts_dir, self.fs)
+        ]
+        rows_dir = self._claim_data_dir(version)
+        _shape_for_write(inserts, tuple(m.cluster_by), 1).write.parquet(rows_dir)
+        row_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs, kind="delta")
+            for p in _list_parquet(rows_dir, self.fs)
+        ]
+        deleted = sum(e.rows for e in ts_entries)
+        inserted = sum(e.rows for e in row_entries)
+        # drop an all-empty side from the commit (its staged file is
+        # orphan garbage, same class as a losing racer's)
+        new_entries = ([] if deleted == 0 else ts_entries) + (
+            [] if inserted == 0 else row_entries
+        )
+        manifest = Manifest(
+            version=version,
+            operation="MERGE",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "matched_deleted": deleted,
+                "inserted": inserted,
+                "files_rewritten": 0,
+                "files_added": len(new_entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
+    def _merge_full_sync_cow(
+        self,
+        m: Manifest,
+        target: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        source_scope: str | None,
+    ) -> dict[str, int]:
+        """CoW WHEN NOT MATCHED BY SOURCE DELETE (+ matched update +
+        unmatched insert): rewrite set = files holding a matched key ∪
+        files holding an in-scope row; kept rows are the out-of-scope
+        unmatched ones, and every source row lands (matched as the
+        update post-image, the rest as inserts), so
+        new_data = kept ∪ source. Two counting jobs (source; matched
+        within the touched files — the same bounded count the CoW UPDATE
+        path pays); the delete count then derives from footers."""
+        scope = F.expr(source_scope) if source_scope else F.lit(True)
+        in_scope = F.coalesce(scope, F.lit(False))
+        skeys = source.select(*on).dropDuplicates()
+        target_f = target.withColumn("_file", F.input_file_name())
+        touched_rows = (
+            target_f.join(skeys, on, "left_semi")
+            .select("_file")
+            .union(target_f.filter(in_scope).select("_file"))
+            .distinct()
+            .collect()
+        )
+        touched = {_strip_uri(r["_file"]) for r in touched_rows}
+        untouched = [e for e in m.files if self._abs(e) not in touched]
+        rewritten = [e for e in m.files if self._abs(e) in touched]
+        rewritten_rows = sum(e.rows for e in rewritten)
+        source_rows = _count_job(source)
+        if rewritten:
+            touched_df = self._read_conformed(rewritten)
+            matched = touched_df.join(skeys, on, "left_semi").count()
+            kept = (
+                touched_df.select(*target.columns)
+                .join(skeys, on, "left_anti")
+                .filter(~in_scope)
+            )
+            new_data = kept.unionByName(source.select(*target.columns))
+        else:
+            matched = 0
+            new_data = source.select(*target.columns)
+        version = m.version + 1
+        data_dir = self._claim_data_dir(version)
+        n_files = max(
+            1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
+        )
+        _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
+            data_dir
+        )
+        new_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs)
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        new_rows = sum(e.rows for e in new_entries)
+        kept_rows = new_rows - source_rows
+        manifest = Manifest(
+            version=version,
+            operation="MERGE",
+            timestamp_ms=int(time.time() * 1000),
+            files=untouched + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "matched_updated": matched,
+                "inserted": source_rows - matched,
+                "deleted_not_matched_by_source": rewritten_rows
+                - kept_rows
+                - matched,
+                "files_rewritten": len(rewritten),
+                "files_added": len(new_entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
+    def _merge_mor_full_sync(
+        self,
+        m: Manifest,
+        target: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        source_scope: str | None,
+    ) -> dict[str, int]:
+        """MoR WHEN NOT MATCHED BY SOURCE DELETE: ONE commit carrying a
+        deletion-vector tombstone for the in-scope keys the source does
+        not name, plus the whole source as a delta (matched keys
+        supersede at read time, fresh keys insert) — zero rewrites,
+        write cost O(source + dead keys)."""
+        pk = self.primary_keys
+        if list(on) != pk:
+            raise ValueError(
+                f"mor merge key {on} must equal the declared primary key {pk}"
+            )
+        scope = F.expr(source_scope) if source_scope else F.lit(True)
+        skeys = source.select(*on).dropDuplicates()
+        dead_keys = (
+            target.filter(F.coalesce(scope, F.lit(False)))
+            .select(*on)
+            .join(skeys, on, "left_anti")
+        )
+        matched = target.select(*on).join(skeys, on, "left_semi").count()
+        version = m.version + 1
+        ts_dir = self._claim_data_dir(version)
+        dead_keys.repartition(1).write.parquet(ts_dir)
+        ts_entries = [
+            _file_entry(self.root, p, [], self.fs, kind="tombstone")
+            for p in _list_parquet(ts_dir, self.fs)
+        ]
+        rows_dir = self._claim_data_dir(version)
+        source_rows = _count_job(source)
+        n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
+        _shape_for_write(
+            source.select(*target.columns), tuple(m.cluster_by), n_files
+        ).write.parquet(rows_dir)
+        row_entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs, kind="delta")
+            for p in _list_parquet(rows_dir, self.fs)
+        ]
+        deleted = sum(e.rows for e in ts_entries)
+        new_entries = ([] if deleted == 0 else ts_entries) + row_entries
+        manifest = Manifest(
+            version=version,
+            operation="MERGE",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + new_entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "matched_updated": matched,
+                "inserted": source_rows - matched,
+                "deleted_not_matched_by_source": deleted,
+                "files_rewritten": 0,
+                "files_added": len(new_entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
     # ---------- APPEND (writer append mode + schema evolution) ----------
 
     def append(
@@ -814,7 +1055,13 @@ class ManagedTable:
         where the predicate is TRUE are deleted — FALSE *and* NULL rows
         are kept (hence the coalesce below, a bare ``~cond`` would also
         drop NULL-predicate rows). ``rows_deleted`` derives from parquet
-        footer counts — no extra counting job."""
+        footer counts — no extra counting job.
+
+        On a ``mor`` table DELETE writes a DELETION VECTOR instead (the
+        Delta deletion-vector / Iceberg delete-file analog at key
+        granularity): see ``_delete_mor``."""
+        if self.table_mode == "mor":
+            return self._delete_mor(condition)
         self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
@@ -834,6 +1081,111 @@ class ManagedTable:
             },
         )
 
+    def _delete_mor(self, condition: str) -> dict[str, int]:
+        """MoR DELETE WHERE via a deletion-vector commit: the matching
+        keys are written as one pk-only TOMBSTONE file — write cost is
+        O(deleted keys), zero data files are rewritten (the whole point:
+        Delta's deletion vectors / Iceberg's delete files, realized at
+        key granularity since the primary key IS this format's record
+        identity). Reads hide a tombstoned key until a NEWER commit
+        re-inserts it (latest-per-key: the tombstone simply wins until
+        superseded); OPTIMIZE folds tombstones away with the deltas.
+        NULL-predicate rows are kept (same tri-state rule as the CoW
+        path); ``rows_deleted`` derives from the tombstone file's footer
+        count — no extra counting job."""
+        m = self.current
+        pk = self.primary_keys
+        if not pk:
+            raise ValueError(f"mor delete needs primary_keys ({self.root})")
+        cond = F.expr(condition)
+        keys = self.read().filter(F.coalesce(cond, F.lit(False))).select(*pk)
+        version = m.version + 1
+        ts_dir = self._claim_data_dir(version)
+        keys.repartition(1).write.parquet(ts_dir)
+        entries = [
+            _file_entry(self.root, p, [], self.fs, kind="tombstone")
+            for p in _list_parquet(ts_dir, self.fs)
+        ]
+        deleted = sum(e.rows for e in entries)
+        if deleted == 0:
+            # Nothing matched: no commit. The staged empty file is
+            # unreferenced garbage — same orphan class as a losing
+            # concurrent writer's staging dir.
+            return {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
+        manifest = Manifest(
+            version=version,
+            operation="DELETE",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "rows_deleted": deleted,
+                "files_rewritten": 0,
+                "files_added": len(entries),
+                "tombstones_added": len(entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
+    def _update_mor(
+        self, assignments: dict[str, str], condition: str
+    ) -> dict[str, int]:
+        """MoR UPDATE WHERE: append the POST-IMAGE of the matching rows
+        as a DELTA commit — write cost O(matched), zero rewrites; the
+        latest-per-key resolve supersedes the old images (the matched
+        keys are unique by construction, since the resolve itself is
+        per-key unique). Assignment RHS is evaluated against the OLD row
+        and CAST back to the declared column type, exactly like the CoW
+        path. One counting job sizes the output files (same job the CoW
+        path pays for its metric)."""
+        m = self.current
+        cond = F.expr(condition)
+        cur = self.read()
+        types = {f.name: f.dataType for f in cur.schema.fields}
+        matched = cur.filter(F.coalesce(cond, F.lit(False)))
+        updated = matched.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        if self.checks:
+            _enforce_checks(updated, self.checks)
+        rows_updated = _count_job(updated)
+        if rows_updated == 0:
+            return {"rows_updated": 0, "files_rewritten": 0, "files_added": 0}
+        version = m.version + 1
+        data_dir = self._claim_data_dir(version)
+        n_files = max(1, math.ceil(rows_updated / DEFAULT_TARGET_FILE_ROWS))
+        _shape_for_write(updated, tuple(m.cluster_by), n_files).write.parquet(
+            data_dir
+        )
+        entries = [
+            _file_entry(self.root, p, m.cluster_by, self.fs, kind="delta")
+            for p in _list_parquet(data_dir, self.fs)
+        ]
+        manifest = Manifest(
+            version=version,
+            operation="UPDATE",
+            timestamp_ms=int(time.time() * 1000),
+            files=m.files + entries,
+            cluster_by=m.cluster_by,
+            metrics={
+                "rows_updated": rows_updated,
+                "files_rewritten": 0,
+                "files_added": len(entries),
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
     def update(self, assignments: dict[str, str], condition: str) -> dict[str, int]:
         """UPDATE SET ... WHERE ...: copy-on-write rewrite of the touched
         files with every assignment RHS evaluated against the OLD row (one
@@ -844,7 +1196,12 @@ class ManagedTable:
         widen the rewritten files' schema and corrupt later multi-file
         reads). ``rows_updated`` needs one counting job over the touched
         files only (row counts don't change, so footer math can't derive
-        it)."""
+        it).
+
+        On a ``mor`` table UPDATE appends the post-image as a delta
+        commit instead of rewriting: see ``_update_mor``."""
+        if self.table_mode == "mor":
+            return self._update_mor(assignments, condition)
         self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
@@ -882,10 +1239,11 @@ class ManagedTable:
     # ---------- OPTIMIZE (compaction, IncrementalTPCDSBenchmark.scala:186-204) ----------
 
     def _fold_deltas_if_any(self) -> None:
-        """CoW DML (DELETE/UPDATE) on a MoR table first folds outstanding
-        deltas — file-level touch detection is only meaningful over base
-        files that each own their rows."""
-        if any(e.kind == "delta" for e in self.current.files):
+        """Rewriting maintenance (Z-ORDER; formerly CoW DML too) on a MoR
+        table first folds outstanding deltas AND tombstones — file-level
+        touch detection is only meaningful over base files that each own
+        their rows."""
+        if any(e.kind != "data" for e in self.current.files):
             self.optimize()
 
     def optimize(self, target_file_rows: int = DEFAULT_TARGET_FILE_ROWS) -> dict[str, int]:
@@ -898,7 +1256,7 @@ class ManagedTable:
         200): materialize the latest-per-key resolve once, rewrite as
         base files, drop every delta — reads are plain scans again."""
         m = self.current
-        if any(e.kind == "delta" for e in m.files):
+        if any(e.kind != "data" for e in m.files):
             return self._compact_mor(m, target_file_rows)
         small = [e for e in m.files if e.rows < target_file_rows]
         big = [e for e in m.files if e.rows >= target_file_rows]
@@ -970,6 +1328,7 @@ class ManagedTable:
         self, m: Manifest, target_file_rows: int
     ) -> dict[str, int]:
         n_deltas = sum(1 for e in m.files if e.kind == "delta")
+        n_tombstones = sum(1 for e in m.files if e.kind == "tombstone")
         resolved = self._resolve_mor(m, m.files)
         # Physical base+delta row total over-counts the resolved rows by
         # exactly the superseded ones — an upper bound, so the file count
@@ -986,6 +1345,7 @@ class ManagedTable:
             "files_removed": len(m.files),
             "files_added": len(new_entries),
             "deltas_folded": n_deltas,
+            "tombstones_folded": n_tombstones,
         }
         manifest = Manifest(
             version=version,
@@ -1164,7 +1524,7 @@ class ManagedTable:
         table-local). Shared hazard, same as Delta documents: VACUUM on
         the SOURCE can remove files the clone still references."""
         m = self.current
-        if any(e.kind == "delta" for e in m.files):
+        if any(e.kind != "data" for e in m.files):
             raise ValueError(
                 "clone requires a resolved file set — run optimize() first"
             )
@@ -1235,9 +1595,27 @@ class ManagedTable:
                     *[self._abs(e) for e in entries]
                 )
 
+            # Tombstone files are deletion vectors: their pk-only rows
+            # are row-level DELETES (Delta CDF would carry the full
+            # pre-image; resolving it here would cost the O(table) read
+            # CDF must never do, so tombstone delete rows carry the keys
+            # and NULL payload columns — documented contract). They are
+            # split out so the data/delta classification below stays
+            # unchanged.
+            added_ts = [e for e in added if e.kind == "tombstone"]
+            added = [e for e in added if e.kind != "tombstone"]
+            ts_delta = None
+            if added_ts:
+                ts_delta = read_files(added_ts).select(
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(m.version).alias("_commit_version"),
+                    "*",
+                )
             pre, post = read_files(removed), read_files(added)
             ver = F.lit(m.version).alias("_commit_version")
-            if pre is None:
+            if pre is None and post is None:
+                delta = ts_delta
+            elif pre is None:
                 # No pre-images in this commit: plain APPEND rows are
                 # inserts; a MoR MERGE's delta rows (kind=='delta') are
                 # upserts — their pre-images still live in base files,
@@ -1279,6 +1657,8 @@ class ManagedTable:
                 delta = parts[0]
                 for p in parts[1:]:
                     delta = delta.unionByName(p)
+            if ts_delta is not None and delta is not ts_delta:
+                delta = delta.unionByName(ts_delta, allowMissingColumns=True)
             out = delta if out is None else out.unionByName(
                 delta, allowMissingColumns=True
             )

@@ -63,15 +63,18 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # registry.py's rotation comment). registry.gate_queries() therefore
 # inserts never-gate-checked queries FIRST (canonical-sorted), then the
 # DRIVER_GREEN ones, so each round's sample lands on queries that still
-# NEED external evidence. Round 8's window is tpcds_q12 (r7's one red
-# row — its revenueratio is now ROUND(.., 9)-hardened, so the re-gate
-# is the fix's proof) followed by tpcds_q20-q65 up to the 50-slot cut.
-# The remaining 61 pending (q66-q99, the 13 tpcds_refresh_* chains,
-# train_*, ts_*, warehouse_*) rotate in r9/r10 and stay covered by the
-# recorded full sweep (reports/oracle_full_run.json, every query at
+# NEED external evidence. Round 8's window is the two round-8 feature
+# queries (deletion vectors, full-sync merge), then tpcds_q12 (r7's one
+# red row — its revenueratio is now ROUND(.., 9)-hardened, so the
+# re-gate is the fix's proof) followed by tpcds_q20-q63 up to the
+# 50-slot cut (q64/q65 deliberately slip one round for the two feature
+# slots). The remaining 63 pending rotate in r9/r10 and stay covered by
+# the recorded full sweep (reports/oracle_full_run.json, every query at
 # sf0.001+sf0.01), as are all out-of-window queries. Change this list
 # CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
+    "acid_merge_full_sync",
+    "acid_mor_delete_vectors",
     "tpcds_q12",
     "tpcds_q20",
     "tpcds_q21",
@@ -120,8 +123,6 @@ _GATE_WINDOW = [
     "tpcds_q61",
     "tpcds_q62",
     "tpcds_q63",
-    "tpcds_q64",
-    "tpcds_q65",
 ]
 
 

@@ -268,15 +268,19 @@ def test_mor_merge_lifecycle(spark, tmp_path):
     assert all(e.kind == "data" for e in mor.current.files)
     assert state(mor) == state(cow)
 
-    # CoW DML on a MoR table with outstanding deltas folds them first,
-    # then rewrites cleanly
+    # DML on a MoR table with outstanding deltas stays MoR-native:
+    # DELETE commits a deletion-vector tombstone (zero rewrites, deltas
+    # left in place); an explicit OPTIMIZE folds both away
     mor.merge(
         spark.range(240, 260).selectExpr("id AS k", "CAST(0.0 AS DOUBLE) AS v"),
         on=["k"],
     )
     assert any(e.kind == "delta" for e in mor.current.files)
     d = mor.delete("k >= 250")
-    assert d["rows_deleted"] == 10
+    assert d["rows_deleted"] == 10 and d["files_rewritten"] == 0
+    assert any(e.kind == "tombstone" for e in mor.current.files)
+    assert mor.read().count() == 250
+    mor.optimize()
     assert all(e.kind == "data" for e in mor.current.files)
     assert mor.read().count() == 250
 
@@ -1086,13 +1090,19 @@ def test_merge_when_matched_delete(spark, tmp_path):
     assert got.filter(F.col("key") < 10).count() == 0
     assert got.filter(F.col("key") >= 1000).count() == 5
     assert {e.path for e in t.current.files} & files_before, "no carry-over"
-    # MoR tables refuse the delete clause (no tombstones in delta files)
+    # MoR tables take the delete clause as a deletion-vector commit:
+    # matched keys tombstone, fresh source rows insert, zero rewrites
     tm = ManagedTable.create(
         spark, str(tmp_path / "mdm"), _base_df(spark, 50), num_files=1,
         table_mode="mor", primary_keys=("key",),
     )
-    with _pytest.raises(ValueError, match="cow"):
-        tm.merge(_base_df(spark, 10), on=["key"], when_matched="delete")
+    mm = tm.merge(
+        _base_df(spark, 60).filter((F.col("key") < 10) | (F.col("key") >= 50)),
+        on=["key"], when_matched="delete",
+    )
+    assert mm["matched_deleted"] == 10 and mm["inserted"] == 10
+    assert mm["files_rewritten"] == 0
+    assert tm.read().count() == 50
 
 
 def test_mor_many_deltas_bounded_plan(spark, tmp_path):
@@ -1124,3 +1134,194 @@ def test_mor_many_deltas_bounded_plan(spark, tmp_path):
     for k in range(1, 51):
         assert got[k] == float(k), (k, got[k])
     assert got[0] == 0.0 and got[51] == 50.0 and got[52] == 0.0
+
+
+# ---------- MoR deletion vectors (tombstones) ----------
+
+
+def _mor(spark, tdir, n=200):
+    return ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, n), num_files=2,
+        table_mode="mor", primary_keys=("key",),
+    )
+
+
+def test_mor_delete_writes_tombstone_not_rewrite(spark, tdir):
+    """MoR DELETE commits a pk-only deletion-vector file: zero data
+    files rewritten, rows hidden at read time, metrics footer-derived."""
+    t = _mor(spark, tdir)
+    before = {e.path for e in t.current.files}
+    m = t.delete("part = 3")
+    assert m["files_rewritten"] == 0
+    assert m["tombstones_added"] == 1
+    assert m["rows_deleted"] == 200 // 7 + (1 if 3 < 200 % 7 else 0) or m["rows_deleted"] > 0
+    # every pre-existing file carries over by reference
+    assert before <= {e.path for e in t.current.files}
+    kinds = {e.kind for e in t.current.files}
+    assert "tombstone" in kinds
+    got = t.read()
+    assert got.filter("part = 3").count() == 0
+    assert got.count() == 200 - m["rows_deleted"]
+    assert t.current.operation == "DELETE"
+
+
+def test_mor_delete_no_match_is_noop(spark, tdir):
+    t = _mor(spark, tdir)
+    v = t.current.version
+    m = t.delete("part = 99")
+    assert m == {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
+    assert t.current.version == v  # no commit
+
+
+def test_mor_tombstone_resurrect(spark, tdir):
+    """A newer delta supersedes a tombstone: merging a deleted key back
+    makes it visible again with the new values."""
+    t = _mor(spark, tdir)
+    t.delete("key < 10")
+    assert t.read().filter("key < 10").count() == 0
+    src = _base_df(spark, 5).withColumn("value", F.col("value") + 1000)
+    t.merge(src, on=["key"])
+    back = t.read().filter("key < 10")
+    assert back.count() == 5
+    assert {r.key for r in back.collect()} == {0, 1, 2, 3, 4}
+    assert all(r.value == r.key * 2.5 + 1000 for r in back.collect())
+
+
+def test_mor_update_appends_delta(spark, tdir):
+    """MoR UPDATE lands the post-image as a delta commit — zero
+    rewrites; assignment RHS sees the old row and keeps the type."""
+    t = _mor(spark, tdir)
+    before = {e.path for e in t.current.files}
+    m = t.update({"value": "value + 1"}, "part = 2")
+    assert m["files_rewritten"] == 0 and m["rows_updated"] > 0
+    assert before <= {e.path for e in t.current.files}
+    assert t.current.operation == "UPDATE"
+    got = t.read()
+    assert got.count() == 200  # row count unchanged
+    sample = got.filter("part = 2").collect()
+    assert all(abs(r.value - (r.key * 2.5 + 1)) < 1e-9 for r in sample)
+    other = got.filter("part = 1").collect()
+    assert all(r.value == r.key * 2.5 for r in other)
+
+
+def test_mor_merge_delete_writes_tombstones(spark, tdir):
+    """when_matched='delete' on MoR (formerly a ValueError): matched
+    keys tombstone, unmatched source rows insert — one commit, zero
+    rewrites."""
+    t = _mor(spark, tdir)
+    src = _base_df(spark, 210).filter("key >= 195")  # 195..199 match, 200+ insert
+    m = t.merge(src, on=["key"], when_matched="delete")
+    assert m == {
+        "matched_deleted": 5, "inserted": 10,
+        "files_rewritten": 0, "files_added": 2,
+    }
+    got = t.read()
+    assert got.count() == 200 - 5 + 10
+    assert got.filter("key >= 195 AND key < 200").count() == 0
+    assert got.filter("key >= 200").count() == 10
+
+
+def test_optimize_folds_tombstones(spark, tdir):
+    t = _mor(spark, tdir)
+    t.delete("part = 0")
+    t.update({"value": "value * 2"}, "part = 1")
+    n_expected = t.read().count()
+    m = t.optimize()
+    assert m["tombstones_folded"] == 1 and m["deltas_folded"] == 1
+    assert all(e.kind == "data" for e in t.current.files)
+    assert t.read().count() == n_expected
+
+
+def test_changes_emits_tombstone_deletes(spark, tdir):
+    """CDF rows for a deletion-vector commit: _change_type='delete'
+    carrying the keys. Payload columns are NULL when other commits give
+    the feed the full schema, and absent in a delete-only feed — the
+    documented no-O(table)-read contract either way."""
+    t = _mor(spark, tdir)
+    t.delete("key >= 198")
+    only = t.changes(0)
+    assert {r.key for r in only.collect()} == {198, 199}
+    assert "value" not in only.columns  # delete-only feed: keys only
+    # a later upsert widens the feed; delete rows surface NULL payload
+    t.merge(_base_df(spark, 1), on=["key"])
+    ch = t.changes(0)
+    dels = ch.filter("_change_type = 'delete'").collect()
+    assert {r.key for r in dels} == {198, 199}
+    assert all(r.value is None for r in dels)
+    ups = ch.filter("_change_type = 'upsert'").collect()
+    assert [r.key for r in ups] == [0]
+
+
+def test_clone_requires_fold_after_tombstone(spark, tdir):
+    t = _mor(spark, tdir)
+    t.delete("key = 0")
+    with pytest.raises(ValueError, match="resolved file set"):
+        t.clone(f"{tdir}/clone")
+    t.optimize()
+    c = t.clone(f"{tdir}/clone")
+    assert c.read().count() == 199
+
+
+def test_time_travel_spans_tombstones(spark, tdir):
+    t = _mor(spark, tdir)
+    t.delete("part = 5")
+    assert t.read(version=0).count() == 200
+    assert t.read().count() < 200
+
+
+# ---------- MERGE full sync (WHEN NOT MATCHED BY SOURCE) ----------
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_full_sync_scope_semantics(spark, tdir, mode):
+    """Inside the scope the table becomes exactly the source (update +
+    insert + delete); outside it nothing changes. CoW rewrites the
+    touched files; MoR commits tombstones + a delta with zero
+    rewrites."""
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 100), num_files=4,
+        table_mode=mode, primary_keys=("key",),
+    )
+    # snapshot of part=2: keep only even keys, bump value; plus one new key
+    snap = (
+        _base_df(spark, 100)
+        .filter("part = 2 AND key % 2 = 0")
+        .withColumn("value", F.col("value") + 7)
+        .unionByName(
+            _base_df(spark, 1).select(
+                F.lit(500).alias("key"), F.lit(2).alias("part"),
+                F.lit(1.0).alias("value"), F.lit("new").alias("tag"),
+            )
+        )
+    )
+    m = t.merge(
+        snap, on=["key"],
+        when_not_matched_by_source="delete", source_scope="part = 2",
+    )
+    got = t.read()
+    in_scope = got.filter("part = 2").collect()
+    n_part2 = len([k for k in range(100) if k % 7 == 2])
+    n_even = len([k for k in range(100) if k % 7 == 2 and k % 2 == 0])
+    assert m["deleted_not_matched_by_source"] == n_part2 - n_even
+    assert m["inserted"] == 1
+    assert m["matched_updated"] == n_even
+    assert len(in_scope) == n_even + 1
+    assert all(r.key == 500 or abs(r.value - (r.key * 2.5 + 7)) < 1e-9 for r in in_scope)
+    # out of scope untouched
+    assert got.filter("part != 2").count() == 100 - n_part2
+    if mode == "mor":
+        assert m["files_rewritten"] == 0
+        assert any(e.kind == "tombstone" for e in t.current.files)
+    else:
+        assert m["files_rewritten"] > 0
+
+
+def test_merge_full_sync_arg_validation(spark, tdir):
+    t = ManagedTable.create(spark, f"{tdir}/t", _base_df(spark, 10))
+    with pytest.raises(ValueError, match="None\\|'delete'"):
+        t.merge(_base_df(spark, 5), on=["key"], when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="full-sync"):
+        t.merge(
+            _base_df(spark, 5), on=["key"],
+            when_matched="delete", when_not_matched_by_source="delete",
+        )
