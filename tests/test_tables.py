@@ -1325,3 +1325,54 @@ def test_merge_full_sync_arg_validation(spark, tdir):
             _base_df(spark, 5), on=["key"],
             when_matched="delete", when_not_matched_by_source="delete",
         )
+
+
+def test_tombstone_resolve_plan_stays_flat(spark, tdir):
+    """Interleaved tombstone + delta commits must keep the ONE-scan
+    resolve plan (the tombstone flag rides a second path→literal map on
+    the same scan, never a join or a per-version union)."""
+    t = _mor(spark, tdir, n=100)
+    for i in range(5):
+        t.delete(f"key % 17 = {i}")
+        t.merge(
+            _base_df(spark, 100).filter(f"key % 13 = {i}").withColumn(
+                "value", F.col("value") + i
+            ),
+            on=["key"],
+        )
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert "Join" not in plan
+
+
+def test_vacuum_reclaims_folded_tombstones(spark, tdir):
+    """After OPTIMIZE folds a tombstone and VACUUM drops the old
+    versions, the tombstone file is physically gone and the resolved
+    state is intact."""
+    t = _mor(spark, tdir)
+    t.delete("part = 4")
+    ts_paths = [e.path for e in t.current.files if e.kind == "tombstone"]
+    assert ts_paths
+    n = t.read().count()
+    t.optimize()
+    t.vacuum(retain_versions=1)
+    root = t.root
+    assert not any(
+        os.path.exists(os.path.join(root, p)) for p in ts_paths
+    ), "vacuum left the folded tombstone file behind"
+    assert t.read().count() == n
+
+
+def test_restore_across_tombstone_version(spark, tdir):
+    """RESTORE to the pre-delete version resurrects everything (the
+    rollback references the old file set; the tombstone stays out of
+    it), and the restore is itself a new version — the delete remains
+    in history."""
+    t = _mor(spark, tdir)
+    t.delete("key < 50")
+    assert t.read().count() == 150
+    t.restore(0)
+    assert t.read().count() == 200
+    assert all(e.kind == "data" for e in t.current.files)
+    ops = [r.operation for r in t.history().collect()]
+    assert ops[0] == "RESTORE" and "DELETE" in ops
