@@ -1064,3 +1064,77 @@ def acid_merge_full_sync(spark, sf_dir):
             F.lit(metrics["deleted_not_matched_by_source"]).cast("bigint"),
         )
     )
+
+
+# -- ALTER CLUSTER BY (layout-spec evolution) ----------------------------------
+# Iceberg's partition-spec evolution, for this format's clustering
+# layout: the alter is METADATA-ONLY (zero rewrites), files written
+# after it carry [min,max] stats on the NEW key, and file-skip reads
+# prune each file by whatever stats it has — old files are always
+# scanned (never false-skipped), new files skip. The oracle
+# value-checks the synced data; the pruning evidence rides as boolean
+# columns computed from the manifest + input_file_name scan counts
+# (the agg_sketches boolean-gate pattern).
+_CLUSTER_EVO_ORACLE = f"""
+WITH combined AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+    UNION ALL
+    SELECT * FROM orders WHERE o_orderkey % 4 = 2
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       TRUE AS alter_was_metadata_only,
+       TRUE AS new_files_pruned,
+       TRUE AS old_files_scanned
+FROM combined
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_cluster_evolution",
+    tags=("ddl", "alter", "cluster-evolution", "managed-table"),
+    oracle=_CLUSTER_EVO_ORACLE,
+)
+def acid_cluster_evolution(spark, sf_dir):
+    """ALTER TABLE CLUSTER BY lifecycle: create clustered by order key,
+    evolve the layout spec to the customer key (metadata-only commit),
+    append a second slice under the new spec, then prune-read on a
+    customer-key value — the new files skip, the old files all scan
+    (no stats on the new key → never a false skip), and the full
+    read-back aggregate value-checks both slices."""
+    t = ManagedTable.create(
+        spark,
+        _tmp(),
+        _target(spark, sf_dir),
+        cluster_by=("o_orderkey",),
+        num_files=4,
+        validate_count=False,
+    )
+    n_old = len(t.current.files)
+    alter = t.set_cluster_by(("o_custkey",))
+    slice2 = table(spark, sf_dir, "orders").filter("o_orderkey % 4 = 2")
+    t.append(slice2, num_files=4)
+    probe = slice2.agg(F.min("o_custkey")).collect()[0][0]
+    n_total = len(t.current.files)
+    n_scanned = (
+        t.read(prune={"o_custkey": probe})
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn(
+            "alter_was_metadata_only",
+            F.lit(alter["files_rewritten"] == 0 and alter["files_carried"] == n_old),
+        )
+        .withColumn("new_files_pruned", F.lit(n_scanned < n_total))
+        .withColumn("old_files_scanned", F.lit(n_scanned >= n_old))
+    )

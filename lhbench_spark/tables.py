@@ -1480,6 +1480,43 @@ class ManagedTable:
         self.manifests.append(manifest)
         return manifest.metrics
 
+    # ---------- ALTER CLUSTER BY (layout-spec evolution) ----------
+
+    def set_cluster_by(self, keys: tuple[str, ...] | list[str]) -> dict[str, int]:
+        """``ALTER TABLE … CLUSTER BY`` — the Iceberg
+        partition-spec-EVOLUTION analog for this format's clustering
+        layout: a METADATA-ONLY commit, no data moves. Files written
+        before the alter keep their old layout and their old per-file
+        [min,max] stats; every write after it shapes (range-partitions +
+        sorts) and stats by the NEW keys. Reads need no special casing:
+        ``read(prune=…)`` already skips each file by whatever stats THAT
+        file carries, so old files simply never false-skip on a new key
+        (no stats → always scanned) — at 100 TB this is how a table
+        re-keys its layout for a changed query pattern without the
+        full-table rewrite, which remains available as
+        ``zorder()``/``optimize()`` when the old files' scan cost
+        warrants it."""
+        m = self.current
+        cols = set(self.read().columns)
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"cluster keys not in schema: {missing}")
+        manifest = Manifest(
+            version=m.version + 1,
+            operation="ALTER",
+            timestamp_ms=int(time.time() * 1000),
+            files=list(m.files),
+            cluster_by=list(keys),
+            metrics={
+                "files_carried": len(m.files),
+                "files_rewritten": 0,
+            },
+            properties=m.properties,
+        )
+        _write_manifest(self.root, manifest, self.fs)
+        self.manifests.append(manifest)
+        return manifest.metrics
+
     # ---------- HISTORY / DETAIL ----------
 
     def history(self) -> DataFrame:

@@ -63,16 +63,19 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # registry.py's rotation comment). registry.gate_queries() therefore
 # inserts never-gate-checked queries FIRST (canonical-sorted), then the
 # DRIVER_GREEN ones, so each round's sample lands on queries that still
-# NEED external evidence. Round 8's window is the two round-8 feature
-# queries (deletion vectors, full-sync merge), then tpcds_q12 (r7's one
+# NEED external evidence. Round 8's window is the three round-8 feature
+# queries (cluster evolution, full-sync merge, deletion vectors), then
+# tpcds_q12 (r7's one
 # red row — its revenueratio is now ROUND(.., 9)-hardened, so the
-# re-gate is the fix's proof) followed by tpcds_q20-q63 up to the
-# 50-slot cut (q64/q65 deliberately slip one round for the two feature
-# slots). The remaining 63 pending rotate in r9/r10 and stay covered by
+# re-gate is the fix's proof) followed by tpcds_q20-q62 up to the
+# 50-slot cut (q63-q65 deliberately slip one round for the three
+# feature slots). The remaining 64 pending rotate in r9/r10 and stay
+# covered by
 # the recorded full sweep (reports/oracle_full_run.json, every query at
 # sf0.001+sf0.01), as are all out-of-window queries. Change this list
 # CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
+    "acid_cluster_evolution",
     "acid_merge_full_sync",
     "acid_mor_delete_vectors",
     "tpcds_q12",
@@ -122,7 +125,6 @@ _GATE_WINDOW = [
     "tpcds_q60",
     "tpcds_q61",
     "tpcds_q62",
-    "tpcds_q63",
 ]
 
 

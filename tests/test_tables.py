@@ -1376,3 +1376,57 @@ def test_restore_across_tombstone_version(spark, tdir):
     assert all(e.kind == "data" for e in t.current.files)
     ops = [r.operation for r in t.history().collect()]
     assert ops[0] == "RESTORE" and "DELETE" in ops
+
+
+# ---------- ALTER CLUSTER BY (layout-spec evolution) ----------
+
+
+def test_set_cluster_by_is_metadata_only(spark, tdir):
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 500), cluster_by=("key",), num_files=5
+    )
+    before = [e.path for e in t.current.files]
+    m = t.set_cluster_by(("part",))
+    assert m == {"files_carried": 5, "files_rewritten": 0}
+    assert [e.path for e in t.current.files] == before
+    assert t.current.operation == "ALTER"
+    assert t.current.cluster_by == ["part"]
+    assert t.read().count() == 500
+    with pytest.raises(ValueError, match="not in schema"):
+        t.set_cluster_by(("nope",))
+
+
+def test_cluster_evolution_new_writes_new_stats(spark, tdir):
+    """Post-alter writes stat by the NEW key; pruning on it skips new
+    files while old files (no stats for that key) are always scanned —
+    never a false skip, and the row set stays exact."""
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 700), cluster_by=("key",), num_files=7
+    )
+    t.set_cluster_by(("part",))
+    extra = _base_df(spark, 770).filter("key >= 700")  # parts 0..6 spread
+    t.append(extra, num_files=7)
+    new_entries = [e for e in t.current.files if "v00002" in e.path]
+    assert new_entries and all("part" in e.stats for e in new_entries)
+    old_entries = [e for e in t.current.files if "v00000" in e.path]
+    assert all("part" not in e.stats for e in old_entries)
+    pruned = t.read(prune={"part": 3})
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_scanned < len(t.current.files)  # new files pruned
+    assert n_scanned >= len(old_entries)  # old files all scanned
+    assert pruned.filter("part = 3").count() == 770 // 7
+    # full read unharmed
+    assert t.read().count() == 770
+
+
+def test_zorder_after_evolution_restats_everything(spark, tdir):
+    t = ManagedTable.create(
+        spark, f"{tdir}/t", _base_df(spark, 300), cluster_by=("key",), num_files=3
+    )
+    t.set_cluster_by(("part",))
+    t.zorder(by=("part", "key"), num_files=4)
+    assert all(
+        "part" in e.stats and "key" in e.stats for e in t.current.files
+    )
+    pruned = t.read(prune={"part": 1})
+    assert pruned.filter("part = 1").count() == 300 // 7 + (1 if 1 < 300 % 7 else 0)
