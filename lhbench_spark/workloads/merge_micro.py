@@ -211,6 +211,39 @@ def run_grid(spark: SparkSession, cfg: MergeGridConfig | None = None) -> Benchma
                     f"{cell}-files-rewritten",
                     float(sink[0].get("files_rewritten", 0)),
                 )
+    # DELETE asymmetry (round-8 deletion vectors): the same 1%-of-keys
+    # DELETE on each mode — CoW rewrites every touched file, MoR commits
+    # one pk-only tombstone (files-rewritten 0); the post-delete read
+    # prices the read-side cost of carrying the tombstone.
+    for mode in cfg.table_modes:
+        cell = f"{mode}-delete-pct0.01"
+        root = tempfile.mkdtemp(prefix=f"lhbench_mgd_{mode}_") + "/t"
+        t = ManagedTable.create(
+            spark, root, base, cluster_by=("key",),
+            num_files=cfg.num_files, table_mode=mode, primary_keys=("key",),
+        )
+        sink = []
+
+        def _delete_as_df(t=t, k=sink):
+            metrics = t.delete("key % 100 = 7")
+            k.append(metrics)
+            return t.spark.createDataFrame(
+                [tuple(metrics.values())], list(metrics.keys())
+            )
+
+        runner.run_query(f"{cell}-delete", _delete_as_df)
+        runner.run_query(
+            f"{cell}-read",
+            lambda t=t: t.read().agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("vsum"),
+            ),
+        )
+        if sink:
+            report.report_extra_metric(
+                f"{cell}-files-rewritten",
+                float(sink[0].get("files_rewritten", 0)),
+            )
     report.query_results = runner.results
     for name, sec in runner.medians().items():
         report.report_extra_metric(f"{name}-seconds", sec)
