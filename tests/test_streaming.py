@@ -179,3 +179,77 @@ def test_drain_state_partitions_restores_on_failure(spark):
     with _pytest.raises(Exception):
         streaming.drain_to_table(bad, "t_boom", state_partitions=4)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_ingest_into_mor_with_deletion_vectors(spark, tmp_path):
+    """Integration across the streaming and managed-table layers: a
+    foreachBatch MERGE ingest into a merge-on-read table (one delta
+    commit per micro-batch, zero rewrites), deletion-vector maintenance
+    after the drain, a resurrecting merge, and compaction — ending
+    value-equal to the batch replay of the same operations. Per-file
+    micro-batches carry DISJOINT key ranges so the final state is
+    order-independent (file-listing order is not a streaming guarantee)."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    seed = spark.range(100).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), seed, num_files=2,
+        table_mode="mor", primary_keys=("k",),
+    )
+    # three staged files; file i upserts seed keys [10i, 10i+10) to
+    # k+500 and inserts fresh keys [100+30i, 100+30i+30) at k*2
+    src_dir = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(10 * i, 10 * i + 10).selectExpr(
+            "id AS k", "CAST(id + 500 AS DOUBLE) AS v"
+        ).unionAll(
+            spark.range(100 + 30 * i, 130 + 30 * i).selectExpr(
+                "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+            )
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("k BIGINT, v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            t.merge(batch_df, on=["k"], track_matches=False)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "ingest drain timed out"
+    q.stop()
+
+    # every ingest commit was a delta append — nothing rewritten
+    assert all(
+        m.metrics.get("files_rewritten", 0) == 0
+        for m in t.manifests if m.operation == "MERGE"
+    )
+    got = t.read()
+    assert got.count() == 190
+    assert got.filter("k < 30").filter(F.col("v") != F.col("k") + 500).count() == 0
+
+    t.delete("k < 15")  # tombstone commit over streamed + seed rows
+    assert t.read().count() == 175
+    t.merge(
+        spark.range(5).selectExpr("id AS k", "CAST(9999 AS DOUBLE) AS v"),
+        on=["k"],
+    )  # resurrect 5 tombstoned keys
+    t.optimize()
+    final = {r.k: r.v for r in t.read().collect()}
+    expected = {k: 0.0 for k in range(100)}                # seed (v = 0)
+    expected.update({k: float(k + 500) for k in range(30)})  # streamed upserts
+    expected.update({k: float(k * 2) for k in range(100, 190)})  # inserts
+    for k in range(15):
+        expected.pop(k)                                     # tombstoned
+    expected.update({k: 9999.0 for k in range(5)})          # resurrected
+    assert final == expected
