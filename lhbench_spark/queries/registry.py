@@ -106,8 +106,11 @@ def get_query(name: str) -> QueryDef:
 
 DRIVER_GREEN: dict[str, int] = {
     "acid_append_evolve": 5,
+    "acid_cluster_evolution": 8,
     "acid_delete_where": 5,
     "acid_history_merges": 5,
+    "acid_merge_full_sync": 8,
+    "acid_mor_delete_vectors": 8,
     "acid_mor_merge": 5,
     "acid_optimize_detail": 5,
     "acid_restore": 5,
@@ -274,6 +277,50 @@ DRIVER_GREEN: dict[str, int] = {
     "tpcds_q17": 7,
     "tpcds_q18": 7,
     "tpcds_q19": 7,
+    "tpcds_q21": 8,
+    "tpcds_q22": 8,
+    "tpcds_q23a": 8,
+    "tpcds_q23b": 8,
+    "tpcds_q24a": 8,
+    "tpcds_q24b": 8,
+    "tpcds_q25": 8,
+    "tpcds_q26": 8,
+    "tpcds_q27": 8,
+    "tpcds_q28": 8,
+    "tpcds_q29": 8,
+    "tpcds_q30": 8,
+    "tpcds_q31": 8,
+    "tpcds_q32": 8,
+    "tpcds_q33": 8,
+    "tpcds_q34": 8,
+    "tpcds_q35": 8,
+    "tpcds_q36": 8,
+    "tpcds_q38": 8,
+    "tpcds_q39a": 8,
+    "tpcds_q39b": 8,
+    "tpcds_q40": 8,
+    "tpcds_q41": 8,
+    "tpcds_q42": 8,
+    "tpcds_q43": 8,
+    "tpcds_q44": 8,
+    "tpcds_q45": 8,
+    "tpcds_q46": 8,
+    "tpcds_q47": 8,
+    "tpcds_q48": 8,
+    "tpcds_q49": 8,
+    "tpcds_q50": 8,
+    "tpcds_q51": 8,
+    "tpcds_q52": 8,
+    "tpcds_q53": 8,
+    "tpcds_q54": 8,
+    "tpcds_q55": 8,
+    "tpcds_q56": 8,
+    "tpcds_q57": 8,
+    "tpcds_q58": 8,
+    "tpcds_q59": 8,
+    "tpcds_q60": 8,
+    "tpcds_q61": 8,
+    "tpcds_q62": 8,
     "warehouse_db_lifecycle": 3,
     "win_avg_deviation": 1,
     "win_lag_lead_monthly": 1,
