@@ -521,6 +521,16 @@ def train_bpe_loop(spark, sf_dir):
         t = t.crossJoin(F.broadcast(top1)).select(
             "doc_id", F.expr(fold_expr).alias("toks"), "merged"
         )
+        # Materialize each round's merged state once (lazy
+        # localCheckpoint, same policy as train_logreg_fit's feature
+        # frame below): without it, round r's pair count AND the final
+        # per-round union both re-execute rounds 1..r's crossJoin+fold
+        # chain — O(rounds²) fold passes, measured 13.9 s vs ~8 s at
+        # sf0.1 for 3 rounds; at a real 30-merge BPE run the quadratic
+        # blowup is the whole job. The checkpointed state is the
+        # re-tokenized corpus (same scale as the input), and lineage
+        # truncation means every downstream pass scans it exactly once.
+        t = t.localCheckpoint(eager=False)
         rounds.append(
             t.agg(
                 F.lit(r + 1).alias("round"),
