@@ -1140,7 +1140,21 @@ class ManagedTable:
         per-key unique). Assignment RHS is evaluated against the OLD row
         and CAST back to the declared column type, exactly like the CoW
         path. One counting job sizes the output files (same job the CoW
-        path pays for its metric)."""
+        path pays for its metric).
+
+        Assignments may NOT target a primary-key column: the post-image
+        would land under the NEW key, the old row (old key) would never
+        be superseded by the latest-per-key resolve, and the "update"
+        would silently duplicate rows. Hudi likewise forbids mutating
+        the record key; key-rewriting updates belong on a CoW table
+        (whose path rewrites the touched files and stays correct)."""
+        pk_targets = sorted(set(assignments) & set(self.primary_keys))
+        if pk_targets:
+            raise ValueError(
+                f"mor UPDATE cannot assign primary-key column(s) {pk_targets}: "
+                "the delta post-image would carry a new key and the old row "
+                "would survive the resolve (use a cow table to rewrite keys)"
+            )
         m = self.current
         cond = F.expr(condition)
         cur = self.read()
@@ -1648,6 +1662,34 @@ class ManagedTable:
                     F.lit(m.version).alias("_commit_version"),
                     "*",
                 )
+            # A REMOVED tombstone is the inverse event: the one
+            # non-skipped op that removes one (RESTORE across a MoR
+            # DELETE) RESURRECTS the covered keys. Merging its pk-only
+            # rows into `pre` would emit them as _change_type='delete'
+            # — the exact inverse — and a replica applying the feed
+            # would drop live keys. Instead, emit the keys that are
+            # live again at this version as upserts carrying the
+            # resolved post-image (keys still dead under a different
+            # surviving tombstone drop out of the semi-join). Cost: one
+            # table-resolve at this version semi-joined to the
+            # resurrected keys, paid only by tombstone-removing commits
+            # — RESTORE is a rare administrative op, and this is the
+            # only correct payload source (the post-images live in
+            # untouched base files, which carry by reference).
+            removed_ts = [e for e in removed if e.kind == "tombstone"]
+            removed = [e for e in removed if e.kind != "tombstone"]
+            res_delta = None
+            if removed_ts:
+                res_keys = read_files(removed_ts).select(*keys).dropDuplicates()
+                res_delta = (
+                    self.read(version=m.version)
+                    .join(res_keys, keys, "left_semi")
+                    .select(
+                        F.lit("upsert").alias("_change_type"),
+                        F.lit(m.version).alias("_commit_version"),
+                        "*",
+                    )
+                )
             pre, post = read_files(removed), read_files(added)
             ver = F.lit(m.version).alias("_commit_version")
             if pre is None and post is None:
@@ -1696,6 +1738,14 @@ class ManagedTable:
                     delta = delta.unionByName(p)
             if ts_delta is not None and delta is not ts_delta:
                 delta = delta.unionByName(ts_delta, allowMissingColumns=True)
+            if res_delta is not None:
+                delta = (
+                    res_delta
+                    if delta is None
+                    else delta.unionByName(res_delta, allowMissingColumns=True)
+                )
+            if delta is None:
+                continue
             out = delta if out is None else out.unionByName(
                 delta, allowMissingColumns=True
             )

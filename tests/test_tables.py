@@ -1154,7 +1154,7 @@ def test_mor_delete_writes_tombstone_not_rewrite(spark, tdir):
     m = t.delete("part = 3")
     assert m["files_rewritten"] == 0
     assert m["tombstones_added"] == 1
-    assert m["rows_deleted"] == 200 // 7 + (1 if 3 < 200 % 7 else 0) or m["rows_deleted"] > 0
+    assert m["rows_deleted"] == sum(1 for k in range(200) if k % 7 == 3)
     # every pre-existing file carries over by reference
     assert before <= {e.path for e in t.current.files}
     kinds = {e.kind for e in t.current.files}
@@ -1171,6 +1171,42 @@ def test_mor_delete_no_match_is_noop(spark, tdir):
     m = t.delete("part = 99")
     assert m == {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
     assert t.current.version == v  # no commit
+
+
+def test_mor_update_rejects_primary_key_assignment(spark, tdir):
+    """UPDATE SET <pk>= on a MoR table must be refused: the delta
+    post-image would land under the NEW key and the old row would
+    survive the latest-per-key resolve — a silent duplicate, not an
+    update (Hudi likewise forbids mutating the record key). The CoW
+    path rewrites the touched files and stays correct, so key-rewriting
+    updates belong there."""
+    t = _mor(spark, tdir)
+    v = t.current.version
+    with pytest.raises(ValueError, match="primary-key"):
+        t.update({"key": "key + 1000"}, "part = 3")
+    assert t.current.version == v  # nothing committed
+    assert t.read().count() == 200
+
+
+def test_mor_restore_across_delete_emits_resurrections(spark, tdir):
+    """changes() across a RESTORE that removes a MoR deletion vector:
+    the covered keys come BACK, so the feed must carry them as upserts
+    with the RESOLVED payload — never as deletes (pk-only tombstone
+    rows merged into the pre-images would read as the exact inverse,
+    and a replica applying the feed would drop live keys)."""
+    t = _mor(spark, tdir)
+    t.delete("part = 3")  # v1: pk-only tombstone commit
+    v_del = t.current.version
+    t.restore(0)  # v2: the one non-skipped op that REMOVES a tombstone
+    ch = t.changes(from_version=v_del)
+    assert ch.filter("_change_type = 'delete'").count() == 0
+    ups = ch.filter("_change_type = 'upsert'")
+    n_res = sum(1 for k in range(200) if k % 7 == 3)
+    assert ups.count() == n_res
+    assert ups.filter("part = 3").count() == n_res
+    # resolved post-image payload from the untouched base files, not
+    # NULL-padded tombstone rows
+    assert ups.filter("value IS NULL OR tag IS NULL").count() == 0
 
 
 def test_mor_tombstone_resurrect(spark, tdir):
