@@ -97,8 +97,14 @@ class BenchmarkRunner:
         name: str,
         make_df: Callable[[], DataFrame],
         iteration: int = 1,
+        setup: Callable[[], None] | None = None,
     ) -> QueryResult:
-        """Time one query end-to-end (plan + execute + fetch)."""
+        """Time one query end-to-end (plan + execute + fetch).
+
+        ``setup`` runs OUTSIDE the timing window, before it opens — for
+        state-mutating workload cells (DELETE/MERGE micro-benchmarks)
+        that must re-establish a fresh table per measured run so every
+        iteration times the real operation, never a no-op re-run."""
         sc = self.spark.sparkContext
         sc.setJobGroup(f"{name}-i{iteration}", f"{name} iteration {iteration}")
         # Measurement isolation: operators that persist intermediates
@@ -107,6 +113,8 @@ class BenchmarkRunner:
         # the session never accumulates leaked cache entries across a
         # 60+-query suite.
         self.spark.catalog.clearCache()
+        if setup is not None:
+            setup()
         t0 = time.monotonic_ns()
         try:
             df = make_df()

@@ -217,24 +217,34 @@ def run_grid(spark: SparkSession, cfg: MergeGridConfig | None = None) -> Benchma
     # prices the read-side cost of carrying the tombstone.
     for mode in cfg.table_modes:
         cell = f"{mode}-delete-pct0.01"
-        root = tempfile.mkdtemp(prefix=f"lhbench_mgd_{mode}_") + "/t"
-        t = ManagedTable.create(
-            spark, root, base, cluster_by=("key",),
-            num_files=cfg.num_files, table_mode=mode, primary_keys=("key",),
-        )
         sink = []
+        # Fresh table per measured run (setup hook, outside the timing
+        # window): a second timed invocation against the same table would
+        # find zero matching rows and time a no-op — underselling the
+        # real delete cost and emitting a metrics dict without
+        # tombstones_added. With the per-run rebuild every measurement
+        # performs the actual delete and the metrics schema is uniform.
+        holder: dict[str, ManagedTable] = {}
 
-        def _delete_as_df(t=t, k=sink):
+        def _fresh_table(mode=mode, holder=holder):
+            root = tempfile.mkdtemp(prefix=f"lhbench_mgd_{mode}_") + "/t"
+            holder["t"] = ManagedTable.create(
+                spark, root, base, cluster_by=("key",),
+                num_files=cfg.num_files, table_mode=mode, primary_keys=("key",),
+            )
+
+        def _delete_as_df(holder=holder, k=sink):
+            t = holder["t"]
             metrics = t.delete("key % 100 = 7")
             k.append(metrics)
             return t.spark.createDataFrame(
                 [tuple(metrics.values())], list(metrics.keys())
             )
 
-        runner.run_query(f"{cell}-delete", _delete_as_df)
+        runner.run_query(f"{cell}-delete", _delete_as_df, setup=_fresh_table)
         runner.run_query(
             f"{cell}-read",
-            lambda t=t: t.read().agg(
+            lambda holder=holder: holder["t"].read().agg(
                 F.count(F.lit(1)).alias("cnt"),
                 F.sum(F.col("value").cast("decimal(30,6)")).alias("vsum"),
             ),
