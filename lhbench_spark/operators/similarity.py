@@ -548,14 +548,21 @@ def kmeans_refine(
     Only the cells x dim codebook (metadata-sized) is ever collected.
     Empty cells keep their previous centroid (the standard Lloyd
     convention), so the codebook never shrinks."""
+    from lhbench_spark.operators import fan_out
+
     dim = len(cents[0][1])
+    # Project + CPU-partition + materialize the (id, vector) frame ONCE:
+    # every iteration's argmin assignment is compute-bound (cells × dim
+    # multiply-adds per row), so a byte-planned scan of a small-on-disk
+    # vector table would run each round on one core, and without the
+    # lazy checkpoint each round would also re-read the parquet source
+    # (fan_out no-ops at real split counts; the checkpoint is the same
+    # policy as the GD/BPE loops in queries/training.py).
+    proj = fan_out(
+        corpus.select(F.col(id_col).alias("_kid"), as_double(vec_col).alias("_kv"))
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
-        assigned = ivf_assign(
-            corpus.select(
-                F.col(id_col).alias("_kid"), as_double(vec_col).alias("_kv")
-            ),
-            cents, 1, "_kid", "_kv",
-        )
+        assigned = ivf_assign(proj, cents, 1, "_kid", "_kv")
         rows = assigned.groupBy("_cell").agg(
             F.count(F.lit(1)).alias("_n"),
             *[

@@ -217,8 +217,17 @@ def charlm_perplexity(
     Returns (id, n_bigrams, mean_logp, ppl)."""
     from lhbench_spark.functions.numeric import dsum
 
+    from lhbench_spark.operators import fan_out
+
     s = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "))
-    d = df.select(F.col(id_col), s.alias("_s")).filter(F.length("_s") >= 2)
+    # CPU-partition the corpus before the O(chars) normalize+explode:
+    # byte-sized split planning puts a small-on-disk text table on one
+    # core (fan_out is a no-op once the scan has enough splits).
+    d = (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), s.alias("_s"))
+        .filter(F.length("_s") >= 2)
+    )
     doc_bg = (
         d.select(
             id_col,

@@ -542,9 +542,11 @@ def corpus_bpe_merge_step(spark, sf_dir):
     no global sort, no driver-side frequency table."""
     from pyspark.sql import functions as F
 
+    from lhbench_spark.operators import fan_out
+
     toks = textnorm.tokens_spark("text")
     pairs = (
-        table(spark, sf_dir, "documents")
+        fan_out(table(spark, sf_dir, "documents").select("text"))
         .select(F.expr(toks).alias("t"))
         .select(
             F.explode(
@@ -845,8 +847,14 @@ def corpus_bpe_apply_merge(spark, sf_dir):
     non-overlapping fold, report the exact corpus-level merge census."""
     from pyspark.sql import functions as F
 
+    from lhbench_spark.operators import fan_out
+
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks"))
+    # CPU-partition before tokenize: the pair census AND the fold both
+    # re-read this projection (fan_out is a no-op at real split counts).
+    t = fan_out(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks")
+    )
     pairs = t.select(
         F.explode(
             F.expr(

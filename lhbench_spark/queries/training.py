@@ -481,9 +481,13 @@ def train_bpe_loop(spark, sf_dir):
     state, not a fixed merge list."""
     from pyspark.sql import functions as F
 
-    from lhbench_spark.operators import textnorm
+    from lhbench_spark.operators import fan_out, textnorm
 
-    t = table(spark, sf_dir, "documents").select(
+    # CPU-partition the corpus once up front: every round's pair count
+    # and fold re-scan this frame (via the per-round checkpoint), and a
+    # byte-planned scan of a small-on-disk text table would pin the
+    # whole loop to one core (fan_out no-ops at real split counts).
+    t = fan_out(table(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks")
     )
     pair_expr = (
