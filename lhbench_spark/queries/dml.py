@@ -1069,9 +1069,10 @@ def acid_merge_full_sync(spark, sf_dir):
 # -- ALTER CLUSTER BY (layout-spec evolution) ----------------------------------
 # Iceberg's partition-spec evolution, for this format's clustering
 # layout: the alter is METADATA-ONLY (zero rewrites), files written
-# after it carry [min,max] stats on the NEW key, and file-skip reads
-# prune each file by whatever stats it has — old files are always
-# scanned (never false-skipped), new files skip. The oracle
+# after it carry tight [min,max] stats on the NEW key, and file-skip
+# reads prune each file by whatever stats it has — old files skip only
+# when their true (universal-stats) range excludes the probe, so a
+# matching row can never be skipped; new files skip tightly. The oracle
 # value-checks the synced data; the pruning evidence rides as boolean
 # columns computed from the manifest + input_file_name scan counts
 # (the agg_sketches boolean-gate pattern).
@@ -1086,7 +1087,7 @@ SELECT o_orderstatus,
        {dsum_sql("o_totalprice")} AS total_price,
        TRUE AS alter_was_metadata_only,
        TRUE AS new_files_pruned,
-       TRUE AS old_files_scanned
+       TRUE AS no_false_skip
 FROM combined
 GROUP BY o_orderstatus
 """
@@ -1101,9 +1102,11 @@ def acid_cluster_evolution(spark, sf_dir):
     """ALTER TABLE CLUSTER BY lifecycle: create clustered by order key,
     evolve the layout spec to the customer key (metadata-only commit),
     append a second slice under the new spec, then prune-read on a
-    customer-key value — the new files skip, the old files all scan
-    (no stats on the new key → never a false skip), and the full
-    read-back aggregate value-checks both slices."""
+    customer-key value — the new-spec files skip on their tight new-key
+    ranges, old files skip only when their (universal-stats) TRUE range
+    excludes the probe — so the pruned read still contains every
+    matching row (never a false skip), and the full read-back aggregate
+    value-checks both slices."""
     t = ManagedTable.create(
         spark,
         _tmp(),
@@ -1118,12 +1121,10 @@ def acid_cluster_evolution(spark, sf_dir):
     t.append(slice2, num_files=4)
     probe = slice2.agg(F.min("o_custkey")).collect()[0][0]
     n_total = len(t.current.files)
-    n_scanned = (
-        t.read(prune={"o_custkey": probe})
-        .select(F.input_file_name())
-        .distinct()
-        .count()
-    )
+    pruned = t.read(prune={"o_custkey": probe})
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    n_probe_pruned = pruned.filter(F.col("o_custkey") == probe).count()
+    n_probe_full = t.read().filter(F.col("o_custkey") == probe).count()
     return (
         t.read()
         .groupBy("o_orderstatus")
@@ -1136,5 +1137,152 @@ def acid_cluster_evolution(spark, sf_dir):
             F.lit(alter["files_rewritten"] == 0 and alter["files_carried"] == n_old),
         )
         .withColumn("new_files_pruned", F.lit(n_scanned < n_total))
-        .withColumn("old_files_scanned", F.lit(n_scanned >= n_old))
+        .withColumn("no_false_skip", F.lit(n_probe_pruned == n_probe_full))
+    )
+
+
+# -- Idempotent transactional appends (round 9) -------------------------------
+# Delta's txnAppId/txnVersion writer contract: the manifest carries a
+# per-app-id high-water ledger, a replayed (app, version) append is a
+# no-op, and a BLIND append that loses the commit race rebases onto the
+# winner instead of surfacing a conflict (appends read no snapshot
+# state — the Delta/Iceberg "appends never conflict" class; snapshot-
+# dependent DML still raises). This is the exactly-once foundation a
+# foreachBatch streaming sink stands on (continuous_sink_table passes
+# the stream's batch_id here; tests/test_streaming.py replays a whole
+# drain from a fresh checkpoint).
+
+_TXN_ORACLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       TRUE AS replays_skipped,
+       TRUE AS rebase_committed
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_txn_idempotent_sink",
+    tags=("dml", "append", "txn", "exactly-once", "managed-table"),
+    oracle=_TXN_ORACLE,
+)
+def acid_txn_idempotent_sink(spark, sf_dir):
+    """Transactional append lifecycle: three txn-tagged batches land
+    once each under replay (every re-offered (app, version) skips), a
+    STALE handle's blind append auto-rebases past the commits it lost
+    the race to, and the final read-back must equal the full relational
+    union — so the ledger semantics and the rebase path are both
+    value-checked."""
+    orders = table(spark, sf_dir, "orders")
+    t = ManagedTable.create(
+        spark, _tmp(), orders.filter("o_orderkey % 4 = 1"),
+        num_files=2, validate_count=False,
+    )
+    stale = ManagedTable(spark, t.root)  # loads v0, goes stale below
+    skipped = 0
+    for ver, pred in enumerate(["o_orderkey % 4 = 2", "o_orderkey % 4 = 3"]):
+        batch = orders.filter(pred)
+        t.append(batch, num_files=2, txn_app_id="ingest", txn_version=ver)
+        m = t.append(batch, num_files=2, txn_app_id="ingest", txn_version=ver)
+        skipped += m.get("skipped_txn", 0)
+    # replay of the whole ledger range on a FRESH handle (crash-restart)
+    fresh = ManagedTable(spark, t.root)
+    for ver, pred in enumerate(["o_orderkey % 4 = 2", "o_orderkey % 4 = 3"]):
+        m = fresh.append(
+            orders.filter(pred), num_files=2,
+            txn_app_id="ingest", txn_version=ver,
+        )
+        skipped += m.get("skipped_txn", 0)
+    # the stale v0 handle blind-appends the last slice: three commits
+    # behind, it must rebase internally and still land exactly once
+    m_rebase = stale.append(orders.filter("o_orderkey % 4 = 0"), num_files=2)
+    final = ManagedTable(spark, t.root)
+    return (
+        final.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("replays_skipped", F.lit(skipped == 4))
+        .withColumn(
+            "rebase_committed",
+            F.lit(m_rebase["rows_appended"] > 0 and final.current.version == 3),
+        )
+    )
+
+
+# -- Universal-stats ingest-time skipping (round 9) ---------------------------
+# Per-file stats now cover EVERY stat-able column (Delta's
+# dataSkippingNumIndexedCols analog), so the append-in-time-order
+# ingest pattern gets time-slice file skipping WITHOUT any partitioning
+# or clustering on the date: each appended slice's files carry a tight
+# o_orderdate range in the manifest, and read(prune=…) drops the other
+# slices' files at planning time. The probe aggregates only rows AT the
+# probed value, which pruning can never lose (stats are true ranges) —
+# so the result is SQL-expressible while the skipping evidence rides as
+# booleans (the agg_sketches boolean-gate pattern).
+
+_STATS_SKIP_ORACLE = f"""
+WITH probe AS (
+    SELECT MAX(o_orderdate) AS d FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_orderstatus,
+       COUNT(*) AS cnt,
+       {dsum_sql("o_totalprice")} AS total_price,
+       TRUE AS files_skipped,
+       TRUE AS no_false_skip
+FROM orders, probe
+WHERE o_orderdate = probe.d
+GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "acid_stats_time_skipping",
+    tags=("dml", "stats", "data-skipping", "ingest", "managed-table"),
+    oracle=_STATS_SKIP_ORACLE,
+)
+def acid_stats_time_skipping(spark, sf_dir):
+    """Time-ordered ingest + universal column stats = partition-free
+    time skipping: load 1995-96, append 1997-98 / 1999-2000 / 2001 as
+    separate commits, then prune-read at one timestamp — only the
+    owning slice's files scan, and every row at the probed value
+    survives (true ranges never false-skip)."""
+    orders = table(spark, sf_dir, "orders")
+    slices = [
+        "o_orderdate < TIMESTAMP '1997-01-01'",
+        "o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'",
+        "o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'",
+        "o_orderdate >= TIMESTAMP '2001-01-01'",
+    ]
+    t = ManagedTable.create(
+        spark, _tmp(), orders.filter(slices[0]),
+        num_files=2, validate_count=False,
+    )
+    for pred in slices[1:]:
+        t.append(orders.filter(pred), num_files=2)
+    probe = (
+        orders.filter("o_orderdate < TIMESTAMP '1998-01-01'")
+        .agg(F.max("o_orderdate"))
+        .collect()[0][0]
+    )
+    # manifest stats realize timestamps as ISO strings; the same
+    # realization makes the range check a faithful lexicographic compare
+    pruned = t.read(prune={"o_orderdate": probe.isoformat()})
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    n_total = len(t.current.files)
+    at_probe = pruned.filter(F.col("o_orderdate") == F.lit(probe))
+    n_full = t.read().filter(F.col("o_orderdate") == F.lit(probe)).count()
+    return (
+        at_probe.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .withColumn("files_skipped", F.lit(n_scanned < n_total))
+        .withColumn("no_false_skip", F.lit(at_probe.count() == n_full))
     )

@@ -20,8 +20,10 @@ Layout (Iceberg-style, not Hive-style):
   version's files can be handed to ``spark.read.parquet(*files)``
   directly. Clustering (``cluster_by``) hash-repartitions + sorts on the
   cluster keys before write, and the manifest records per-file min/max
-  stats on those keys — file skipping happens manifest-side
-  (``read(prune=…)``), the moral equivalent of Delta data skipping.
+  stats on the cluster keys PLUS every other stat-able column up to
+  ``STATS_MAX_COLS`` (Delta's dataSkippingNumIndexedCols analog) — file
+  skipping happens manifest-side (``read(prune=…)``) on ANY statted
+  column, the moral equivalent of Delta data skipping.
 - MERGE is file-level copy-on-write: only files that contain a matched
   key are rewritten; untouched files carry over by reference. The
   only driver-side collect is the matched FILE list (metadata-sized,
@@ -194,17 +196,40 @@ def _load_manifests(root: str, fs: TableFS) -> list[Manifest]:
     return out
 
 
+# Per-file stats are collected for the clustering keys FIRST, then every
+# other stat-able column in schema order up to this cap — the analog of
+# Delta's dataSkippingNumIndexedCols (default 32) / Iceberg's
+# write.metadata.metrics defaults: read(prune=…) can then skip files on
+# ANY statted column, not just the cluster keys (a clustered write makes
+# correlated columns near-sorted too, so their ranges are often tight).
+# Manifest cost is bounded: <= cap × 2 scalars per file.
+STATS_MAX_COLS = 32
+
+
+def _stat_value(v):
+    """JSON-safe, comparison-faithful realization of a footer stat value;
+    None = this column is not stat-able (bytes/decimal/nested)."""
+    import datetime as _dt
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return None
+
+
 def _file_entry(
     root: str, abs_path: str, stat_cols: list[str], fs: TableFS, kind: str = "data"
 ) -> FileEntry:
     meta = fs.parquet_metadata(abs_path)
     stats: dict[str, list] = {}
-    if stat_cols:
-        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
-        for col in stat_cols:
-            if col not in idx:
-                continue
-            lo, hi = None, None
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    ordered = [c for c in stat_cols if c in idx] + [
+        c for c in idx if c not in stat_cols
+    ]
+    for col in ordered[:STATS_MAX_COLS]:
+        lo, hi = None, None
+        try:
             for rg in range(meta.num_row_groups):
                 s = meta.row_group(rg).column(idx[col]).statistics
                 if s is None or not s.has_min_max:
@@ -212,8 +237,14 @@ def _file_entry(
                     break
                 lo = s.min if lo is None or s.min < lo else lo
                 hi = s.max if hi is None or s.max > hi else hi
-            if lo is not None:
-                stats[col] = [lo, hi]
+        except Exception:  # noqa: BLE001 — pyarrow raises
+            # ArrowNotImplementedError for types without extractable
+            # footer stats (e.g. NULL-typed columns); those columns are
+            # simply not stat-able — never fail a commit over stats.
+            lo = hi = None
+        lo, hi = _stat_value(lo), _stat_value(hi)
+        if lo is not None and hi is not None:
+            stats[col] = [lo, hi]
     return FileEntry(
         path=os.path.relpath(abs_path, root),
         rows=meta.num_rows,
@@ -405,14 +436,21 @@ class ManagedTable:
         m = self.current if version is None else self.version_manifest(version)
         files = m.files
         if prune:
+
+            def _in_range(e: FileEntry, col: str, value) -> bool:
+                if e.kind != "data" or col not in e.stats:
+                    return True
+                lo, hi = e.stats[col]
+                try:
+                    return lo <= value <= hi
+                except TypeError:
+                    # prune value not comparable with the stored stat
+                    # realization (e.g. a date object vs the ISO string
+                    # the manifest carries) — never false-skip, scan it.
+                    return True
+
             for col, value in prune.items():
-                files = [
-                    e
-                    for e in files
-                    if e.kind != "data"
-                    or col not in e.stats
-                    or e.stats[col][0] <= value <= e.stats[col][1]
-                ]
+                files = [e for e in files if _in_range(e, col, value)]
         if not files:
             empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
             return empty
@@ -925,11 +963,26 @@ class ManagedTable:
     # ---------- APPEND (writer append mode + schema evolution) ----------
 
     def append(
-        self, df: DataFrame, num_files: int = 1, merge_schema: bool = False
+        self,
+        df: DataFrame,
+        num_files: int = 1,
+        merge_schema: bool = False,
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
     ) -> dict[str, int]:
         """Append-only commit: new files land next to the existing ones,
         nothing is rewritten (the cheapest write path — the Delta
         ``.mode("append")`` analog).
+
+        ``txn_app_id`` + ``txn_version`` make the append IDEMPOTENT —
+        the Delta ``txnAppId``/``txnVersion`` transactional-writer
+        contract that exactly-once streaming sinks are built on: the
+        manifest records the highest committed version per app id, and
+        an append whose version is <= the recorded one is a no-op
+        (``{"rows_appended": 0, "skipped_txn": 1}``). A foreachBatch
+        sink passes the stream's checkpointed ``batch_id``, so a batch
+        replayed after a crash-restart commits exactly once no matter
+        how many times it is retried. Both must be passed together.
 
         On a MoR table, appended rows participate in the latest-per-key
         resolve like any newer commit: appending a row whose primary key
@@ -943,7 +996,14 @@ class ManagedTable:
         additive only); existing rows surface them as NULL at read time
         via parquet schema merging. Without it, a schema mismatch is an
         error — silent widening is how tables rot."""
+        if (txn_app_id is None) != (txn_version is None):
+            raise ValueError("txn_app_id and txn_version must be passed together")
         m = self.current
+        if txn_app_id is not None:
+            last = m.properties.get("txns", {}).get(txn_app_id)
+            if last is not None and txn_version <= last:
+                # Replayed batch: already committed — exactly-once no-op.
+                return {"rows_appended": 0, "files_added": 0, "skipped_txn": 1}
         if self.checks:
             _enforce_checks(df, self.checks)
         if self.table_mode == "mor":
@@ -965,8 +1025,34 @@ class ManagedTable:
             cur_schema = {f.name: f.dataType for f in self.read().schema.fields}
             for c in missing:
                 df = df.withColumn(c, F.lit(None).cast(cur_schema[c]))
+        def _skipped_after_rebase() -> bool:
+            """After a reload, did another writer of the same app id land
+            this txn first? (Then our append is already in — no-op.)"""
+            if txn_app_id is None:
+                return False
+            last = m.properties.get("txns", {}).get(txn_app_id)
+            return last is not None and txn_version <= last
+
+        _TXN_NOOP = {"rows_appended": 0, "files_added": 0, "skipped_txn": 1}
         version = m.version + 1
-        data_dir = self._claim_data_dir(version)
+        # Claim a staging dir, rebasing past writers that got ahead since
+        # this handle loaded (the eager writer-is-behind check would
+        # otherwise surface a conflict a blind append need not have).
+        for _ in range(20):
+            try:
+                data_dir = self._claim_data_dir(version)
+                break
+            except ConcurrentWriteError:
+                self.manifests = _load_manifests(self.root, self.fs)
+                m = self.current
+                if _skipped_after_rebase():
+                    return dict(_TXN_NOOP)
+                version = m.version + 1
+        else:
+            raise ConcurrentWriteError(
+                f"append could not claim a staging dir in {self.root} "
+                "after 20 rebases — pathological contention"
+            )
         _shape_for_write(df, tuple(m.cluster_by), num_files).write.parquet(data_dir)
         new_entries = [
             _file_entry(self.root, p, m.cluster_by, self.fs)
@@ -977,18 +1063,54 @@ class ManagedTable:
             "files_added": len(new_entries),
             "columns_added": len(extra),
         }
-        manifest = Manifest(
-            version=version,
-            operation="APPEND",
-            timestamp_ms=int(time.time() * 1000),
-            files=m.files + new_entries,
-            cluster_by=m.cluster_by,
-            metrics=metrics,
-            properties=m.properties,
+        # Commit with automatic REBASE on a concurrent winner — the
+        # Delta/Iceberg "blind appends never conflict" rule: an append
+        # reads no table state, so losing the version race just means
+        # re-pointing the SAME already-written data files at the next
+        # version on top of the winner's manifest (the staging dir name
+        # carries the attempted version but entries are path-referenced,
+        # so no data is rewritten or copied). DML (DELETE/UPDATE/MERGE/
+        # OPTIMIZE) deliberately does NOT rebase: its rewrite set was
+        # derived from the loaded snapshot, and a concurrent commit may
+        # have changed exactly those files — the caller must reload and
+        # re-derive (ConcurrentWriteError, Delta's ConcurrentModification
+        # class). Bounded retries guard against livelock.
+        for _ in range(20):
+            try:
+                if _skipped_after_rebase():
+                    # A racing writer of the SAME app id committed this
+                    # batch first: our staged files become orphans
+                    # (vacuum-class garbage), the batch is already in.
+                    return dict(_TXN_NOOP)
+                props = m.properties
+                if txn_app_id is not None:
+                    props = dict(props)
+                    props["txns"] = {
+                        **props.get("txns", {}),
+                        txn_app_id: int(txn_version),
+                    }
+                manifest = Manifest(
+                    version=version,
+                    operation="APPEND",
+                    timestamp_ms=int(time.time() * 1000),
+                    files=m.files + new_entries,
+                    cluster_by=m.cluster_by,
+                    metrics=metrics,
+                    properties=props,
+                )
+                _write_manifest(self.root, manifest, self.fs)
+            except ConcurrentWriteError:
+                self.manifests = _load_manifests(self.root, self.fs)
+                self.manifests.sort(key=lambda mm: mm.version)
+                m = self.current
+                version = m.version + 1
+                continue
+            self.manifests.append(manifest)
+            return metrics
+        raise ConcurrentWriteError(
+            f"append lost the commit race 20 times in {self.root} — "
+            "pathological contention, reload and retry"
         )
-        _write_manifest(self.root, manifest, self.fs)
-        self.manifests.append(manifest)
-        return metrics
 
     # ---------- DELETE / UPDATE (file-level copy-on-write DML) ----------
 

@@ -951,9 +951,14 @@ def test_posthoc_zorder_reclusters_and_skips(spark, tmp_path):
     t = ManagedTable.create(
         spark, str(tmp_path / "z"), df, cluster_by=("a",), num_files=8
     )
-    # before: files carry stats on a only
+    # before: universal stats cover b too, but the a-clustered write
+    # scrambles b so every file's b range spans ~the full domain —
+    # stats without clustering skip nothing on b
     pre = t.current.files
-    assert all("b" not in e.stats for e in pre)
+    assert all("b" in e.stats for e in pre)
+    assert (
+        sum(1 for e in pre if e.stats["b"][0] <= 1000 <= e.stats["b"][1]) == 8
+    )
     m = t.zorder(("a", "b"), num_files=8)
     assert m["files_removed"] == 8 and m["files_added"] == 8
     assert t.current.operation == "OPTIMIZE" and t.current.version == 1
@@ -974,15 +979,94 @@ def test_posthoc_zorder_reclusters_and_skips(spark, tmp_path):
     assert t.read().agg(F.sum("v")).collect()[0][0] == sum(float(i) for i in range(4096))
 
 
+def test_concurrent_dml_still_conflicts_and_txn_race_dedups(spark, tmp_path):
+    """The append rebase must NOT extend to snapshot-dependent commits:
+    a stale handle's DELETE (its rewrite set was derived from the old
+    snapshot) raises ConcurrentWriteError. And two racing appends with
+    the SAME (txn_app_id, txn_version) commit exactly once — the loser's
+    rebase finds the txn in the reloaded ledger and becomes a no-op."""
+    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+
+    root = str(tmp_path / "t")
+    ManagedTable.create(spark, root, _base_df(spark, 100), num_files=2)
+    a, b = ManagedTable(spark, root), ManagedTable(spark, root)
+    a.update({"value": "value + 1"}, "key < 10")  # v1 committed by a
+    with pytest.raises(ConcurrentWriteError):
+        b.delete("key >= 90")  # b's rewrite set came from the v0 snapshot
+    # txn race: both handles at the same version, same app id + batch
+    a2, b2 = ManagedTable(spark, root), ManagedTable(spark, root)
+    batch = _base_df(spark, 120).filter("key >= 100")
+    m_a = a2.append(batch, txn_app_id="race", txn_version=0)
+    m_b = b2.append(batch, txn_app_id="race", txn_version=0)
+    assert {m_a["rows_appended"], m_b.get("rows_appended", 0)} == {20, 0}
+    assert ManagedTable(spark, root).read().count() == 120
+
+
+def test_txn_append_is_idempotent(spark, tmp_path):
+    """Transactional appends (Delta txnAppId/txnVersion analog): a
+    replayed (app, version) commits nothing; a higher version commits;
+    independent app ids do not interfere; the ledger survives RESTORE
+    (so a replica replay after an admin rollback still dedups)."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(spark, str(tmp_path / "t"), _base_df(spark, 10))
+    batch = _base_df(spark, 20).filter("key >= 10")
+    m1 = t.append(batch, txn_app_id="stream-A", txn_version=0)
+    assert m1["rows_appended"] == 10
+    # exact replay: no-op, no new manifest version
+    v = t.current.version
+    m2 = t.append(batch, txn_app_id="stream-A", txn_version=0)
+    assert m2 == {"rows_appended": 0, "files_added": 0, "skipped_txn": 1}
+    assert t.current.version == v and t.read().count() == 20
+    # stale (lower) version replays are no-ops too
+    assert t.append(batch, txn_app_id="stream-A", txn_version=-1)["skipped_txn"] == 1
+    # next batch commits; an independent app id is tracked separately
+    assert t.append(batch, txn_app_id="stream-A", txn_version=1)["rows_appended"] == 10
+    assert t.append(batch, txn_app_id="stream-B", txn_version=0)["rows_appended"] == 10
+    assert t.read().count() == 40
+    # ledger survives RESTORE (current properties are kept)
+    t.restore(v)
+    assert t.append(batch, txn_app_id="stream-A", txn_version=1)["skipped_txn"] == 1
+    with pytest.raises(ValueError, match="together"):
+        t.append(batch, txn_app_id="stream-A")
+
+
+def test_universal_stats_prune_non_cluster_column(spark, tmp_path):
+    """Universal per-file column stats (Delta dataSkippingNumIndexedCols
+    analog): read(prune=…) skips files on a column that is NOT a cluster
+    key when the clustered write leaves its ranges tight (value = 2.5 ×
+    key here, so key-clustering sorts value too); an incomparable prune
+    value never false-skips — it scans everything."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "u"), _base_df(spark, 800),
+        cluster_by=("key",), num_files=8,
+    )
+    # every data file is statted on all four columns
+    assert all(
+        {"key", "part", "value", "tag"} <= set(e.stats) for e in t.current.files
+    )
+    pruned = t.read(prune={"value": 1000.0})  # key 400's value
+    n_scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_scanned < 8
+    assert pruned.filter("value = 1000.0").count() == 1
+    # type-mismatched prune value: TypeError inside the range check must
+    # mean "scan", never "skip"
+    safe = t.read(prune={"tag": 12345})
+    assert safe.count() == 800
+
+
 def test_concurrent_appends_one_wins_one_retries(spark, tmp_path):
     """Two threads race to commit the same version from the same loaded
     state: the tokened staging dirs keep their data files apart, the
-    atomic manifest commit picks exactly one winner, and the loser
-    retries from a reload — both appends land, nothing is lost, and no
-    manifest references the other writer's files."""
+    atomic manifest commit picks exactly one winner, and the LOSER
+    REBASES INTERNALLY (blind appends never conflict — the Delta/Iceberg
+    rule): no ConcurrentWriteError surfaces, both appends land, nothing
+    is lost, and no manifest references the other writer's files."""
     import threading
 
-    from lhbench_spark.tables import ConcurrentWriteError, ManagedTable
+    from lhbench_spark.tables import ManagedTable
 
     root = str(tmp_path / "race")
     ManagedTable.create(
@@ -995,20 +1079,13 @@ def test_concurrent_appends_one_wins_one_retries(spark, tmp_path):
         t = ManagedTable(spark, root)  # both load version 0
         batch = spark.range(lo, hi).selectExpr("id AS k")
         barrier.wait()
-        retries = 0
-        while True:
-            try:
-                t.append(batch, num_files=1)
-                break
-            except ConcurrentWriteError:
-                retries += 1
-                assert retries < 5, "livelock"
-                t = ManagedTable(spark, root)  # reload and retry
-        outcomes[tag] = retries
+        outcomes[tag] = t.append(batch, num_files=1)
 
     th1 = threading.Thread(target=writer, args=("a", 100, 150))
     th2 = threading.Thread(target=writer, args=("b", 150, 210))
     th1.start(); th2.start(); th1.join(); th2.join()
+    assert outcomes["a"]["rows_appended"] == 50
+    assert outcomes["b"]["rows_appended"] == 60
 
     t = ManagedTable(spark, root)
     assert t.read().count() == 210
@@ -1433,9 +1510,11 @@ def test_set_cluster_by_is_metadata_only(spark, tdir):
 
 
 def test_cluster_evolution_new_writes_new_stats(spark, tdir):
-    """Post-alter writes stat by the NEW key; pruning on it skips new
-    files while old files (no stats for that key) are always scanned —
-    never a false skip, and the row set stays exact."""
+    """Post-alter writes CLUSTER by the new key so pruning on it skips
+    new files; old files carry part stats too (universal column stats)
+    but — written key-clustered — their part ranges span the whole 0..6
+    domain, so they are always scanned: never a false skip, and the row
+    set stays exact."""
     t = ManagedTable.create(
         spark, f"{tdir}/t", _base_df(spark, 700), cluster_by=("key",), num_files=7
     )
@@ -1445,7 +1524,10 @@ def test_cluster_evolution_new_writes_new_stats(spark, tdir):
     new_entries = [e for e in t.current.files if "v00002" in e.path]
     assert new_entries and all("part" in e.stats for e in new_entries)
     old_entries = [e for e in t.current.files if "v00000" in e.path]
-    assert all("part" not in e.stats for e in old_entries)
+    # universal stats: old files are statted on part as well, but the
+    # key-clustered write makes every old file's range the full domain —
+    # true ranges can widen a scan, never corrupt it
+    assert all(e.stats["part"] == [0, 6] for e in old_entries)
     pruned = t.read(prune={"part": 3})
     n_scanned = pruned.select(F.input_file_name()).distinct().count()
     assert n_scanned < len(t.current.files)  # new files pruned
