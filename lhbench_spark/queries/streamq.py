@@ -274,9 +274,13 @@ FROM events
 def continuous_sink_table(spark, sf_dir):
     """Streaming sink into the versioned managed table via foreachBatch
     (the Delta streaming-sink analog): each microbatch lands as an APPEND
-    commit, so the stream inherits the table's versioned manifests,
-    history, and time travel. The drained table must hold exactly the
-    source's rows — value-checked against the raw events table."""
+    commit carrying the stream's ``batch_id`` as a transactional version
+    (``txn_app_id``/``txn_version``, the Delta txnAppId contract) — so a
+    batch replayed after a crash-restart commits exactly once even
+    though foreachBatch itself is only at-least-once. The stream
+    inherits the table's versioned manifests, history, and time travel;
+    the drained table must hold exactly the source's rows —
+    value-checked against the raw events table."""
     import tempfile as _tf
 
     from lhbench_spark.session import scratch_dir as _scratch
@@ -290,7 +294,10 @@ def continuous_sink_table(spark, sf_dir):
         import os
 
         if os.path.isdir(f"{root}/_manifests"):
-            ManagedTable(batch_df.sparkSession, root).append(batch_df, num_files=1)
+            ManagedTable(batch_df.sparkSession, root).append(
+                batch_df, num_files=1,
+                txn_app_id="continuous_sink", txn_version=int(batch_id),
+            )
         else:
             ManagedTable.create(
                 batch_df.sparkSession, root, batch_df, num_files=1,

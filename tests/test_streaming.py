@@ -253,3 +253,59 @@ def test_stream_ingest_into_mor_with_deletion_vectors(spark, tmp_path):
         expected.pop(k)                                     # tombstoned
     expected.update({k: 9999.0 for k in range(5)})          # resurrected
     assert final == expected
+
+
+def test_stream_sink_replayed_batch_commits_once(spark, tmp_path):
+    """Exactly-once streaming appends: a multi-file availableNow stream
+    sinks into a managed table with (txn_app_id, batch_id); replaying
+    the sink over the SAME source from a FRESH checkpoint (the
+    crash-and-lose-the-checkpoint scenario, worse than a single batch
+    retry) re-offers every batch — and the txn ledger rejects all of
+    them, leaving the table bit-identical."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import ManagedTable
+
+    src_dir = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(100 * i, 100 * i + 100).selectExpr(
+            "id AS k", "CAST(id * 1.5 AS DOUBLE) AS v"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    seed = spark.range(0).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), seed, validate_count=False
+    )
+
+    def run_drain(chk: str) -> None:
+        stream = (
+            spark.readStream.schema("k BIGINT, v DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                t.append(
+                    batch_df, num_files=1,
+                    txn_app_id="sink-test", txn_version=int(batch_id),
+                )
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "sink drain timed out"
+        q.stop()
+
+    run_drain(str(tmp_path / "chk1"))
+    assert t.read().count() == 300
+    v_after = t.current.version
+    # fresh checkpoint -> the source replays every batch from scratch
+    run_drain(str(tmp_path / "chk2"))
+    assert t.current.version == v_after  # zero new commits
+    assert t.read().count() == 300
+    assert t.read().agg(F.sum("v")).collect()[0][0] == sum(
+        i * 1.5 for i in range(300)
+    )
