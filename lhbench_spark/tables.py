@@ -605,6 +605,27 @@ class ManagedTable:
             return self._merge_mor(m, target, source, on, track_matches)
         skeys = source.select(*on).dropDuplicates()
 
+        # Candidate pruning BEFORE the touch probe — the range stage of
+        # Hudi's bloom index: a file whose manifest [min,max] range on
+        # the first merge key contains NO source key cannot hold a
+        # match, so it is excluded from the probe scan entirely. The
+        # check is one pass over the SOURCE keys against a
+        # metadata-sized broadcast of file ranges — at 100 TB a 1%-keys
+        # merge probes ~1% of the files instead of scanning the whole
+        # table to discover that 99% of it matched nothing. Exactness:
+        # stats are true ranges, so every file holding a source key IS a
+        # candidate — which also makes the insert anti-join below exact
+        # when restricted to candidate files (a key absent from every
+        # candidate is absent from the table). Files without a usable
+        # range stay candidates (never a false skip).
+        candidates = self._merge_candidate_files(m.files, skeys, on[0])
+        # _read_conformed keeps the FULL current schema even when no
+        # candidate file carries an evolved column — the insert path
+        # selects target.columns, which must never drop one.
+        target = (
+            self._read_conformed(candidates) if candidates else target.limit(0)
+        )
+
         # No forced broadcast on the source key set: the reference's
         # refresh merges touch ~3% of the base table per round
         # (experiment-instructions.md:277-296) — billions of keys at
@@ -694,6 +715,45 @@ class ManagedTable:
         _write_manifest(self.root, manifest, self.fs)
         self.manifests.append(manifest)
         return manifest.metrics
+
+    def _merge_candidate_files(
+        self, files: list[FileEntry], skeys: DataFrame, key: str
+    ) -> list[FileEntry]:
+        """Files that MAY contain a source merge key — the range stage
+        of Hudi's bloom index, driven entirely by manifest stats.
+
+        One job over the (already deduplicated) source keys against a
+        broadcast of the per-file [min,max] ranges (metadata-sized: two
+        scalars per file); the distinct hit set is collected — O(files)
+        driver traffic, same class as the touch list itself. Files with
+        no usable range on ``key``, and any stats/type mismatch, fall
+        back to candidate (conservative: pruning may only ever shrink
+        the probe scan, never lose a match)."""
+        ranged = [e for e in files if key in e.stats]
+        unranged = [e for e in files if key not in e.stats]
+        if not ranged:
+            return files
+        try:
+            rng = self.spark.createDataFrame(
+                [(self._abs(e), e.stats[key][0], e.stats[key][1]) for e in ranged],
+                ["_path", "_lo", "_hi"],
+            )
+            hits = (
+                skeys.join(
+                    F.broadcast(rng),
+                    (F.col(key) >= F.col("_lo")) & (F.col(key) <= F.col("_hi")),
+                    "inner",
+                )
+                .select("_path")
+                .distinct()
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — pruning is an optimization
+            # (e.g. a key type createDataFrame/compare cannot realize):
+            # scan everything rather than risk a wrong prune.
+            return files
+        hit = {r["_path"] for r in hits}
+        return [e for e in ranged if self._abs(e) in hit] + unranged
 
     def _merge_mor(
         self,

@@ -1548,3 +1548,38 @@ def test_zorder_after_evolution_restats_everything(spark, tdir):
     )
     pruned = t.read(prune={"part": 1})
     assert pruned.filter("part = 1").count() == 300 // 7 + (1 if 1 < 300 % 7 else 0)
+
+
+def test_merge_candidate_range_pruning(spark, tmp_path):
+    """The Hudi-bloom-index range stage: the merge's touch probe scans
+    only files whose manifest key range may hold a source key. Point
+    source keys inside one file's range select one candidate; a
+    no-usable-range file (tombstone-style empty stats) stays candidate
+    conservatively; the full merge result stays exact."""
+    from pyspark.sql import functions as F
+
+    from lhbench_spark.tables import FileEntry, ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), _base_df(spark, 800),
+        cluster_by=("key",), num_files=8,
+    )
+    src_keys = spark.range(0, 10).selectExpr("id AS key")
+    cands = t._merge_candidate_files(t.current.files, src_keys, "key")
+    assert 1 <= len(cands) < 8  # keys 0..9 live in the first key-range file
+    # a file with no range on the key must remain a candidate
+    blind = FileEntry(path="x.parquet", rows=1, bytes=1, stats={})
+    cands2 = t._merge_candidate_files(
+        t.current.files + [blind], src_keys, "key"
+    )
+    assert blind in cands2
+    # end-to-end: merge stays exact and rewrites only the probed file
+    src = _base_df(spark, 820).filter("key < 10 OR key >= 800").withColumn(
+        "value", F.col("value") + 0.5
+    )
+    metrics = t.merge(src, on=["key"])
+    assert metrics["files_rewritten"] == 1
+    assert metrics["matched_updated"] == 10 and metrics["inserted"] == 20
+    got = t.read()
+    assert got.count() == 820
+    assert got.filter("key < 10 AND value = key * 2.5 + 0.5").count() == 10
