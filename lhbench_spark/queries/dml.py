@@ -1286,3 +1286,56 @@ def acid_stats_time_skipping(spark, sf_dir):
         .withColumn("files_skipped", F.lit(n_scanned < n_total))
         .withColumn("no_false_skip", F.lit(at_probe.count() == n_full))
     )
+
+
+# -- Files metadata relation (round 9) ----------------------------------------
+# The Iceberg `.files` / Delta add-actions metadata table: per-file
+# kind, footer row count, and stats coverage straight from the
+# manifest — O(manifest) cost, no data IO. The oracle recomputes the
+# per-kind row sums relationally (file COUNTS are deterministic here:
+# create pins num_files, a MoR DELETE commits exactly one tombstone).
+
+_FILES_META_ORACLE = f"""
+WITH target AS (
+    SELECT * FROM orders WHERE {_TARGET_PRED}
+), del AS (
+    SELECT * FROM target WHERE o_custkey % 10 = 3
+)
+SELECT 'data' AS kind, CAST(4 AS BIGINT) AS n_files,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM target) AS rows_sum,
+       TRUE AS stats_cover_key
+UNION ALL
+SELECT 'tombstone', CAST(1 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM del), TRUE
+"""
+
+
+@query(
+    "acid_files_metadata",
+    tags=("dml", "metadata", "files", "managed-table"),
+    oracle=_FILES_META_ORACLE,
+)
+def acid_files_metadata(spark, sf_dir):
+    """files_df() metadata relation over a MoR lifecycle: after a
+    create (4 pinned data files) and a deletion-vector DELETE (exactly
+    one pk-only tombstone), the per-kind file counts and footer row
+    sums must match the relational recompute, and every file must carry
+    manifest stats on the table key (universal column stats)."""
+    t = ManagedTable.create(
+        spark, _tmp(), _target(spark, sf_dir),
+        cluster_by=("o_orderkey",), num_files=4,
+        table_mode="mor", primary_keys=("o_orderkey",),
+        validate_count=False,
+    )
+    t.delete("o_custkey % 10 = 3")
+    f = t.files_df()
+    return (
+        f.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("num_rows").alias("rows_sum"),
+            F.min(
+                F.array_contains("stat_cols", "o_orderkey").cast("int")
+            ).cast("boolean").alias("stats_cover_key"),
+        )
+    )

@@ -1744,6 +1744,31 @@ class ManagedTable:
             "size_bytes BIGINT",
         )
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Per-file metadata relation — the Iceberg ``.files`` /
+        Delta add-actions analog: one row per referenced file with its
+        kind, footer row count, byte size, and stat coverage. Manifest-
+        only (no data IO, no LIST) — ops tooling inspects layout health
+        (small-file counts, per-kind balance, stats coverage) at any
+        table size for O(manifest) cost."""
+        m = self.current if version is None else self.version_manifest(version)
+        rows = [
+            (
+                e.path,
+                e.kind,
+                e.rows,
+                e.bytes,
+                len(e.stats),
+                sorted(e.stats.keys()),
+            )
+            for e in m.files
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path STRING, kind STRING, num_rows BIGINT, size_bytes BIGINT, "
+            "num_stat_cols INT, stat_cols ARRAY<STRING>",
+        )
+
     # ---------- CLONE (zero-copy shallow clone) ----------
 
     def clone(self, target_root: str) -> "ManagedTable":
@@ -1985,8 +2010,13 @@ class ManagedTable:
         n_upserts = int(sum(v for k, v in by_type.items() if k != "delete"))
         allkeys = final.select(*keys).dropDuplicates()
 
+        # Same manifest-stats candidate pruning as merge(): the touch
+        # probe scans only files whose key range may hold a feed key —
+        # a CDC feed touches O(feed) files, never O(table).
+        cands = self._merge_candidate_files(m.files, allkeys, keys[0])
+        probe = self._read_conformed(cands) if cands else target.limit(0)
         touched_rows = (
-            target.withColumn("_file", F.input_file_name())
+            probe.withColumn("_file", F.input_file_name())
             .join(allkeys, list(keys), "left_semi")
             .select("_file")
             .distinct()

@@ -63,8 +63,8 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # registry.py's rotation comment). registry.gate_queries() therefore
 # inserts never-gate-checked queries FIRST (canonical-sorted), then the
 # DRIVER_GREEN ones, so each round's sample lands on queries that still
-# NEED external evidence. Round 9's window is the two new round-9 feature queries
-# (txn appends, stats skipping), the three r8 reds
+# NEED external evidence. Round 9's window is the three new round-9 feature queries
+# (files metadata, txn appends, stats skipping), the three r8 reds
 # (tpcds_q12/q20/q37 — the DECIMAL-output hash class, every decimal
 # output now CAST to DOUBLE; their re-gate is the fix's proof)
 # followed by the entire never-checked tail: tpcds_q63-q99 (incl. the
@@ -76,6 +76,7 @@ def test_ngram_adaptive_banding_matches_oracle(spark, oracle):
 # sf0.001+sf0.01), as are all out-of-window queries. Change this list
 # CONSCIOUSLY — a diff here means the external sample moved.
 _GATE_WINDOW = [
+    "acid_files_metadata",
     "acid_stats_time_skipping",
     "acid_txn_idempotent_sink",
     "tpcds_q12",
@@ -125,7 +126,6 @@ _GATE_WINDOW = [
     "tpcds_refresh_iv_view",
     "tpcds_refresh_merged_state",
     "tpcds_refresh_srv_dense",
-    "tpcds_refresh_srv_view",
 ]
 
 
