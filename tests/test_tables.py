@@ -1583,3 +1583,122 @@ def test_merge_candidate_range_pruning(spark, tmp_path):
     got = t.read()
     assert got.count() == 820
     assert got.filter("key < 10 AND value = key * 2.5 + 0.5").count() == 10
+
+
+def test_stat_value_realization_preserves_order():
+    """_stat_value maps footer stats into JSON-safe realizations; the
+    prune range check compares a probe against them, so the mapping
+    must preserve ordering within each type class — dates/datetimes map
+    to ISO strings, whose lexicographic order IS chronological order
+    (fixed-width zero-padded fields)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lhbench_spark.tables import _stat_value
+
+    @given(
+        st.lists(
+            st.datetimes(
+                min_value=dt.datetime(1900, 1, 1),
+                max_value=dt.datetime(2199, 12, 31),
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        realized = [_stat_value(v) for v in vals]
+        assert all(isinstance(r, str) for r in realized)
+        assert (
+            sorted(range(len(vals)), key=lambda i: vals[i])
+            == sorted(range(len(vals)), key=lambda i: realized[i])
+        )
+
+    check()
+    # scalar passthrough classes keep identity (hence ordering)
+    for v in (0, -7, 3.5, "abc", True):
+        assert _stat_value(v) == v
+    assert _stat_value(b"bytes") is None  # not stat-able, never compared
+
+
+def test_prune_never_loses_rows_randomized(spark, tmp_path):
+    """Randomized no-false-skip property over every statted column:
+    for any probe value (in-domain, boundary, or out-of-domain), the
+    pruned read must contain exactly the rows the full read has at that
+    value — pruning may shrink the scan, never the answer."""
+    import random
+
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), _base_df(spark, 1000),
+        cluster_by=("key",), num_files=7,
+    )
+    full = t.read()
+    rng = random.Random(1234)
+    probes = []
+    for _ in range(12):
+        k = rng.randrange(-50, 1100)  # includes out-of-domain
+        probes += [
+            ("key", k),
+            ("part", k % 7),
+            ("value", k * 2.5),
+            ("tag", f"row-{k}"),
+        ]
+    for col, v in probes:
+        pruned = t.read(prune={col: v})
+        want = full.filter(F.col(col) == F.lit(v)).count()
+        got = pruned.filter(F.col(col) == F.lit(v)).count()
+        assert got == want, (col, v, got, want)
+
+
+@pytest.mark.parametrize("seed", [7, 99, 4242])
+def test_merge_with_candidate_pruning_randomized(spark, tmp_path, seed):
+    """Randomized merge equivalence under candidate pruning: arbitrary
+    source key sets (clustered points, scattered points, out-of-domain
+    inserts) must produce exactly the relational upsert — pruning only
+    changes which files the probe scans, never the result."""
+    import random
+
+    from lhbench_spark.tables import ManagedTable
+
+    rng = random.Random(seed)
+    n = 600
+    t = ManagedTable.create(
+        spark, str(tmp_path / f"t{seed}"), _base_df(spark, n),
+        cluster_by=("key",), num_files=6,
+    )
+    keys = sorted(
+        set(
+            [rng.randrange(0, 80) for _ in range(rng.randrange(1, 20))]
+            + [rng.randrange(0, n + 200) for _ in range(rng.randrange(0, 30))]
+        )
+    )
+    src = (
+        spark.createDataFrame([(k,) for k in keys], "key bigint")
+        .selectExpr(
+            "key",
+            "CAST(key % 7 AS BIGINT) AS part",
+            "CAST(-1.0 AS DOUBLE) AS value",
+            "concat('upd-', key) AS tag",
+        )
+    )
+    metrics = t.merge(src, on=["key"])
+    got = t.read()
+    n_matched = sum(1 for k in keys if k < n)
+    n_inserted = len(keys) - n_matched
+    assert metrics["matched_updated"] == n_matched
+    assert metrics["inserted"] == n_inserted
+    assert got.count() == n + n_inserted
+    assert got.filter("value = -1.0").count() == len(keys)
+    assert got.filter(F.col("key").isin(keys) & (F.col("value") != -1.0)).count() == 0
+    # untouched rows keep their original payload
+    assert (
+        got.filter(~F.col("key").isin(keys))
+        .filter("value != key * 2.5")
+        .count()
+        == 0
+    )
