@@ -218,6 +218,168 @@ def _stat_value(v):
     return None
 
 
+class _StatsPredicate:
+    """Conservative may-match evaluation of a SQL predicate against a
+    file's manifest [min,max] stats — the Delta data-skipping analog
+    for arbitrary DML predicates (``DELETE WHERE``/``UPDATE WHERE``).
+
+    The predicate STRING is parsed by Catalyst's own SQL parser (no
+    hand-rolled grammar to mis-parse), and the unresolved expression
+    tree is walked with tri-state logic: a node answers "can this be
+    TRUE for some row of the file?" and anything the walker does not
+    understand — functions, modulo, casts, IS NULL (no null counts in
+    the manifest), NOT — answers True. Soundness: And propagates only
+    definite impossibility (may(A∧B) = may(A) ∧ may(B) is conservative
+    because a file where either side can never be true has no row
+    satisfying the conjunction), Or is may(A) ∨ may(B), and leaf
+    comparisons use the file's TRUE value range, so a pruned file
+    provably contains no matching row. Temporal comparisons widen the
+    file range by ±26h before comparing (timezone-realization slack —
+    widening only ever ADDS candidates)."""
+
+    _FLIP = {
+        "LessThan": "GreaterThan",
+        "LessThanOrEqual": "GreaterThanOrEqual",
+        "GreaterThan": "LessThan",
+        "GreaterThanOrEqual": "LessThanOrEqual",
+        "EqualTo": "EqualTo",
+        "EqualNullSafe": "EqualNullSafe",
+    }
+
+    def __init__(self, spark, cond: str):
+        self._expr = None
+        try:
+            parser = spark._jsparkSession.sessionState().sqlParser()
+            self._expr = parser.parseExpression(cond)
+        except Exception:  # noqa: BLE001 — unevaluable predicate: no pruning
+            self._expr = None
+
+    def may_match(self, stats: dict) -> bool:
+        if self._expr is None or not stats:
+            return True
+        try:
+            return self._may(self._expr, stats)
+        except Exception:  # noqa: BLE001 — evaluation is an optimization
+            return True
+
+    # -- tree walk ----------------------------------------------------------
+    def _may(self, e, stats) -> bool:
+        cls = e.getClass().getSimpleName()
+        if cls == "And":
+            return self._may(e.left(), stats) and self._may(e.right(), stats)
+        if cls == "Or":
+            return self._may(e.left(), stats) or self._may(e.right(), stats)
+        if cls in self._FLIP:
+            return self._cmp(cls, e.left(), e.right(), stats)
+        if cls == "In":
+            col = self._attr_name(e.value())
+            if col is None:
+                return True
+            lst = e.list()
+            for i in range(lst.size()):
+                v = self._lit_value(lst.apply(i))
+                if v is _UNKNOWN:
+                    return True
+                iv = self._interval(stats, col, v)
+                if iv is None or iv[0] <= v <= iv[1]:
+                    return True
+            return False
+        return True
+
+    def _cmp(self, op: str, left, right, stats) -> bool:
+        col, lit = self._attr_name(left), self._lit_value(right)
+        if col is None or lit is _UNKNOWN:
+            # maybe written literal-first: v < col  ≡  col > v
+            col, lit = self._attr_name(right), self._lit_value(left)
+            if col is None or lit is _UNKNOWN:
+                return True
+            op = self._FLIP[op]
+        if lit is None:
+            return True  # comparison with NULL never TRUE, but stay safe
+        iv = self._interval(stats, col, lit)
+        if iv is None:
+            return True
+        lo, hi = iv
+        if op in ("EqualTo", "EqualNullSafe"):
+            return lo <= lit <= hi
+        if op == "LessThan":
+            return lo < lit
+        if op == "LessThanOrEqual":
+            return lo <= lit
+        if op == "GreaterThan":
+            return hi > lit
+        return hi >= lit  # GreaterThanOrEqual
+
+    # -- leaves -------------------------------------------------------------
+    @staticmethod
+    def _attr_name(e):
+        if e.getClass().getSimpleName() == "UnresolvedAttribute":
+            return str(e.name())
+        return None
+
+    @staticmethod
+    def _lit_value(e):
+        import datetime as _dt
+
+        if e.getClass().getSimpleName() != "Literal":
+            return _UNKNOWN
+        v = e.value()
+        if v is None:
+            return None
+        tname = str(e.dataType().typeName())
+        if tname == "string":
+            return str(v)
+        if tname in ("integer", "long", "short", "byte"):
+            return int(v)
+        if tname in ("double", "float"):
+            return float(v)
+        if tname == "boolean":
+            return bool(v)
+        if tname == "date":
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(days=int(v))
+        if tname.startswith("timestamp"):
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(v))
+        if tname.startswith("decimal"):
+            try:
+                return float(str(v))
+            except ValueError:
+                return _UNKNOWN
+        return _UNKNOWN
+
+    @staticmethod
+    def _interval(stats, col, lit):
+        """File value range realized in the literal's comparison space;
+        None = not comparable (→ candidate)."""
+        import datetime as _dt
+
+        if col not in stats:
+            return None
+        lo, hi = stats[col]
+        if isinstance(lit, _dt.datetime):
+            if not (isinstance(lo, str) and isinstance(hi, str)):
+                return None
+            try:
+                lo_d, hi_d = _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi)
+            except ValueError:
+                return None
+            slack = _dt.timedelta(hours=26)
+            return (lo_d - slack, hi_d + slack)
+        if isinstance(lit, bool) != isinstance(lo, bool):
+            return None
+        if isinstance(lit, bool):
+            return (lo, hi) if isinstance(lo, bool) else None
+        if isinstance(lit, (int, float)):
+            if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+                return None
+            return (lo, hi)
+        if isinstance(lit, str):
+            return (lo, hi) if isinstance(lo, str) else None
+        return None
+
+
+_UNKNOWN = object()
+
+
 def _file_entry(
     root: str, abs_path: str, stat_cols: list[str], fs: TableFS, kind: str = "data"
 ) -> FileEntry:
@@ -1189,10 +1351,24 @@ class ManagedTable:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df
 
-    def _touched_files(self, cond) -> set[str]:
-        """Files containing at least one row where ``cond`` is TRUE."""
+    def _touched_files(self, cond, cond_str: str | None = None) -> set[str]:
+        """Files containing at least one row where ``cond`` is TRUE.
+
+        With ``cond_str``, the probe is restricted to files whose
+        manifest stats say the predicate MAY hold (``_StatsPredicate``,
+        the Delta data-skipping evaluation): a ``DELETE WHERE date <
+        cutoff`` on a time-ordered table probes only the old slices,
+        not the whole table. Files the evaluator rules out contain no
+        TRUE row by construction (true ranges, tri-state logic), so the
+        touch set is exact."""
+        files = self.current.files
+        if cond_str is not None:
+            pred = _StatsPredicate(self.spark, cond_str)
+            files = [e for e in files if pred.may_match(e.stats)]
+            if not files:
+                return set()
         rows = (
-            self.read()
+            self._read_conformed(files)
             .withColumn("_file", F.input_file_name())
             .filter(cond)
             .select("_file")
@@ -1247,7 +1423,7 @@ class ManagedTable:
         self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
-        touched = self._touched_files(cond)
+        touched = self._touched_files(cond, cond_str=condition)
         untouched = [e for e in m.files if self._abs(e) not in touched]
         rewritten = [e for e in m.files if self._abs(e) in touched]
         if not rewritten:
@@ -1401,7 +1577,7 @@ class ManagedTable:
         self._fold_deltas_if_any()
         m = self.current
         cond = F.expr(condition)
-        touched = self._touched_files(cond)
+        touched = self._touched_files(cond, cond_str=condition)
         untouched = [e for e in m.files if self._abs(e) not in touched]
         rewritten = [e for e in m.files if self._abs(e) in touched]
         if not rewritten:

@@ -1702,3 +1702,61 @@ def test_merge_with_candidate_pruning_randomized(spark, tmp_path, seed):
         .count()
         == 0
     )
+
+
+def test_stats_predicate_may_match(spark):
+    """_StatsPredicate tri-state semantics: definite impossibility
+    prunes, anything unintelligible stays a candidate."""
+    from lhbench_spark.tables import _StatsPredicate
+
+    stats = {"part": [0, 6], "key": [0, 99], "tag": ["row-0", "row-99"],
+             "ts": ["1997-01-01T00:00:00", "1997-06-30T00:00:00"]}
+
+    def may(cond, st=stats):
+        return _StatsPredicate(spark, cond).may_match(st)
+
+    assert may("part = 3") and not may("part = 9")
+    assert may("3 = part") and not may("9 = part")  # literal-first flip
+    assert not may("part > 6") and may("part >= 6")
+    assert not may("part < 0") and may("part < 1")
+    assert not may("key >= 700 AND part = 3")  # And: one side impossible
+    assert may("key >= 700 OR part = 3")       # Or: one side possible
+    assert may("part IN (2, 9)") and not may("part IN (8, 9)")
+    assert may("tag = 'row-5'") and not may("tag = 'zzz'")
+    assert not may("ts >= TIMESTAMP '1998-01-01'")   # beyond the 26h slack
+    assert may("ts >= TIMESTAMP '1997-06-29 12:00:00'")  # inside slack
+    # conservative unknowns: modulo, NOT, IS NULL, missing col, bad types
+    assert may("key % 100 = 7")
+    assert may("NOT (part = 9)")
+    assert may("part IS NULL")
+    assert may("nope = 1")
+    assert may("tag = 5")
+    assert may("part = 3 AND nonsense_func(key) > 2") is True
+    assert not may("part = 9 AND nonsense_func(key) > 2")
+    # empty stats / unparseable predicate: always candidate
+    assert _StatsPredicate(spark, "part = 9").may_match({})
+    assert _StatsPredicate(spark, "this is ( not sql").may_match(stats)
+
+
+def test_delete_prunes_probe_by_predicate_stats(spark, tmp_path):
+    """DELETE WHERE on a time-sliced (append-ordered) table: the stats
+    evaluator confines both the touch probe and the rewrite to the
+    slices the predicate can reach, and the surviving rows are exact."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"),
+        _base_df(spark, 250), cluster_by=("key",), num_files=2,
+    )
+    for lo in (250, 500, 750):
+        t.append(
+            _base_df(spark, lo + 250).filter(f"key >= {lo}"), num_files=2
+        )
+    m = t.delete("key >= 750")
+    assert m["rows_deleted"] == 250
+    assert m["files_rewritten"] == 2  # only the last slice's files
+    assert t.read().count() == 750
+    assert t.read().agg(F.max("key")).collect()[0][0] == 749
+    # an impossible predicate touches nothing at all
+    m2 = t.delete("key >= 10000")
+    assert m2 == {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
