@@ -626,6 +626,34 @@ class ManagedTable:
             *[self._abs(e) for e in files]
         )
 
+    def scan(self, where: str, version: int | None = None) -> DataFrame:
+        """Filtered read with manifest data skipping for an ARBITRARY
+        predicate — the general form of ``read(prune=…)``'s point
+        lookup: data files whose stats say ``where`` cannot hold are
+        dropped at PLANNING time (``_StatsPredicate``, conservative
+        tri-state — the Delta data-skipping read path), then the same
+        predicate filters the surviving rows, so the result equals
+        ``read().filter(where)`` exactly while a time-bounded scan of
+        an append-ordered table opens only the slices it can reach.
+        MoR deltas/tombstones always participate (a skipped base row
+        may be superseded) — the resolve runs over pruned base files
+        plus all non-data files, mirroring ``read(prune=…)``."""
+        m = self.current if version is None else self.version_manifest(version)
+        pred = _StatsPredicate(self.spark, where)
+        files = [
+            e for e in m.files if e.kind != "data" or pred.may_match(e.stats)
+        ]
+        cond = F.expr(where)
+        if not files:
+            return self.read(version=version).filter(cond).limit(0)
+        if any(e.kind != "data" for e in files):
+            return self._resolve_mor(m, files).filter(cond)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[self._abs(e) for e in files])
+            .filter(cond)
+        )
+
     def _resolve_mor(self, m: Manifest, files: list[FileEntry]) -> DataFrame:
         """Latest-row-per-key over base + delta files: each file carries
         its commit version; per primary key the row from the highest
@@ -1618,20 +1646,45 @@ class ManagedTable:
         if any(e.kind != "data" for e in self.current.files):
             self.optimize()
 
-    def optimize(self, target_file_rows: int = DEFAULT_TARGET_FILE_ROWS) -> dict[str, int]:
+    def optimize(
+        self,
+        target_file_rows: int = DEFAULT_TARGET_FILE_ROWS,
+        where: str | None = None,
+    ) -> dict[str, int]:
         """Bin-pack small files into ~``target_file_rows`` files. Row-based
         (not byte-based) targeting keeps the resulting file count
         deterministic for a given table state.
 
+        ``where`` scopes the compaction (Delta ``OPTIMIZE … WHERE``):
+        only small files whose stats MAY satisfy the predicate are
+        rewritten — the maintenance job for "compact yesterday's
+        ingest" touches yesterday's slice, not the table. Selection is
+        stats-level (whole files in or out; rows never change), so any
+        predicate is safe: an imprecise match merely compacts a few
+        extra files.
+
         On a MoR table with outstanding deltas this is COMPACTION (the
         Hudi ``run_compaction`` analog, IncrementalTPCDSBenchmark.scala:
         200): materialize the latest-per-key resolve once, rewrite as
-        base files, drop every delta — reads are plain scans again."""
+        base files, drop every delta — reads are plain scans again.
+        ``where`` does not combine with MoR compaction (the resolve is
+        inherently whole-table)."""
         m = self.current
         if any(e.kind != "data" for e in m.files):
+            if where is not None:
+                raise ValueError(
+                    "optimize(where=…) cannot scope a MoR compaction — "
+                    "the latest-per-key resolve is whole-table"
+                )
             return self._compact_mor(m, target_file_rows)
-        small = [e for e in m.files if e.rows < target_file_rows]
-        big = [e for e in m.files if e.rows >= target_file_rows]
+        in_scope = m.files
+        if where is not None:
+            pred = _StatsPredicate(self.spark, where)
+            in_scope = [e for e in m.files if pred.may_match(e.stats)]
+        scope_paths = {e.path for e in in_scope}
+        out_of_scope = [e for e in m.files if e.path not in scope_paths]
+        small = [e for e in in_scope if e.rows < target_file_rows]
+        big = [e for e in in_scope if e.rows >= target_file_rows] + out_of_scope
         metrics = {"files_removed": 0, "files_added": 0}
         if len(small) > 1:
             df = self.spark.read.parquet(*[self._abs(e) for e in small])

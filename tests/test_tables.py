@@ -1760,3 +1760,67 @@ def test_delete_prunes_probe_by_predicate_stats(spark, tmp_path):
     # an impossible predicate touches nothing at all
     m2 = t.delete("key >= 10000")
     assert m2 == {"rows_deleted": 0, "files_rewritten": 0, "files_added": 0}
+
+
+def test_scan_equals_filtered_read(spark, tmp_path):
+    """scan(where) must equal read().filter(where) for arbitrary
+    predicates while opening only the slices the predicate can reach;
+    on MoR, pruned base losers never change the resolve."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"),
+        _base_df(spark, 300), cluster_by=("key",), num_files=3,
+    )
+    for lo in (300, 600):
+        t.append(_base_df(spark, lo + 300).filter(f"key >= {lo}"), num_files=3)
+    for cond in (
+        "key >= 750",
+        "key BETWEEN 100 AND 110",
+        "part = 3 AND key < 50",
+        "key % 97 = 5",          # unintelligible to stats: full candidacy
+        "tag = 'row-42'",
+        "key >= 10000",          # impossible
+    ):
+        want = sorted(t.read().filter(cond).collect())
+        got = sorted(t.scan(cond).collect())
+        assert got == want, cond
+    # MoR: deltas supersede rows in a slice the predicate excludes
+    mt = ManagedTable.create(
+        spark, str(tmp_path / "m"), _base_df(spark, 400), num_files=4,
+        cluster_by=("key",), table_mode="mor", primary_keys=("key",),
+    )
+    upd = _base_df(spark, 400).filter("key < 20").withColumn(
+        "value", F.col("value") + 10000.0
+    )
+    mt.merge(upd, on=["key"])
+    for cond in ("value > 9000", "key >= 350", "key < 10"):
+        want = sorted(mt.read().filter(cond).collect())
+        got = sorted(mt.scan(cond).collect())
+        assert got == want, cond
+
+
+def test_optimize_where_scopes_compaction(spark, tmp_path):
+    """OPTIMIZE WHERE: only small files in the predicate's reach are
+    rewritten; out-of-scope small files survive untouched."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"),
+        _base_df(spark, 200), cluster_by=("key",), num_files=4,
+    )
+    t.append(_base_df(spark, 400).filter("key >= 200"), num_files=4)
+    before = {e.path for e in t.current.files}
+    m = t.optimize(target_file_rows=10_000, where="key >= 200")
+    assert m["files_removed"] == 4 and m["files_added"] == 1
+    # the first slice's files carried over by reference
+    kept = {e.path for e in t.current.files}
+    assert len([p for p in before if p in kept]) == 4
+    assert t.read().count() == 400
+    with pytest.raises(ValueError, match="MoR"):
+        mt = ManagedTable.create(
+            spark, str(tmp_path / "m"), _base_df(spark, 50), num_files=2,
+            table_mode="mor", primary_keys=("key",),
+        )
+        mt.merge(_base_df(spark, 50).filter("key < 5"), on=["key"])
+        mt.optimize(where="key < 5")
