@@ -1483,8 +1483,10 @@ class ManagedTable:
         pk = self.primary_keys
         if not pk:
             raise ValueError(f"mor delete needs primary_keys ({self.root})")
-        cond = F.expr(condition)
-        keys = self.read().filter(F.coalesce(cond, F.lit(False))).select(*pk)
+        # scan() stats-prunes base files the predicate cannot reach
+        # (sound on MoR: only resolve LOSERS can be pruned; deltas and
+        # tombstones always participate).
+        keys = self.scan(condition).select(*pk)
         version = m.version + 1
         ts_dir = self._claim_data_dir(version)
         keys.repartition(1).write.parquet(ts_dir)
@@ -1542,10 +1544,10 @@ class ManagedTable:
                 "would survive the resolve (use a cow table to rewrite keys)"
             )
         m = self.current
-        cond = F.expr(condition)
         cur = self.read()
         types = {f.name: f.dataType for f in cur.schema.fields}
-        matched = cur.filter(F.coalesce(cond, F.lit(False)))
+        # stats-pruned matching scan (see _delete_mor for soundness)
+        matched = self.scan(condition)
         updated = matched.select(
             *[
                 F.expr(assignments[c]).cast(types[c]).alias(c)
