@@ -113,10 +113,15 @@ class BenchmarkRunner:
         # the session never accumulates leaked cache entries across a
         # 60+-query suite.
         self.spark.catalog.clearCache()
-        if setup is not None:
-            setup()
         t0 = time.monotonic_ns()
         try:
+            if setup is not None:
+                setup()
+            # (re)open the timing window AFTER setup: setup cost must
+            # not count, but a setup failure must still be captured as
+            # this query's error like any make_df failure — not abort
+            # the whole suite past ignore_errors.
+            t0 = time.monotonic_ns()
             df = make_df()
             # Force planning through the physical plan (cached inside the
             # QueryExecution, so collect() below does not redo it); the

@@ -289,20 +289,20 @@ def continuous_sink_table(spark, sf_dir):
 
     root = _tf.mkdtemp(prefix="lhbench_ssink_") + "/t"
     stream = streaming.stream_events(spark, sf_dir)
+    # Pre-create the EMPTY table so every batch — including batch 0 —
+    # goes through the txn-tagged append path: a create-on-first-batch
+    # would commit batch 0 with no ledger entry, and a replay of batch 0
+    # (crash before the checkpoint commit) would land its rows twice.
+    ManagedTable.create(
+        spark, root, spark.createDataFrame([], stream.schema),
+        num_files=1, validate_count=False,
+    )
 
     def sink(batch_df, batch_id):
-        import os
-
-        if os.path.isdir(f"{root}/_manifests"):
-            ManagedTable(batch_df.sparkSession, root).append(
-                batch_df, num_files=1,
-                txn_app_id="continuous_sink", txn_version=int(batch_id),
-            )
-        else:
-            ManagedTable.create(
-                batch_df.sparkSession, root, batch_df, num_files=1,
-                validate_count=False,
-            )
+        ManagedTable(batch_df.sparkSession, root).append(
+            batch_df, num_files=1,
+            txn_app_id="continuous_sink", txn_version=int(batch_id),
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -281,7 +281,7 @@ class _StatsPredicate:
                 if v is _UNKNOWN:
                     return True
                 iv = self._interval(stats, col, v)
-                if iv is None or iv[0] <= v <= iv[1]:
+                if iv is None or iv[0] <= iv[2] <= iv[1]:
                     return True
             return False
         return True
@@ -299,7 +299,7 @@ class _StatsPredicate:
         iv = self._interval(stats, col, lit)
         if iv is None:
             return True
-        lo, hi = iv
+        lo, hi, lit = iv
         if op in ("EqualTo", "EqualNullSafe"):
             return lo <= lit <= hi
         if op == "LessThan":
@@ -347,33 +347,59 @@ class _StatsPredicate:
         return _UNKNOWN
 
     @staticmethod
-    def _interval(stats, col, lit):
-        """File value range realized in the literal's comparison space;
-        None = not comparable (→ candidate)."""
+    def _parse_iso(s: str):
+        import datetime as _dt
+
+        try:
+            return _dt.datetime.fromisoformat(s)
+        except ValueError:
+            return None
+
+    @classmethod
+    def _interval(cls, stats, col, lit):
+        """(lo, hi, lit) — the file's value range AND the literal, both
+        realized in one comparison space; None = not comparable
+        (→ candidate)."""
         import datetime as _dt
 
         if col not in stats:
             return None
         lo, hi = stats[col]
+        slack = _dt.timedelta(hours=26)
         if isinstance(lit, _dt.datetime):
             if not (isinstance(lo, str) and isinstance(hi, str)):
                 return None
-            try:
-                lo_d, hi_d = _dt.datetime.fromisoformat(lo), _dt.datetime.fromisoformat(hi)
-            except ValueError:
+            lo_d, hi_d = cls._parse_iso(lo), cls._parse_iso(hi)
+            if lo_d is None or hi_d is None:
                 return None
-            slack = _dt.timedelta(hours=26)
-            return (lo_d - slack, hi_d + slack)
+            return (lo_d - slack, hi_d + slack, lit)
         if isinstance(lit, bool) != isinstance(lo, bool):
             return None
         if isinstance(lit, bool):
-            return (lo, hi) if isinstance(lo, bool) else None
+            return (lo, hi, lit) if isinstance(lo, bool) else None
         if isinstance(lit, (int, float)):
             if isinstance(lo, bool) or not isinstance(lo, (int, float)):
                 return None
-            return (lo, hi)
+            return (lo, hi, lit)
         if isinstance(lit, str):
-            return (lo, hi) if isinstance(lo, str) else None
+            if not isinstance(lo, str):
+                return None
+            # ISO-parseable bounds mean the column is (or orders like) a
+            # temporal: Spark compares a STRING literal against a
+            # timestamp/date column by casting the literal, while our
+            # stats hold the 'T'-separated ISO realization — a
+            # lexicographic compare would rank '1997-01-01 12:00:00'
+            # (space) BEFORE '1997-01-01T00:00:00' and false-skip the
+            # file. Re-enter the temporal path: parse the literal too
+            # (space→T normalized) and compare as datetimes with the
+            # slack; an unparseable literal keeps the file a candidate.
+            lo_d, hi_d = cls._parse_iso(lo), cls._parse_iso(hi)
+            if lo_d is not None and hi_d is not None:
+                lit_d = cls._parse_iso(lit.replace(" ", "T"))
+                if lit_d is None:
+                    return None
+                return (lo_d - slack, hi_d + slack, lit_d)
+            return (lo, hi, lit)
         return None
 
 
@@ -644,15 +670,25 @@ class ManagedTable:
             e for e in m.files if e.kind != "data" or pred.may_match(e.stats)
         ]
         cond = F.expr(where)
+        full = self.read(version=version)
         if not files:
-            return self.read(version=version).filter(cond).limit(0)
+            return full.filter(cond).limit(0)
         if any(e.kind != "data" for e in files):
-            return self._resolve_mor(m, files).filter(cond)
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(*[self._abs(e) for e in files])
-            .filter(cond)
-        )
+            df = self._resolve_mor(m, files)
+        else:
+            df = self.spark.read.option("mergeSchema", "true").parquet(
+                *[self._abs(e) for e in files]
+            )
+        # Conform to the FULL version schema before filtering: after
+        # additive evolution, pruning can drop every file that carries
+        # an evolved column — without the typed-null fill the predicate
+        # could not even reference it, and the result schema would
+        # silently narrow (breaking the read().filter() equivalence and
+        # the MoR UPDATE post-image projection).
+        for f in full.schema.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*full.columns).filter(cond)
 
     def _resolve_mor(self, m: Manifest, files: list[FileEntry]) -> DataFrame:
         """Latest-row-per-key over base + delta files: each file carries

@@ -93,3 +93,21 @@ def test_table_cli_lifecycle(spark, tmp_path):
     t2 = ManagedTable(spark, root)
     assert t2.read().count() == 50  # restore brought the rows back
     assert t2.current.operation == "RESTORE"
+
+
+def test_run_query_setup_failure_is_captured(spark):
+    """A failing setup() must be recorded as this query's error (per-
+    query capture, ignore_errors semantics) — never abort the suite."""
+    from lhbench_spark.harness.runner import BenchmarkRunner
+
+    r = BenchmarkRunner(spark, iterations=1)
+
+    def boom():
+        raise RuntimeError("setup exploded")
+
+    res = r.run_query("cell", lambda: spark.range(1), setup=boom)
+    assert res.error_msg and "setup exploded" in res.error_msg
+    assert "cell" in r.errors()
+    # the runner keeps running afterwards
+    ok = r.run_query("next", lambda: spark.range(1))
+    assert ok.error_msg is None and ok.row_count == 1

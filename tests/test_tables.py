@@ -1824,3 +1824,68 @@ def test_optimize_where_scopes_compaction(spark, tmp_path):
         )
         mt.merge(_base_df(spark, 50).filter("key < 5"), on=["key"])
         mt.optimize(where="key < 5")
+
+
+def test_stats_predicate_string_literal_vs_temporal_stats(spark):
+    """A STRING literal compared against ISO-realized temporal stats
+    must re-enter the temporal comparison space: Spark casts the
+    literal to timestamp at execution, while the stats carry
+    'T'-separated ISO strings — a lexicographic compare would rank
+    '1997-01-01 12:00:00' (space) before '1997-01-01T00:00:00' and
+    false-skip a file whose rows match."""
+    from lhbench_spark.tables import _StatsPredicate
+
+    stats = {"ts": ["1997-01-01T00:00:00", "1997-01-01T23:00:00"]}
+
+    def may(cond):
+        return _StatsPredicate(spark, cond).may_match(stats)
+
+    # all four would false-skip under lexicographic ordering
+    assert may("ts = '1997-01-01 12:30:00'")
+    assert may("ts <= '1997-01-01'")
+    assert may("ts >= '1997-01-01 22:00:00'")
+    assert may("ts IN ('1997-01-01 05:00:00')")
+    # genuinely unreachable instants still prune (beyond the 26h slack)
+    assert not may("ts >= '1997-01-10 00:00:00'")
+    assert not may("ts = '1996-12-01 00:00:00'")
+    # unparseable literal vs temporal-looking stats: stay a candidate
+    assert may("ts = 'not-a-time'")
+    # plain string stats keep lexicographic semantics
+    assert not _StatsPredicate(spark, "tag = 'zzz'").may_match(
+        {"tag": ["row-0", "row-99"]}
+    )
+
+
+def test_scan_conforms_schema_after_evolution(spark, tmp_path):
+    """scan() after additive evolution: pruning can drop every file
+    carrying the evolved column — the result must still expose the full
+    schema (typed nulls) and MoR UPDATE's post-image projection must
+    not crash."""
+    from lhbench_spark.tables import ManagedTable
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), _base_df(spark, 100),
+        cluster_by=("key",), num_files=2,
+    )
+    extra = _base_df(spark, 200).filter("key >= 100").withColumn(
+        "note", F.lit("new")
+    )
+    t.append(extra, num_files=2, merge_schema=True)
+    got = t.scan("key < 50")  # old-slice files only — none carry 'note'
+    assert set(got.columns) == set(t.read().columns)
+    assert got.count() == 50
+    assert got.filter("note IS NULL").count() == 50
+    # MoR: update matching only pre-evolution rows
+    mt = ManagedTable.create(
+        spark, str(tmp_path / "m"), _base_df(spark, 100), num_files=2,
+        cluster_by=("key",), table_mode="mor", primary_keys=("key",),
+    )
+    mt.append(
+        _base_df(spark, 200).filter("key >= 100").withColumn(
+            "note", F.lit("new")
+        ),
+        num_files=2, merge_schema=True,
+    )
+    m = mt.update({"value": "value + 1000"}, "key < 10")
+    assert m["rows_updated"] == 10
+    assert mt.read().filter("value >= 1000 AND key < 10").count() == 10
