@@ -1228,7 +1228,7 @@ def acid_txn_idempotent_sink(spark, sf_dir):
 _STATS_SKIP_ORACLE = f"""
 WITH probe AS (
     SELECT MAX(o_orderdate) AS d FROM orders
-    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
 )
 SELECT o_orderstatus,
        COUNT(*) AS cnt,
@@ -1266,13 +1266,23 @@ def acid_stats_time_skipping(spark, sf_dir):
     for pred in slices[1:]:
         t.append(orders.filter(pred), num_files=2)
     probe = (
-        orders.filter("o_orderdate < TIMESTAMP '1998-01-01'")
+        orders.filter("o_orderdate < TIMESTAMP '1997-01-01'")
         .agg(F.max("o_orderdate"))
         .collect()[0][0]
     )
-    # manifest stats realize timestamps as ISO strings; the same
-    # realization makes the range check a faithful lexicographic compare
-    pruned = t.read(prune={"o_orderdate": probe.isoformat()})
+    # The probe is the max of slice 0 — which is exactly the largest
+    # o_orderdate hi-stat among the version-0 files. Pruning with THAT
+    # manifest realization (not a Python .isoformat(), whose tz
+    # awareness / session-tz shift can diverge from the pyarrow footer
+    # realization) keeps the range compare stat-vs-stat: every lo/hi it
+    # meets came through the same _stat_value path, so the lexicographic
+    # check is faithful in any session timezone.
+    probe_stat = max(
+        e.stats["o_orderdate"][1]
+        for e in t.version_manifest(0).files
+        if "o_orderdate" in e.stats
+    )
+    pruned = t.read(prune={"o_orderdate": probe_stat})
     n_scanned = pruned.select(F.input_file_name()).distinct().count()
     n_total = len(t.current.files)
     at_probe = pruned.filter(F.col("o_orderdate") == F.lit(probe))

@@ -85,9 +85,10 @@ def get_query(name: str) -> QueryDef:
 #
 # DRIVER_GREEN records every query that already has an externally
 # recorded green row (value = most recent CORRECTNESS_r{N}.json round;
-# two entries were green under a former name: join_bucketed_colocated as
-# bucketed_colocated_join r1, warehouse_db_lifecycle as
-# catalog_db_lifecycle r3). gate_queries() (a) inserts never-checked
+# one entry was green under a former name: warehouse_db_lifecycle as
+# catalog_db_lifecycle r3 — join_bucketed_colocated, in the same
+# situation, was reset to pending in r10 to earn a row under its
+# current name). gate_queries() (a) inserts never-checked
 # queries FIRST (canonical-sorted), then the already-green ones
 # (oldest green round first, so once the pending queue drains below the
 # window size the stalest external verdicts are re-checked), and
@@ -220,7 +221,10 @@ DRIVER_GREEN: dict[str, int] = {
     "join_anti_not_exists": 3,
     "join_asof_last_event": 3,
     "join_asof_next_event": 7,
-    "join_bucketed_colocated": 3,
+    # join_bucketed_colocated: green r1 only under its FORMER name
+    # (bucketed_colocated_join) — reset to pending in r10 so the
+    # current name earns its own external row (r9 judge counts it
+    # never-checked).
     "join_full_outer": 3,
     "join_left_outer": 3,
     "join_local_supplier_volume": 3,
@@ -232,10 +236,11 @@ DRIVER_GREEN: dict[str, int] = {
     "merge_micro_counts": 3,
     "merge_upsert": 3,
     "multimodal_binary_meta": 3,
-    "multimodal_features": 7,
+    # multimodal_features / sample_rand_filter / sim_kmeans_recall:
+    # NOT here — no oracle by nature (driver records err=no_oracle, they
+    # can never turn green); gate_queries() orders them LAST instead.
     "multimodal_sample_plan": 3,
     "range_gen_table": 3,
-    "sample_rand_filter": 7,
     "sample_stratified_hash": 3,
     "sample_weighted_reservoir": 7,
     "scalar_casts": 2,
@@ -247,7 +252,6 @@ DRIVER_GREEN: dict[str, int] = {
     "setop_union_all_channels": 1,
     "sim_ann_lsh_topk": 1,
     "sim_bruteforce_topk": 1,
-    "sim_kmeans_recall": 7,
     "sort_topk": 1,
     "subq_in_list": 1,
     "subq_scalar_correlated": 1,
@@ -328,6 +332,61 @@ DRIVER_GREEN: dict[str, int] = {
     "win_rank_topn_per_group": 1,
     "win_ratio_to_report": 1,
     "win_running_total": 1,
+    # -- round 9 (CORRECTNESS_r09.json: 50/50 green) --------------------
+    # acid_stats_time_skipping was ALSO green in r9, but its query +
+    # oracle changed in round 10 (prune value now derived from the
+    # manifest stat realization, probe cutoff moved to 1997-01-01 —
+    # the ADVICE r9 tz-realization hardening), so it is deliberately
+    # left pending to re-gate under the new definition.
+    "acid_files_metadata": 9,
+    "acid_txn_idempotent_sink": 9,
+    "tpcds_q12": 9,
+    "tpcds_q20": 9,
+    "tpcds_q37": 9,
+    "tpcds_q63": 9,
+    "tpcds_q64": 9,
+    "tpcds_q65": 9,
+    "tpcds_q66": 9,
+    "tpcds_q67": 9,
+    "tpcds_q68": 9,
+    "tpcds_q69": 9,
+    "tpcds_q70": 9,
+    "tpcds_q71": 9,
+    "tpcds_q72": 9,
+    "tpcds_q73": 9,
+    "tpcds_q74": 9,
+    "tpcds_q75": 9,
+    "tpcds_q76": 9,
+    "tpcds_q77": 9,
+    "tpcds_q78": 9,
+    "tpcds_q79": 9,
+    "tpcds_q80": 9,
+    "tpcds_q81": 9,
+    "tpcds_q82": 9,
+    "tpcds_q83": 9,
+    "tpcds_q84": 9,
+    "tpcds_q85": 9,
+    "tpcds_q86": 9,
+    "tpcds_q87": 9,
+    "tpcds_q88": 9,
+    "tpcds_q89": 9,
+    "tpcds_q90": 9,
+    "tpcds_q91": 9,
+    "tpcds_q92": 9,
+    "tpcds_q93": 9,
+    "tpcds_q94": 9,
+    "tpcds_q95": 9,
+    "tpcds_q96": 9,
+    "tpcds_q97": 9,
+    "tpcds_q98": 9,
+    "tpcds_q99": 9,
+    "tpcds_refresh_crv_dense": 9,
+    "tpcds_refresh_csv_dense": 9,
+    "tpcds_refresh_csv_view": 9,
+    "tpcds_refresh_iv_dense": 9,
+    "tpcds_refresh_iv_view": 9,
+    "tpcds_refresh_merged_state": 9,
+    "tpcds_refresh_srv_dense": 9,
 }
 
 GATE_VERIFIED_PREFIX = "verified_"
@@ -353,11 +412,27 @@ def gate_queries() -> dict[str, QueryDef]:
     window size, the stalest external verdicts are re-checked first —
     the re-verification quota the r7 advice asked for (a regression in
     an already-green query is otherwise only caught by the self-recorded
-    full sweep)."""
-    pending = {n: qd for n, qd in sorted(_REGISTRY.items()) if n not in DRIVER_GREEN}
+    full sweep).
+
+    Queries WITHOUT an oracle sort LAST (r9 advice): the driver records
+    them as ``err: no_oracle`` — they can never turn green, so as
+    perpetual "pending" they would otherwise occupy a window slot every
+    round ahead of queries that CAN still earn or refresh an external
+    verdict. Their rows-only execution stays covered by the local sweep
+    (tests/test_oracle_queries.py::test_rows_only_executes)."""
+    pending = {
+        n: qd
+        for n, qd in sorted(_REGISTRY.items())
+        if n not in DRIVER_GREEN and qd.oracle
+    }
     green = {
         gate_name(n): _REGISTRY[n]
         for n in sorted(DRIVER_GREEN, key=lambda n: (DRIVER_GREEN[n], n))
-        if n in _REGISTRY
+        if n in _REGISTRY and _REGISTRY[n].oracle
     }
-    return {**pending, **green}
+    no_oracle = {
+        gate_name(n): qd
+        for n, qd in sorted(_REGISTRY.items())
+        if not qd.oracle
+    }
+    return {**pending, **green, **no_oracle}

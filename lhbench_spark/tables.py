@@ -459,6 +459,56 @@ def _entry_version(e: FileEntry) -> int:
     return int(e.path.split(os.sep)[1][1:].split("-")[0])
 
 
+def _mor_prunable_paths(
+    files: list[FileEntry], keys: tuple[str, ...] | list[str]
+) -> set[str]:
+    """Paths of the data files that are SAFE to stats-prune when the
+    latest-per-key MoR resolve will run over the result.
+
+    Under the resolve, a data file's rows may SUPERSEDE rows of any
+    older file sharing a key (MoR append is an upsert — see append()).
+    Pruning such a file because its own rows fail the predicate would
+    let the superseded older row win the resolve instead — resurrecting
+    a dead row, so scan()/read(prune=) would diverge from
+    read().filter() and the DML paths built on scan() could tombstone
+    or rewrite the wrong keys. A data file is therefore prunable only
+    when it provably cannot out-rank anyone: it sits at the minimum
+    commit version (nothing is older), or its pk-range stats are
+    disjoint from every older file's. Missing or string-realized pk
+    stats prove nothing (string realizations can differ across writers
+    for temporal keys), so such files are kept. Same-version files
+    never share keys (every commit is validated pk-unique within
+    itself), so they don't block each other."""
+    vers = [_entry_version(e) for e in files]
+    vmin = min(vers, default=0)
+
+    def _disjoint(a: FileEntry, b: FileEntry) -> bool:
+        for k in keys or ():
+            sa, sb = a.stats.get(k), b.stats.get(k)
+            if sa is None or sb is None:
+                continue
+            if isinstance(sa[0], str) or isinstance(sb[0], str):
+                continue  # realization-dependent — never prove disjoint
+            try:
+                if sa[1] < sb[0] or sb[1] < sa[0]:
+                    return True
+            except TypeError:
+                continue
+        return False
+
+    out: set[str] = set()
+    for e, ev in zip(files, vers):
+        if e.kind != "data":
+            continue
+        if ev == vmin or all(
+            fv >= ev or _disjoint(e, f)
+            for f, fv in zip(files, vers)
+            if f is not e
+        ):
+            out.add(e.path)
+    return out
+
+
 class ManagedTable:
     """A versioned parquet table: CTAS, MERGE (CoW or MoR), DELETE/UPDATE,
     APPEND with additive schema evolution, OPTIMIZE (compaction / MoR
@@ -619,14 +669,24 @@ class ManagedTable:
         MoR tables with outstanding delta files resolve latest-row-per-key
         here (one window over the pk — the documented MoR read penalty;
         the reference measures it at ~3.2x, README.md:33-36). File-skip
-        pruning still applies to base files; delta files always read (a
-        pruned-away base row may be superseded by a delta)."""
+        pruning applies only to data files that cannot out-rank other
+        files' rows in that resolve (``_mor_prunable_paths``): delta
+        files always read, and a data file appended ABOVE older
+        deltas/base never prunes unless its pk range is provably
+        disjoint — pruning it would resurrect the rows it supersedes."""
         m = self.current if version is None else self.version_manifest(version)
         files = m.files
         if prune:
+            prunable = (
+                _mor_prunable_paths(files, self.primary_keys)
+                if any(e.kind != "data" for e in files)
+                else None
+            )
 
             def _in_range(e: FileEntry, col: str, value) -> bool:
                 if e.kind != "data" or col not in e.stats:
+                    return True
+                if prunable is not None and e.path not in prunable:
                     return True
                 lo, hi = e.stats[col]
                 try:
@@ -663,11 +723,24 @@ class ManagedTable:
         an append-ordered table opens only the slices it can reach.
         MoR deltas/tombstones always participate (a skipped base row
         may be superseded) — the resolve runs over pruned base files
-        plus all non-data files, mirroring ``read(prune=…)``."""
+        plus all non-data files, mirroring ``read(prune=…)``; and a
+        data file that could itself supersede older rows (an append
+        above outstanding deltas) is never pruned either
+        (``_mor_prunable_paths`` — pruning it would resurrect the rows
+        it out-ranks as false resolve winners)."""
         m = self.current if version is None else self.version_manifest(version)
         pred = _StatsPredicate(self.spark, where)
+        prunable = (
+            _mor_prunable_paths(m.files, self.primary_keys)
+            if any(e.kind != "data" for e in m.files)
+            else None
+        )
         files = [
-            e for e in m.files if e.kind != "data" or pred.may_match(e.stats)
+            e
+            for e in m.files
+            if e.kind != "data"
+            or (prunable is not None and e.path not in prunable)
+            or pred.may_match(e.stats)
         ]
         cond = F.expr(where)
         full = self.read(version=version)
@@ -958,6 +1031,21 @@ class ManagedTable:
         ranged = [e for e in files if key in e.stats]
         unranged = [e for e in files if key not in e.stats]
         if not ranged:
+            return files
+        # Temporal keys don't range-join safely: the manifest realizes
+        # date/timestamp stats as ISO STRINGS, and Spark's string→
+        # timestamp cast applies the SESSION timezone — the realized
+        # range can shift by the tz offset (or cast to null silently,
+        # which the except-fallback below never sees), false-pruning a
+        # file that holds matched keys. _StatsPredicate widens ±26h for
+        # exactly this hazard; here the sound move is to skip pruning
+        # (merge keys are near-universally integral — TPC-DS surrogate
+        # keys — so this costs nothing in practice).
+        ktype = skeys.schema[key].dataType.typeName()
+        if ktype in ("date", "timestamp", "timestamp_ntz") or (
+            ktype != "string"
+            and any(isinstance(e.stats[key][0], str) for e in ranged)
+        ):
             return files
         try:
             rng = self.spark.createDataFrame(

@@ -1889,3 +1889,109 @@ def test_scan_conforms_schema_after_evolution(spark, tmp_path):
     m = mt.update({"value": "value + 1000"}, "key < 10")
     assert m["rows_updated"] == 10
     assert mt.read().filter("value >= 1000 AND key < 10").count() == 10
+
+
+# -- MoR supersede-aware stats pruning (round 10; r9 ADVICE high) -------------
+# MoR append() is an upsert: a data-kind file at a HIGHER commit version
+# out-ranks older delta/base rows in the latest-per-key resolve. scan()
+# and read(prune=) must therefore never stats-prune such a file — its
+# rows failing the predicate is exactly the case where pruning it would
+# resurrect the superseded older row as a false resolve winner (and,
+# since _delete_mor/_update_mor match via scan(), tombstone or rewrite
+# keys whose live row does NOT match — persistent corruption).
+
+
+def _mor_upsert_table(spark, root):
+    """MoR table with the hazard layout: v0 base (keys 0-99), v1 delta
+    (keys 0-19 pushed to value>10000), v2 APPEND superseding keys 10-14
+    back down to value=-1."""
+    t = ManagedTable.create(
+        spark, root, _base_df(spark, 100), num_files=2,
+        cluster_by=("key",), table_mode="mor", primary_keys=("key",),
+    )
+    t.merge(
+        _base_df(spark, 100).filter("key < 20").withColumn(
+            "value", F.col("value") + 10000.0
+        ),
+        on=["key"],
+    )
+    t.append(
+        _base_df(spark, 100).filter("key >= 10 AND key < 15").withColumn(
+            "value", F.lit(-1.0)
+        )
+    )
+    return t
+
+
+def test_scan_never_prunes_superseding_append(spark, tmp_path):
+    """The r9-advice corruption shape: the predicate excludes the
+    appended rows, so the old code pruned the append file and the v1
+    delta rows (value>10000) resurrected for keys 10-14."""
+    t = _mor_upsert_table(spark, str(tmp_path / "t"))
+    live = {r["key"]: r["value"] for r in t.read().collect()}
+    assert all(live[k] == -1.0 for k in range(10, 15))  # append supersedes
+    for cond in ("value > 9000", "value < 0", "key >= 10 AND key < 15"):
+        want = sorted(t.read().filter(cond).collect())
+        got = sorted(t.scan(cond).collect())
+        assert got == want, cond
+    keys_hi = {r["key"] for r in t.scan("value > 9000").collect()}
+    assert keys_hi == set(range(10)) | set(range(15, 20))
+
+
+def test_read_prune_respects_mor_supersede(spark, tmp_path):
+    """read(prune=) point lookup: probing a value held ONLY by the
+    superseded delta rows must not surface them (the append file's
+    stats exclude the probe, but pruning it would resurrect them)."""
+    t = _mor_upsert_table(spark, str(tmp_path / "t"))
+    probe_val = 10000.0 + 12 * 2.5  # the v1 delta value for key=12
+    got = t.read(prune={"value": probe_val}).filter(
+        F.col("value") == probe_val
+    ).collect()
+    assert got == []  # key 12's live row is the appended value=-1.0
+
+
+def test_mor_delete_matches_live_rows_not_superseded(spark, tmp_path):
+    """_delete_mor matches via scan(): deleting value>9000 must remove
+    exactly the keys whose LIVE row matches (0-9, 15-19) and leave the
+    appended keys 10-14 (live value=-1) alone."""
+    t = _mor_upsert_table(spark, str(tmp_path / "t"))
+    m = t.delete("value > 9000")
+    assert m["rows_deleted"] == 15
+    live = {r["key"]: r["value"] for r in t.read().collect()}
+    assert set(range(10, 15)) <= set(live)
+    assert all(live[k] == -1.0 for k in range(10, 15))
+    assert not (set(range(10)) | set(range(15, 20))) & set(live)
+
+
+def test_mor_disjoint_append_still_prunes(spark, tmp_path):
+    """The scale path survives the soundness fix: an appended file whose
+    pk range is DISJOINT from every older file is still prunable, so a
+    time-ordered MoR ingest keeps its slice skipping."""
+    from lhbench_spark.tables import _mor_prunable_paths
+
+    t = ManagedTable.create(
+        spark, str(tmp_path / "t"), _base_df(spark, 100), num_files=2,
+        cluster_by=("key",), table_mode="mor", primary_keys=("key",),
+    )
+    t.merge(
+        _base_df(spark, 100).filter("key < 20").withColumn(
+            "value", F.col("value") + 10000.0
+        ),
+        on=["key"],
+    )
+    t.append(_base_df(spark, 300).filter("key >= 200"), num_files=2)
+    files = t.current.files
+    prunable = _mor_prunable_paths(files, ("key",))
+    base = {e.path for e in files if e.kind == "data"
+            and e.path.split(os.sep)[1].startswith("v00000")}
+    appended = {e.path for e in files if e.kind == "data"} - base
+    assert base <= prunable            # min version: trivially safe
+    assert appended <= prunable        # disjoint pk range: provably safe
+    # and scan actually skips the appended slice for an out-of-range probe
+    opened = (
+        t.scan("key BETWEEN 5 AND 8")
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert opened < len(files)
+    want = sorted(t.read().filter("key BETWEEN 5 AND 8").collect())
+    assert sorted(t.scan("key BETWEEN 5 AND 8").collect()) == want
