@@ -205,6 +205,13 @@ def _load_manifests(root: str, fs: TableFS) -> list[Manifest]:
 # Manifest cost is bounded: <= cap × 2 scalars per file.
 STATS_MAX_COLS = 32
 
+# Below this manifest size, merge/CDC candidate range-pruning is pure
+# overhead (one extra broadcast-join job over a files-sized frame that
+# exceeds what it saves on a table this small) — the probe scans all
+# files instead. At 100 TB the file count always clears this, so the
+# O(touched)-not-O(table) probe behavior is unaffected at scale.
+MERGE_PRUNE_MIN_FILES = 64
+
 
 def _stat_value(v):
     """JSON-safe, comparison-faithful realization of a footer stat value;
@@ -481,32 +488,40 @@ def _mor_prunable_paths(
     itself), so they don't block each other."""
     vers = [_entry_version(e) for e in files]
     vmin = min(vers, default=0)
-
-    def _disjoint(a: FileEntry, b: FileEntry) -> bool:
-        for k in keys or ():
-            sa, sb = a.stats.get(k), b.stats.get(k)
-            if sa is None or sb is None:
-                continue
-            if isinstance(sa[0], str) or isinstance(sb[0], str):
-                continue  # realization-dependent — never prove disjoint
-            try:
-                if sa[1] < sb[0] or sb[1] < sa[0]:
-                    return True
-            except TypeError:
-                continue
-        return False
-
     out: set[str] = set()
     for e, ev in zip(files, vers):
         if e.kind != "data":
             continue
         if ev == vmin or all(
-            fv >= ev or _disjoint(e, f)
+            fv >= ev or _pk_disjoint(e, f, keys)
             for f, fv in zip(files, vers)
             if f is not e
         ):
             out.add(e.path)
     return out
+
+
+def _pk_disjoint(
+    a: FileEntry, b: FileEntry, keys: tuple[str, ...] | list[str]
+) -> bool:
+    """True only when the manifest PROVES the two files share no primary
+    key: some pk column's [min,max] ranges don't intersect. Missing
+    stats prove nothing; string-realized stats (temporal keys) are
+    treated as inconclusive too — realizations can differ across
+    writers, and a wrong disjointness proof here is a correctness bug,
+    not a missed optimization."""
+    for k in keys or ():
+        sa, sb = a.stats.get(k), b.stats.get(k)
+        if sa is None or sb is None:
+            continue
+        if isinstance(sa[0], str) or isinstance(sb[0], str):
+            continue
+        try:
+            if sa[1] < sb[0] or sb[1] < sa[0]:
+                return True
+        except TypeError:
+            continue
+    return False
 
 
 class ManagedTable:
@@ -679,7 +694,7 @@ class ManagedTable:
         if prune:
             prunable = (
                 _mor_prunable_paths(files, self.primary_keys)
-                if any(e.kind != "data" for e in files)
+                if self._needs_resolve(files)
                 else None
             )
 
@@ -702,7 +717,7 @@ class ManagedTable:
         if not files:
             empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
             return empty
-        if any(e.kind != "data" for e in files):
+        if self._needs_resolve(files):
             return self._resolve_mor(m, files)
         # mergeSchema: versions appended with evolved (wider) schemas
         # reconcile deterministically — pre-evolution files surface the
@@ -732,7 +747,7 @@ class ManagedTable:
         pred = _StatsPredicate(self.spark, where)
         prunable = (
             _mor_prunable_paths(m.files, self.primary_keys)
-            if any(e.kind != "data" for e in m.files)
+            if self._needs_resolve(m.files)
             else None
         )
         files = [
@@ -746,7 +761,7 @@ class ManagedTable:
         full = self.read(version=version)
         if not files:
             return full.filter(cond).limit(0)
-        if any(e.kind != "data" for e in files):
+        if self._needs_resolve(files):
             df = self._resolve_mor(m, files)
         else:
             df = self.spark.read.option("mergeSchema", "true").parquet(
@@ -762,6 +777,38 @@ class ManagedTable:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df.select(*full.columns).filter(cond)
+
+    def _needs_resolve(self, files: list[FileEntry]) -> bool:
+        """Whether a read of ``files`` must run the latest-per-key
+        resolve. Any non-data file (delta/tombstone) obviously does;
+        but on a MoR table a DATA-ONLY layout spanning multiple commit
+        versions must too — append() is an upsert (a newer appended row
+        supersedes an older data/base row with the same pk), so a plain
+        union would surface BOTH rows and downstream DML matching via
+        scan() would tombstone/rewrite superseded images (the r10
+        random-history property test caught exactly that: an
+        append-superseded key wrongly deleted because the OLD image
+        matched the predicate). A single-version layout (fresh create,
+        post-OPTIMIZE) never resolves — compaction is what buys the
+        resolve cost back. And a multi-version layout whose cross-
+        version pk ranges are provably DISJOINT (the fresh-key
+        streaming-ingest pattern: every append carries new keys, the
+        clustered write keeps their ranges tight) skips the resolve
+        too — an O(files²) metadata check with early exit, worth it
+        because it spares every read a whole-table pk window shuffle."""
+        if any(e.kind != "data" for e in files):
+            return True
+        if self.table_mode != "mor" or len(files) <= 1:
+            return False
+        vers = [_entry_version(e) for e in files]
+        if len(set(vers)) == 1:
+            return False
+        keys = self.primary_keys
+        for i, (e, ev) in enumerate(zip(files, vers)):
+            for f, fv in zip(files[i + 1:], vers[i + 1:]):
+                if fv != ev and not _pk_disjoint(e, f, keys):
+                    return True
+        return False
 
     def _resolve_mor(self, m: Manifest, files: list[FileEntry]) -> DataFrame:
         """Latest-row-per-key over base + delta files: each file carries
@@ -917,7 +964,7 @@ class ManagedTable:
         # when restricted to candidate files (a key absent from every
         # candidate is absent from the table). Files without a usable
         # range stay candidates (never a false skip).
-        candidates = self._merge_candidate_files(m.files, skeys, on[0])
+        candidates = self._maybe_prune_candidates(m.files, skeys, on[0])
         # _read_conformed keeps the FULL current schema even when no
         # candidate file carries an evolved column — the insert path
         # selects target.columns, which must never drop one.
@@ -1014,6 +1061,20 @@ class ManagedTable:
         _write_manifest(self.root, manifest, self.fs)
         self.manifests.append(manifest)
         return manifest.metrics
+
+    def _maybe_prune_candidates(
+        self, files: list[FileEntry], skeys: DataFrame, key: str
+    ) -> list[FileEntry]:
+        """Candidate pruning with the small-table bypass: below
+        ``MERGE_PRUNE_MIN_FILES`` the range-join job costs more than the
+        handful of file scans it could save (the r9 bench regressed every
+        merge-family query 0.4-0.9 s at sf0.1 paying it), so tiny tables
+        probe everything. At scale the manifest always crosses the
+        threshold and the pruning — which turns an O(table) probe into
+        O(touched) — always engages."""
+        if len(files) < MERGE_PRUNE_MIN_FILES:
+            return files
+        return self._merge_candidate_files(files, skeys, key)
 
     def _merge_candidate_files(
         self, files: list[FileEntry], skeys: DataFrame, key: str
@@ -1769,7 +1830,7 @@ class ManagedTable:
         table first folds outstanding deltas AND tombstones — file-level
         touch detection is only meaningful over base files that each own
         their rows."""
-        if any(e.kind != "data" for e in self.current.files):
+        if self._needs_resolve(self.current.files):
             self.optimize()
 
     def optimize(
@@ -1796,7 +1857,12 @@ class ManagedTable:
         ``where`` does not combine with MoR compaction (the resolve is
         inherently whole-table)."""
         m = self.current
-        if any(e.kind != "data" for e in m.files):
+        # _needs_resolve, not just "any non-data file": a data-only MoR
+        # layout spanning versions (append-superseded keys) must ALSO
+        # compact through the resolve — bin-packing it as a plain union
+        # would write pk-duplicate files (both images of a superseded
+        # key in one version, which nothing can disambiguate afterward).
+        if self._needs_resolve(m.files):
             if where is not None:
                 raise ValueError(
                     "optimize(where=…) cannot scope a MoR compaction — "
@@ -2137,7 +2203,7 @@ class ManagedTable:
         table-local). Shared hazard, same as Delta documents: VACUUM on
         the SOURCE can remove files the clone still references."""
         m = self.current
-        if any(e.kind != "data" for e in m.files):
+        if self._needs_resolve(m.files):
             raise ValueError(
                 "clone requires a resolved file set — run optimize() first"
             )
@@ -2368,7 +2434,7 @@ class ManagedTable:
         # Same manifest-stats candidate pruning as merge(): the touch
         # probe scans only files whose key range may hold a feed key —
         # a CDC feed touches O(feed) files, never O(table).
-        cands = self._merge_candidate_files(m.files, allkeys, keys[0])
+        cands = self._maybe_prune_candidates(m.files, allkeys, keys[0])
         probe = self._read_conformed(cands) if cands else target.limit(0)
         touched_rows = (
             probe.withColumn("_file", F.input_file_name())

@@ -37,6 +37,15 @@ class FileCountConfig:
     randomize: bool = False  # add randn() noise columns (…scala:216-228)
 
 
+# The reference's headline regime is 1k-200k files (grid
+# run-benchmark.py:86-91; "Delta 7-20x faster at 200k files",
+# README.md:43-46) — the planning-time divergence only appears once the
+# manifest is big enough to dominate. Tiny files are fine: the subject
+# under test is file COUNT (manifest size + file-index construction),
+# not bytes scanned.
+DEEP_GRID = (16, 64, 256, 1024, 4096, 16384)
+
+
 def _planning_ms(df: DataFrame) -> float:
     """Force analysis → optimization → physical planning without
     executing a job (the :305-336 listener's query-start→first-job-start
@@ -52,17 +61,21 @@ def _exec_ms(df: DataFrame) -> float:
     return (time.monotonic_ns() - t0) / 1e6
 
 
-def four_queries(t: ManagedTable) -> dict[str, DataFrame]:
+def four_queries(t: ManagedTable) -> dict[str, "Callable[[], DataFrame]"]:
     """The reference's four read shapes (FileCountBenchmark.scala:244-249),
     with filter-by-partition expressed as manifest-side file pruning on
-    the cluster key."""
+    the cluster key. Returned as THUNKS so the planning timer covers
+    the whole planning path — manifest walk, per-file stats pruning,
+    file-index construction, Catalyst — not just executedPlan() on a
+    pre-built frame (at large file counts the manifest/file-index step
+    IS the divergence this benchmark exists to expose)."""
     return {
-        "select-limit-1": t.read().limit(1),
-        "full-count": t.read().agg(F.count(F.lit(1)).alias("cnt")),
-        "filter-by-partition": t.read(prune={"key": 7}).filter(
+        "select-limit-1": lambda: t.read().limit(1),
+        "full-count": lambda: t.read().agg(F.count(F.lit(1)).alias("cnt")),
+        "filter-by-partition": lambda: t.read(prune={"key": 7}).filter(
             F.col("key") == 7
         ),
-        "filter-by-value": t.read().filter(F.col("bucket") == 3).agg(
+        "filter-by-value": lambda: t.read().filter(F.col("bucket") == 3).agg(
             F.count(F.lit(1)).alias("cnt")
         ),
     }
@@ -88,10 +101,13 @@ def run(spark: SparkSession, cfg: FileCountConfig | None = None) -> BenchmarkRep
         report.report_extra_metric(
             f"write-{n_files}-seconds", (time.monotonic_ns() - t0) / 1e9
         )
-        for qname, df in four_queries(t).items():
+        for qname, mk in four_queries(t).items():
             plans, execs = [], []
             for _ in range(cfg.iterations):
-                plans.append(_planning_ms(df))
+                t0 = time.monotonic_ns()
+                df = mk()
+                construct_ms = (time.monotonic_ns() - t0) / 1e6
+                plans.append(construct_ms + _planning_ms(df))
                 execs.append(_exec_ms(df))
             report.report_extra_metric(
                 f"{qname}-{n_files}-plan-ms", min(plans)
@@ -103,7 +119,12 @@ def run(spark: SparkSession, cfg: FileCountConfig | None = None) -> BenchmarkRep
 
 
 if __name__ == "__main__":
+    import sys
+
     from lhbench_spark.session import get_spark
 
-    rep = run(get_spark("file_count"))
+    cfg = FileCountConfig()
+    if "--deep" in sys.argv:
+        cfg = FileCountConfig(file_counts=DEEP_GRID)
+    rep = run(get_spark("file_count"), cfg)
     print(rep.to_json())
