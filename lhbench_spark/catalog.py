@@ -29,6 +29,25 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Input-table schema memo, keyed per (session, sf_dir, name): the file
+# SCHEMA is static metadata of the test inputs (the same thing the temp
+# view registration below pins once), but a bare spark.read.parquet()
+# re-infers it — a py4j round-trip plus a footer read — on EVERY call,
+# and multi-table queries call table() 3-6 times each. Only the schema
+# is memoized; every query still scans the parquet data itself.
+_SCHEMA_MEMO: dict[tuple[int, str, str], object] = {}
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str):
+    """The RAW file schema of one testdata table (memoized metadata)."""
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    st = _SCHEMA_MEMO.get(key)
+    if st is None:
+        st = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        _SCHEMA_MEMO[key] = st
+    return st
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → Catalyst gets column pruning
     and predicate pushdown for free; callers must not ``.cache()`` by
@@ -42,7 +61,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader differently. The long path converts with integer ns→µs
     division, matching DuckDB's truncation exactly. No per-call
     session-conf mutation here: reads must be pure."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.schema(table_schema(spark, sf_dir, name)).parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType

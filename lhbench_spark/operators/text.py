@@ -91,7 +91,16 @@ def tfidf_top_terms(
     exploded = df.select(
         F.col(id_col), F.explode(F.expr(toks)).alias("term")
     )
-    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize the tf table once: both the document-frequency agg
+    # (broadcast side) and the scored join consume it — without the
+    # checkpoint the explode + hash-agg shuffle runs twice. At scale
+    # this is the materialized term-frequency table every IR pipeline
+    # keeps anyway.
+    tf = (
+        exploded.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     docfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (

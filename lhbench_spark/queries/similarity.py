@@ -20,18 +20,15 @@ _DIM = 64
 _TOPK = 5
 _NQUERIES = 20
 
-# The IVF codebook is a load-once artifact (a deployment trains it offline
-# and ships it with the index); memoize per sf_dir so repeated query
-# construction — the bench runs each query 3x — doesn't re-collect it.
-_CENTS_CACHE: dict[str, list] = {}
+# No memoization: every invocation recomputes the codebook from the
+# parquet inputs. (A per-sf_dir memo previously let bench iterations 2-3
+# skip the centroid collect — a cross-run result cache the r10
+# optimization rules prohibit; a real deployment trains the codebook
+# offline, but the BENCHED number must include what the query computes.)
 
 
 def _ivf_cents(spark, sf_dir):
-    if sf_dir not in _CENTS_CACHE:
-        _CENTS_CACHE[sf_dir] = similarity.ivf_centroids(
-            table(spark, sf_dir, "embeddings")
-        )
-    return _CENTS_CACHE[sf_dir]
+    return similarity.ivf_centroids(table(spark, sf_dir, "embeddings"))
 
 _BRUTE_ORACLE = f"""
 WITH q AS (
@@ -476,16 +473,11 @@ def sim_kmeans_recall(spark, sf_dir):
 # --- Product quantization (PQ) tier ---------------------------------------
 
 _PQ_RERANK = 50
-_PQ_CB_CACHE: dict[str, list] = {}
 
 
 def _pq_cb(spark, sf_dir):
-    # Load-once artifact, like the IVF codebook above.
-    if sf_dir not in _PQ_CB_CACHE:
-        _PQ_CB_CACHE[sf_dir] = similarity.pq_codebook(
-            table(spark, sf_dir, "embeddings")
-        )
-    return _PQ_CB_CACHE[sf_dir]
+    # Recomputed per invocation — same no-memo rule as _ivf_cents above.
+    return similarity.pq_codebook(table(spark, sf_dir, "embeddings"))
 
 
 def _pq_sq_duck(a: str, b: str, sub: int) -> str:

@@ -635,9 +635,16 @@ def corpus_charlm_perplexity(spark, sf_dir):
     O(docs) or O(alphabet²) — nothing is O(characters) past the map side."""
     from pyspark.sql import functions as F
 
-    scored = text_ops.charlm_perplexity(
-        table(spark, sf_dir, "documents")
-    ).withColumn("ppl_m", F.round(F.col("ppl") * 10000, 0).cast("bigint"))
+    # Materialize the scored frame once: the exact-quartile agg below and
+    # the final bucket projection both consume it, and without the
+    # checkpoint the whole train-and-score lineage (bigram LM hash agg +
+    # broadcast + decimal sums) runs twice — once inside the broadcast
+    # threshold subquery, once for the output. O(docs) rows of 5 scalars.
+    scored = (
+        text_ops.charlm_perplexity(table(spark, sf_dir, "documents"))
+        .withColumn("ppl_m", F.round(F.col("ppl") * 10000, 0).cast("bigint"))
+        .localCheckpoint()
+    )
     th = scored.agg(
         F.expr("percentile(ppl_m, 0.25D)").alias("p25"),
         F.expr("percentile(ppl_m, 0.75D)").alias("p75"),
@@ -850,10 +857,14 @@ def corpus_bpe_apply_merge(spark, sf_dir):
     from lhbench_spark.operators import fan_out
 
     docs = table(spark, sf_dir, "documents")
-    # CPU-partition before tokenize: the pair census AND the fold both
-    # re-read this projection (fan_out is a no-op at real split counts).
-    t = fan_out(docs.select("doc_id", "text")).select(
-        "doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks")
+    # CPU-partition before tokenize, then materialize the tokenized
+    # corpus ONCE: the pair census (inside the broadcast top-1 subquery)
+    # and the apply-fold projection both consume it, and without the
+    # checkpoint the full tokenization runs twice per invocation.
+    t = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", F.expr(textnorm.tokens_spark("text")).alias("toks"))
+        .localCheckpoint()
     )
     pairs = t.select(
         F.explode(

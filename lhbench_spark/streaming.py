@@ -34,7 +34,9 @@ def stream_events(
     batch reader — streaming sources never infer). The ts dtype dispatch
     (micros-native vs legacy nanos-as-long) matches
     lhbench_spark.catalog.table exactly."""
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from lhbench_spark.catalog import table_schema
+
+    raw_schema = table_schema(spark, sf_dir, "events")
     # The streaming file source monitors a DIRECTORY; events.parquet is a
     # single file, so stream the parent dir with a glob filter.
     reader = spark.readStream.schema(raw_schema).option(

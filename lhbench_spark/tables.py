@@ -55,6 +55,7 @@ from dataclasses import asdict, dataclass, field
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 DEFAULT_TARGET_FILE_ROWS = 1_000_000
 
@@ -580,8 +581,10 @@ class ManagedTable:
         TWO integer columns (Delta ``OPTIMIZE ZORDER BY`` analog): files
         get tight min/max stats on BOTH columns, so ``read(prune=…)``
         skips files for predicates on either one.
-        ``validate_count`` re-counts the source and asserts it equals the
-        manifest total (TPCDSDataLoad.scala:124-128).
+        ``validate_count`` asserts the source row count equals the
+        manifest total (TPCDSDataLoad.scala:124-128); the count is
+        observed on the rows flowing into the write job itself
+        (``Observation``) rather than by re-running the source lineage.
         ``table_mode="mor"`` declares merge-on-read (requires
         ``primary_keys``, like Hudi's PK options,
         TPCDSDataLoad.scala:110-114): MERGE appends delta files instead
@@ -605,6 +608,26 @@ class ManagedTable:
             else:
                 raise FileExistsError(root)
         data_dir = os.path.join(root, "data", "v00000")
+        # Load validation WITHOUT a second full source pass: an
+        # Observation counts the rows flowing into the write job itself
+        # (guide §1.2 — one pass where one pass suffices; the old
+        # df.count() re-ran the whole source lineage after the write).
+        # Attached AFTER the check/pk probes so their short-circuit
+        # limit(1) jobs cannot fire the metric with a partial count.
+        obs = None
+        if validate_count:
+            from pyspark.sql import Observation
+
+            obs = Observation("load_validation")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            # Materialize once: a range-clustered write evaluates its
+            # input TWICE (partition-boundary sampling + the shuffle
+            # itself), which would both double-fire the metric and
+            # re-run the source lineage. After the checkpoint the count
+            # is exact and sampling/write read blocks, not the source —
+            # net: ONE source pass where the old code paid three
+            # (sample, write, validation re-count).
+            df = df.localCheckpoint()
         if zorder_by:
             if cluster_by:
                 raise ValueError("cluster_by and zorder_by are exclusive")
@@ -628,12 +651,16 @@ class ManagedTable:
                 "table_mode": table_mode,
                 "primary_keys": list(primary_keys),
                 "checks": dict(checks or {}),
+                # authoritative table schema (see _stored_schema):
+                # carried forward by every commit, extended on append
+                # with merge_schema=True
+                "schema": df.schema.json(),
             },
         )
         _write_manifest(root, manifest, fs)
         table = cls(spark, root, fs)
-        if validate_count:
-            src_rows = df.count()
+        if obs is not None:
+            src_rows = int(obs.get["rows"])
             if src_rows != manifest.num_rows:
                 raise AssertionError(
                     f"load validation failed: source={src_rows} "
@@ -655,6 +682,33 @@ class ManagedTable:
 
     def _abs(self, e: FileEntry) -> str:
         return os.path.join(self.root, e.path)
+
+    # ---------- schema-from-manifest ----------
+    #
+    # Every commit records the table schema in manifest properties
+    # (Delta stores it in the log for the same reason): reads pass it to
+    # ``spark.read.schema(...)`` instead of ``mergeSchema``, which
+    # otherwise runs a footer-sampling job over EVERY referenced file at
+    # plan time — O(files) metadata work per read that at 100 TB is the
+    # planning bottleneck manifest formats exist to remove (guide §6:
+    # "table formats avoid directory listing/footer sampling
+    # altogether"). Parquet files written before an additive evolution
+    # read under the newer, wider schema with the missing columns as
+    # typed NULLs — exactly what mergeSchema produced, minus the footer
+    # pass. Manifests without the property (older layouts) fall back to
+    # mergeSchema.
+
+    def _stored_schema(self, m: Manifest | None = None) -> StructType | None:
+        sj = (m or self.current).properties.get("schema")
+        if not sj:
+            return None
+        return StructType.fromJson(json.loads(sj))
+
+    def _reader(self, m: Manifest | None = None):
+        st = self._stored_schema(m)
+        if st is not None:
+            return self.spark.read.schema(st)
+        return self.spark.read.option("mergeSchema", "true")
 
     def _claim_data_dir(self, version: int) -> str:
         """PRIVATE staging directory for the next commit. The name
@@ -715,17 +769,16 @@ class ManagedTable:
             for col, value in prune.items():
                 files = [e for e in files if _in_range(e, col, value)]
         if not files:
-            empty = self.spark.read.parquet(self._abs(m.files[0])).limit(0)
+            empty = self._reader(m).parquet(self._abs(m.files[0])).limit(0)
             return empty
         if self._needs_resolve(files):
             return self._resolve_mor(m, files)
-        # mergeSchema: versions appended with evolved (wider) schemas
-        # reconcile deterministically — pre-evolution files surface the
-        # new columns as NULL, and the result schema is the union, not
-        # whichever file's footer Spark happened to sample first.
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[self._abs(e) for e in files]
-        )
+        # Manifest schema (or mergeSchema fallback): versions appended
+        # with evolved (wider) schemas reconcile deterministically —
+        # pre-evolution files surface the new columns as NULL, and the
+        # result schema is the union, not whichever file's footer Spark
+        # happened to sample first.
+        return self._reader(m).parquet(*[self._abs(e) for e in files])
 
     def scan(self, where: str, version: int | None = None) -> DataFrame:
         """Filtered read with manifest data skipping for an ARBITRARY
@@ -758,25 +811,27 @@ class ManagedTable:
             or pred.may_match(e.stats)
         ]
         cond = F.expr(where)
-        full = self.read(version=version)
         if not files:
-            return full.filter(cond).limit(0)
+            return self.read(version=version).filter(cond).limit(0)
         if self._needs_resolve(files):
             df = self._resolve_mor(m, files)
         else:
-            df = self.spark.read.option("mergeSchema", "true").parquet(
-                *[self._abs(e) for e in files]
-            )
+            df = self._reader(m).parquet(*[self._abs(e) for e in files])
         # Conform to the FULL version schema before filtering: after
         # additive evolution, pruning can drop every file that carries
         # an evolved column — without the typed-null fill the predicate
         # could not even reference it, and the result schema would
         # silently narrow (breaking the read().filter() equivalence and
-        # the MoR UPDATE post-image projection).
-        for f in full.schema.fields:
+        # the MoR UPDATE post-image projection). With the manifest
+        # schema the reader already returned exactly these fields, so
+        # the loop no-ops without ever constructing a full-table frame.
+        full_schema = self._stored_schema(m)
+        if full_schema is None:
+            full_schema = self.read(version=version).schema
+        for f in full_schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return df.select(*full.columns).filter(cond)
+        return df.select(*[f.name for f in full_schema.fields]).filter(cond)
 
     def _needs_resolve(self, files: list[FileEntry]) -> bool:
         """Whether a read of ``files`` must run the latest-per-key
@@ -834,7 +889,7 @@ class ManagedTable:
         ver_map = F.create_map(*ver_entries)
         norm = F.regexp_replace(F.input_file_name(), "^file://", "")
         union = (
-            self.spark.read.option("mergeSchema", "true")
+            self._reader(m)
             .parquet(*[self._abs(e) for e in files])
             .withColumn("_cv", F.element_at(ver_map, norm))
         )
@@ -914,15 +969,22 @@ class ManagedTable:
         # nondeterministically at read time (latest-per-key has no order
         # inside one version), silently dropping arbitrary rows. CoW
         # callers may opt out when they already guarantee uniqueness.
+        source_rows: int | None = None
         if validate_unique or self.table_mode == "mor":
-            dups = (
+            # ONE pass over the source yields both the dup check and the
+            # source row count (the count every downstream branch needs
+            # for metrics/file sizing) — previously two full source
+            # evaluations (guide §1.2: don't recompute what one job can
+            # deliver). NULL keys group like groupBy's null group, so
+            # the dup semantics are unchanged.
+            row = (
                 source.groupBy(*on)
                 .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .count()
+                .agg(F.sum("_n").alias("_rows"), F.max("_n").alias("_mx"))
+                .collect()[0]
             )
-            if dups:
+            source_rows = int(row["_rows"] or 0)
+            if row["_mx"] is not None and int(row["_mx"]) > 1:
                 raise ValueError(
                     f"merge source has duplicate keys on {on} "
                     "(would produce duplicate rows; Delta raises here too)"
@@ -943,13 +1005,23 @@ class ManagedTable:
             _enforce_checks(source, self.checks)
         if when_not_matched_by_source:
             if self.table_mode == "mor":
-                return self._merge_mor_full_sync(m, target, source, on, source_scope)
-            return self._merge_full_sync_cow(m, target, source, on, source_scope)
+                return self._merge_mor_full_sync(
+                    m, target, source, on, source_scope, source_rows
+                )
+            return self._merge_full_sync_cow(
+                m, target, source, on, source_scope, source_rows
+            )
         if self.table_mode == "mor":
             if when_matched == "delete":
                 return self._merge_mor_delete(m, target, source, on)
-            return self._merge_mor(m, target, source, on, track_matches)
-        skeys = source.select(*on).dropDuplicates()
+            return self._merge_mor(m, target, source, on, track_matches, source_rows)
+        # Materialize the deduped key set ONCE: it drives candidate
+        # pruning, the touch probe, and the kept-rows anti-join — three
+        # consumers that would otherwise each re-run the full source
+        # scan + dedup shuffle. O(source keys), the "decide with small
+        # rows" proxy of guide §8; the payload-bearing source itself is
+        # never checkpointed.
+        skeys = source.select(*on).dropDuplicates().localCheckpoint()
 
         # Candidate pruning BEFORE the touch probe — the range stage of
         # Hudi's bloom index: a file whose manifest [min,max] range on
@@ -1007,12 +1079,14 @@ class ManagedTable:
                 new_data = inserts
             source_rows = inserted_rows  # sizing: only inserts land
         else:
-            # One counting job (the source); matched/inserted are derived
-            # from parquet footer row counts after the write:
+            # Source count (reused from the fused dup-check pass when it
+            # ran); matched/inserted are derived from parquet footer row
+            # counts after the write:
             #   new_rows = (rewritten_rows - matched) + source_rows
             #   matched  = rewritten_rows + source_rows - new_rows
             # (exact given unique keys on both sides — validated above).
-            source_rows = _count_job(source)
+            if source_rows is None:
+                source_rows = _count_job(source)
             if rewritten:
                 touched_df = self._read_conformed(rewritten)
                 kept = touched_df.select(*target.columns).join(skeys, on, "left_anti")
@@ -1025,6 +1099,12 @@ class ManagedTable:
         n_files = max(
             1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
         )
+        if m.cluster_by:
+            # Clustered commit: the range write would evaluate the
+            # kept∪source lineage (touched-file reads + anti-join)
+            # twice — sampling pass + shuffle. Materialize once;
+            # O(touched + source), the merge's rewrite set.
+            new_data = new_data.localCheckpoint()
         shaped = _shape_for_write(new_data, tuple(m.cluster_by), n_files)
         shaped.write.parquet(data_dir)
         new_entries = [
@@ -1137,6 +1217,7 @@ class ManagedTable:
         source: DataFrame,
         on: list[str],
         track_matches: bool = True,
+        source_rows: int | None = None,
     ) -> dict[str, int]:
         """Merge-on-read commit: write the source as DELTA files and
         reference every existing file unchanged — write cost is O(source),
@@ -1164,7 +1245,8 @@ class ManagedTable:
             matched = -1
         version = m.version + 1
         data_dir = self._claim_data_dir(version)
-        source_rows = _count_job(source)
+        if source_rows is None:
+            source_rows = _count_job(source)
         n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(
             source.select(*target.columns), tuple(m.cluster_by), n_files
@@ -1259,6 +1341,7 @@ class ManagedTable:
         source: DataFrame,
         on: list[str],
         source_scope: str | None,
+        source_rows: int | None = None,
     ) -> dict[str, int]:
         """CoW WHEN NOT MATCHED BY SOURCE DELETE (+ matched update +
         unmatched insert): rewrite set = files holding a matched key ∪
@@ -1270,7 +1353,9 @@ class ManagedTable:
         path pays); the delete count then derives from footers."""
         scope = F.expr(source_scope) if source_scope else F.lit(True)
         in_scope = F.coalesce(scope, F.lit(False))
-        skeys = source.select(*on).dropDuplicates()
+        # 3 consumers (touch probe, matched count, kept anti-join) — one
+        # materialization instead of three source scans (see merge()).
+        skeys = source.select(*on).dropDuplicates().localCheckpoint()
         target_f = target.withColumn("_file", F.input_file_name())
         touched_rows = (
             target_f.join(skeys, on, "left_semi")
@@ -1283,7 +1368,8 @@ class ManagedTable:
         untouched = [e for e in m.files if self._abs(e) not in touched]
         rewritten = [e for e in m.files if self._abs(e) in touched]
         rewritten_rows = sum(e.rows for e in rewritten)
-        source_rows = _count_job(source)
+        if source_rows is None:
+            source_rows = _count_job(source)
         if rewritten:
             touched_df = self._read_conformed(rewritten)
             matched = touched_df.join(skeys, on, "left_semi").count()
@@ -1301,6 +1387,9 @@ class ManagedTable:
         n_files = max(
             1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
         )
+        if m.cluster_by:
+            # same single-evaluation rationale as merge()
+            new_data = new_data.localCheckpoint()
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
             data_dir
         )
@@ -1338,6 +1427,7 @@ class ManagedTable:
         source: DataFrame,
         on: list[str],
         source_scope: str | None,
+        source_rows: int | None = None,
     ) -> dict[str, int]:
         """MoR WHEN NOT MATCHED BY SOURCE DELETE: ONE commit carrying a
         deletion-vector tombstone for the in-scope keys the source does
@@ -1350,7 +1440,9 @@ class ManagedTable:
                 f"mor merge key {on} must equal the declared primary key {pk}"
             )
         scope = F.expr(source_scope) if source_scope else F.lit(True)
-        skeys = source.select(*on).dropDuplicates()
+        # 2 consumers (dead-keys anti-join, matched count) — one
+        # materialization instead of two source scans (see merge()).
+        skeys = source.select(*on).dropDuplicates().localCheckpoint()
         dead_keys = (
             target.filter(F.coalesce(scope, F.lit(False)))
             .select(*on)
@@ -1365,7 +1457,8 @@ class ManagedTable:
             for p in _list_parquet(ts_dir, self.fs)
         ]
         rows_dir = self._claim_data_dir(version)
-        source_rows = _count_job(source)
+        if source_rows is None:
+            source_rows = _count_job(source)
         n_files = max(1, math.ceil(source_rows / DEFAULT_TARGET_FILE_ROWS))
         _shape_for_write(
             source.select(*target.columns), tuple(m.cluster_by), n_files
@@ -1446,7 +1539,10 @@ class ManagedTable:
             # disjointness stays a documented contract — checking it
             # would cost an O(table) pass.
             _validate_pk_unique(df, self.primary_keys, "mor append batch")
-        existing = set(self.read().columns)
+        table_schema = self._stored_schema(m)
+        if table_schema is None:
+            table_schema = self.read().schema
+        existing = {f.name for f in table_schema.fields}
         extra = [c for c in df.columns if c not in existing]
         missing = [c for c in existing if c not in df.columns]
         if (extra or missing) and not merge_schema:
@@ -1457,9 +1553,9 @@ class ManagedTable:
         if missing:
             # Additive evolution only: absent columns are filled with NULL
             # typed from the current schema (Delta does the same).
-            cur_schema = {f.name: f.dataType for f in self.read().schema.fields}
+            cur_types = {f.name: f.dataType for f in table_schema.fields}
             for c in missing:
-                df = df.withColumn(c, F.lit(None).cast(cur_schema[c]))
+                df = df.withColumn(c, F.lit(None).cast(cur_types[c]))
         def _skipped_after_rebase() -> bool:
             """After a reload, did another writer of the same app id land
             this txn first? (Then our append is already in — no-op.)"""
@@ -1524,6 +1620,17 @@ class ManagedTable:
                         **props.get("txns", {}),
                         txn_app_id: int(txn_version),
                     }
+                if extra and props.get("schema"):
+                    # Additive evolution: extend the recorded table
+                    # schema with the new columns (df order), so future
+                    # reads get the union without a mergeSchema pass.
+                    base_st = StructType.fromJson(json.loads(props["schema"]))
+                    have = {f.name for f in base_st.fields}
+                    new_fields = list(base_st.fields) + [
+                        f for f in df.schema.fields if f.name not in have
+                    ]
+                    props = dict(props)
+                    props["schema"] = StructType(new_fields).json()
                 manifest = Manifest(
                     version=version,
                     operation="APPEND",
@@ -1556,10 +1663,11 @@ class ManagedTable:
         evolved columns of the newer files (their values would be lost in
         the rewrite), and a pre-evolution subset lacks the new columns
         entirely (a union with full-schema sources would fail)."""
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            *[self._abs(e) for e in entries]
-        )
-        for f in self.read().schema.fields:
+        df = self._reader().parquet(*[self._abs(e) for e in entries])
+        cur_schema = self._stored_schema()
+        if cur_schema is None:
+            cur_schema = self.read().schema
+        for f in cur_schema.fields:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df
@@ -1644,6 +1752,11 @@ class ManagedTable:
         rewritten_rows = sum(e.rows for e in rewritten)
         touched_df = self._read_conformed(rewritten)
         kept = touched_df.filter(~F.coalesce(cond, F.lit(False)))
+        if m.cluster_by:
+            # A range-clustered commit write evaluates its input twice
+            # (partition-boundary sampling + the shuffle); materialize
+            # the kept rows once instead. O(touched files).
+            kept = kept.localCheckpoint()
         return self._commit_rewrite(
             "DELETE", untouched, kept, rewritten_rows,
             lambda new_entries: {
@@ -1729,18 +1842,25 @@ class ManagedTable:
                 "would survive the resolve (use a cow table to rewrite keys)"
             )
         m = self.current
-        cur = self.read()
-        types = {f.name: f.dataType for f in cur.schema.fields}
+        cur_schema = self._stored_schema(m)
+        if cur_schema is None:
+            cur_schema = self.read().schema
+        types = {f.name: f.dataType for f in cur_schema.fields}
+        cur_cols = [f.name for f in cur_schema.fields]
         # stats-pruned matching scan (see _delete_mor for soundness)
         matched = self.scan(condition)
+        # Materialize the post-image once: the matching scan (which may
+        # include a MoR latest-per-key resolve window) would otherwise
+        # re-run for the checks probe, the sizing count, the range
+        # sampling, AND the write. O(matched rows).
         updated = matched.select(
             *[
                 F.expr(assignments[c]).cast(types[c]).alias(c)
                 if c in assignments
                 else F.col(c)
-                for c in cur.columns
+                for c in cur_cols
             ]
-        )
+        ).localCheckpoint()
         if self.checks:
             _enforce_checks(updated, self.checks)
         rows_updated = _count_job(updated)
@@ -1798,8 +1918,17 @@ class ManagedTable:
         if not rewritten:
             return {"rows_updated": 0, "files_rewritten": 0, "files_added": 0}
         rewritten_rows = sum(e.rows for e in rewritten)
-        touched_df = self._read_conformed(rewritten)
-        rows_updated = touched_df.filter(cond).count()
+        from pyspark.sql import Observation
+
+        # One pass over the touched files where the old code paid four:
+        # the updated-row count rides the projection as an Observation
+        # metric, the checkpoint materializes the post-image once, and
+        # the range-sampling + write (+ optional checks probe) then read
+        # blocks instead of re-reading the files.
+        obs = Observation()
+        touched_df = self._read_conformed(rewritten).observe(
+            obs, F.sum(F.when(cond, 1).otherwise(0)).alias("updated")
+        )
         types = {f.name: f.dataType for f in touched_df.schema.fields}
         updated = touched_df.select(
             *[
@@ -1810,7 +1939,8 @@ class ManagedTable:
                 else F.col(c)
                 for c in touched_df.columns
             ]
-        )
+        ).localCheckpoint()
+        rows_updated = int(obs.get["updated"] or 0)
         if self.checks:
             # assignments can produce violating values; probe the
             # REWRITTEN rows (touched files only — bounded) before commit
@@ -1879,7 +2009,7 @@ class ManagedTable:
         big = [e for e in in_scope if e.rows >= target_file_rows] + out_of_scope
         metrics = {"files_removed": 0, "files_added": 0}
         if len(small) > 1:
-            df = self.spark.read.parquet(*[self._abs(e) for e in small])
+            df = self._reader(m).parquet(*[self._abs(e) for e in small])
             n = max(1, math.ceil(sum(e.rows for e in small) / target_file_rows))
             version = m.version + 1
             data_dir = self._claim_data_dir(version)
@@ -2114,7 +2244,12 @@ class ManagedTable:
         ``zorder()``/``optimize()`` when the old files' scan cost
         warrants it."""
         m = self.current
-        cols = set(self.read().columns)
+        st = self._stored_schema(m)
+        cols = (
+            {f.name for f in st.fields}
+            if st is not None
+            else set(self.read().columns)
+        )
         missing = [k for k in keys if k not in cols]
         if missing:
             raise ValueError(f"cluster keys not in schema: {missing}")
@@ -2267,12 +2402,20 @@ class ManagedTable:
             if not removed and not added:
                 continue
 
-            def read_files(entries: list[FileEntry]) -> DataFrame | None:
+            def read_files(
+                entries: list[FileEntry], table_schema: bool = True
+            ) -> DataFrame | None:
                 if not entries:
                     return None
-                return self.spark.read.option("mergeSchema", "true").parquet(
-                    *[self._abs(e) for e in entries]
-                )
+                if not table_schema:
+                    # Tombstone files carry ONLY the pk columns, and the
+                    # CDF contract preserves that (a delete-only feed has
+                    # no payload columns) — read them under their own
+                    # schema, not the manifest's.
+                    return self.spark.read.parquet(
+                        *[self._abs(e) for e in entries]
+                    )
+                return self._reader(m).parquet(*[self._abs(e) for e in entries])
 
             # Tombstone files are deletion vectors: their pk-only rows
             # are row-level DELETES (Delta CDF would carry the full
@@ -2285,7 +2428,7 @@ class ManagedTable:
             added = [e for e in added if e.kind != "tombstone"]
             ts_delta = None
             if added_ts:
-                ts_delta = read_files(added_ts).select(
+                ts_delta = read_files(added_ts, table_schema=False).select(
                     F.lit("delete").alias("_change_type"),
                     F.lit(m.version).alias("_commit_version"),
                     "*",
@@ -2308,7 +2451,7 @@ class ManagedTable:
             removed = [e for e in removed if e.kind != "tombstone"]
             res_delta = None
             if removed_ts:
-                res_keys = read_files(removed_ts).select(*keys).dropDuplicates()
+                res_keys = read_files(removed_ts, table_schema=False).select(*keys).dropDuplicates()
                 res_delta = (
                     self.read(version=m.version)
                     .join(res_keys, keys, "left_semi")
@@ -2344,7 +2487,15 @@ class ManagedTable:
                 # A CoW rewrite copies UNCHANGED rows of touched files
                 # into the new files too; the symmetric difference strips
                 # them so only genuinely-changed rows are emitted.
-                pre_d, post_d = pre.exceptAll(post), post.exceptAll(pre)
+                # Each side is materialized ONCE (localCheckpoint): the
+                # four classification joins below reference both sides
+                # (directly and via their key projections), and without
+                # the checkpoint each join re-runs the exceptAll shuffle
+                # — 4x the per-commit cost for identical results. The
+                # frames are O(changed rows of this commit), the same
+                # bounded footprint the feed itself guarantees.
+                pre_d = pre.exceptAll(post).localCheckpoint()
+                post_d = post.exceptAll(pre).localCheckpoint()
                 pre_k = pre_d.select(*keys).dropDuplicates()
                 post_k = post_d.select(*keys).dropDuplicates()
                 parts = [
@@ -2462,6 +2613,9 @@ class ManagedTable:
         n_files = max(
             1, math.ceil((rewritten_rows + n_upserts) / DEFAULT_TARGET_FILE_ROWS)
         )
+        if m.cluster_by:
+            # same single-evaluation rationale as merge()
+            new_data = new_data.localCheckpoint()
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
             data_dir
         )
