@@ -183,6 +183,10 @@ def main() -> int:
         specs={"sf_dir": sf_dir, "iterations": str(iterations), "cpus": str(cpus)},
         env=spark_env_info(spark),
         query_results=runner.results,
+        # Host-immune channel (r10 VERDICT #2): per-query Spark job
+        # counts + min-of-N alongside the medians, so a cross-round diff
+        # survives host stall eras. The one-line JSON below is unchanged.
+        query_stats=runner.per_query_stats(),
     )
     report.report_extra_metric("suite-median-sum-seconds", total)
     report.to_json(os.path.join(os.path.dirname(__file__) or ".", "bench_report.json"))

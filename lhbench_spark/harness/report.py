@@ -41,6 +41,10 @@ class BenchmarkReport:
     env: dict[str, str] = field(default_factory=dict)
     query_results: list[QueryResult] = field(default_factory=list)
     extra_metrics: dict[str, float] = field(default_factory=dict)
+    # Per-query {median_sec, min_sec, jobs, iters} — the host-immune
+    # summary (BenchmarkRunner.per_query_stats); empty when the caller
+    # doesn't populate it.
+    query_stats: dict = field(default_factory=dict)
 
     def report_extra_metric(self, name: str, value: float) -> None:
         """reportExtraMetric analog (Benchmark.scala:196-199)."""

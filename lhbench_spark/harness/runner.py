@@ -50,6 +50,12 @@ class QueryResult:
     # phase isolation, finer than the wall split above (which also counts
     # Python-side DataFrame construction and py4j traffic).
     phase_ms: dict | None = None
+    # Spark jobs launched inside this run's job group — deterministic and
+    # host-load-immune, so cross-round comparisons survive the sandbox's
+    # stall eras (a query that runs the same plan launches the same jobs
+    # whether the host is calm or thrashing). Counted from the status
+    # tracker after collect(); None when the tracker is unavailable.
+    jobs: int | None = None
 
 
 def _tracker_phases(qe) -> dict | None:
@@ -106,7 +112,8 @@ class BenchmarkRunner:
         that must re-establish a fresh table per measured run so every
         iteration times the real operation, never a no-op re-run."""
         sc = self.spark.sparkContext
-        sc.setJobGroup(f"{name}-i{iteration}", f"{name} iteration {iteration}")
+        group = f"{name}-i{iteration}"
+        sc.setJobGroup(group, f"{name} iteration {iteration}")
         # Measurement isolation: operators that persist intermediates
         # (dedup signature sets) must not carry cached state into the next
         # query or iteration — every measurement is a clean cold run, and
@@ -134,7 +141,8 @@ class BenchmarkRunner:
             rows = df.collect()
             dur_ms = (time.monotonic_ns() - t0) / 1e6
             res = QueryResult(
-                name, iteration, dur_ms, None, len(rows), planning_ms, phase_ms
+                name, iteration, dur_ms, None, len(rows), planning_ms, phase_ms,
+                jobs=self._group_jobs(group),
             )
         except Exception as exc:  # noqa: BLE001 — per-query capture by design
             dur_ms = (time.monotonic_ns() - t0) / 1e6
@@ -149,6 +157,15 @@ class BenchmarkRunner:
             sc.setJobGroup("", "")
         self.results.append(res)
         return res
+
+    def _group_jobs(self, group: str) -> int | None:
+        """Spark jobs launched under ``group`` (statusTracker) — the
+        host-immune per-query metric; failures degrade to None."""
+        try:
+            tracker = self.spark.sparkContext.statusTracker()
+            return len(tracker.getJobIdsForGroup(group))
+        except Exception:  # noqa: BLE001 — diagnostics must not fail a query
+            return None
 
     def run_suite(
         self,
@@ -182,3 +199,28 @@ class BenchmarkRunner:
 
     def errors(self) -> dict[str, str]:
         return {r.name: r.error_msg for r in self.results if r.error_msg}
+
+    def per_query_stats(self) -> dict[str, dict]:
+        """Host-noise-immune per-query summary for the report: upper
+        median and MIN wall seconds over the completed iterations, plus
+        the Spark job count (min over iterations — job counts are
+        deterministic for a fixed plan, but a first iteration can carry
+        one-off session warmup jobs billed to its group). A stalled host
+        inflates medians; the min and the job count survive it, so
+        cross-round comparisons should lean on these."""
+        by_name: dict[str, list[QueryResult]] = {}
+        for r in self.results:
+            by_name.setdefault(r.name, []).append(r)
+        out: dict[str, dict] = {}
+        for name, rs in sorted(by_name.items()):
+            if any(r.error_msg for r in rs):
+                continue
+            secs = [r.duration_ms / 1000.0 for r in rs]
+            jobs = [r.jobs for r in rs if r.jobs is not None]
+            out[name] = {
+                "median_sec": round(upper_median(secs), 3),
+                "min_sec": round(min(secs), 3),
+                "jobs": min(jobs) if jobs else None,
+                "iters": len(secs),
+            }
+        return out

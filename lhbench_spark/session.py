@@ -83,6 +83,22 @@ def get_spark(
         # reference parity (TPCDSBenchmark.scala:84-87)
         .config("spark.sql.crossJoin.enabled", "true")
         .config("spark.sql.broadcastTimeout", "7200")
+        # Guide §9 join/shuffle knobs, parameterized for A/B runs
+        # (tools/qtime.py with the env flipped) — defaults hold the
+        # values measured best on this suite; see OPTIMIZATION_r11.md §6
+        # for the per-family A/B table and production sizing notes.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         # Streaming state stores keep the last N committed versions of
         # every operator partition's map IN MEMORY (default N=100). The
         # drained availableNow pipelines re-run per bench iteration with

@@ -19,7 +19,18 @@ ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
 
 # Both SFs: sf0.001 catches logic bugs fast; sf0.01 is the driver's actual
 # gate SF (divergences like bucket-cap effects only appear at volume).
-@pytest.mark.parametrize("sf_dir", [SMOKE_SF, ORACLE_SF], ids=["sf0.001", "sf0.01"])
+# The sf0.01 tier is the `slow` nightly sweep (r10 VERDICT #1: the full
+# double-SF run overran the driver's verify window): the default gate
+# oracle-checks every query at sf0.001, and the driver itself re-checks
+# at sf0.01 — run `pytest -m slow tests/test_oracle_queries.py` before
+# shipping query-shape changes.
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        pytest.param(SMOKE_SF, id="sf0.001"),
+        pytest.param(ORACLE_SF, id="sf0.01", marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_match(spark, oracle, name, sf_dir):
     qd = QUERIES[name]
