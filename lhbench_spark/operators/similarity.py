@@ -80,6 +80,19 @@ def cosine(a: str, b: str) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), 9)
 
 
+def cosine_prenormed(a: str, b: str, na: str, nb: str) -> Column:
+    """:func:`cosine` with the two vector norms read from precomputed
+    columns instead of re-folded per pair. Per-PAIR evaluation of the
+    interpreted HOF aggregates drops from three (dot + both norms) to
+    one (guide §1/§4 — HOFs don't codegen, so each aggregate is a
+    per-element closure invocation): each side's norm is computed once
+    per ROW before the join. Bit-identical to :func:`cosine` — the norm
+    column is the same left-to-right fold over the same doubles, and
+    IEEE ops are deterministic, so round(dot/(na*nb), 9) reproduces the
+    inline value exactly."""
+    return F.round(dot(a, b) / (F.col(na) * F.col(nb)), 9)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,17 +108,17 @@ def brute_force_topk(
     by Spark's WindowGroupLimit pushdown for rank < k filters)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm("_qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm("_cv"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine("_qv", "_cv").alias("_cos"),
+            cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
@@ -175,16 +188,20 @@ def ann_topk(
         "query_id",
         "_qv",
         F.col("_qbucket").bitwiseXOR(F.col("_flip")).alias("_bucket"),
-    )
+    ).withColumn("_qn", norm("_qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("_cv"),
         lsh_bucket(vec_col, dim, planes).alias("_bucket"),
-    )
+    ).withColumn("_cn", norm("_cv"))
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
+        )
     )
     if probe_hamming > 0:
         # A neighbor reachable through several probed buckets scores once;
@@ -256,7 +273,7 @@ def embedding_near_dup_pairs(
     v = fan_out(df).select(
         F.col(id_col).alias("_id"),
         as_double(vec_col).alias("_v"),
-    )
+    ).withColumn("_n", norm("_v"))
     banded = v.select(
         "_id", F.explode(neardup_band_keys("_v", dim)).alias("_bkey")
     )
@@ -272,9 +289,21 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["vec_a", "vec_b"])
     )
     pairs = cand.join(
-        v.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va")), "vec_a"
-    ).join(v.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb")), "vec_b")
-    cos = cosine("_va", "_vb")
+        v.select(
+            F.col("_id").alias("vec_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+        ),
+        "vec_a",
+    ).join(
+        v.select(
+            F.col("_id").alias("vec_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        ),
+        "vec_b",
+    )
+    cos = cosine_prenormed("_va", "_vb", "_na", "_nb")
     return pairs.filter(cos >= threshold).select(
         "vec_a", "vec_b", F.round(cos, 6).alias("cosine")
     )
@@ -355,15 +384,23 @@ def ivf_partitioned_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     )
-    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv")
+    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv").withColumn(
+        "_qn", norm("_qv")
+    )
     probe_cells = [r["_cell"] for r in query_probes.select("_cell").distinct().collect()]
     stored = spark.read.parquet(out_dir).filter(F.col("_cell").isin(probe_cells))
-    cand = stored.withColumnRenamed(id_col, "neighbor_id").join(
+    cand = stored.withColumnRenamed(id_col, "neighbor_id").withColumn(
+        "_cn", norm("_cv")
+    ).join(
         F.broadcast(query_probes), "_cell"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
-        cand.select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
@@ -510,18 +547,26 @@ def ivf_topk(
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
     )
-    corpus_cells = ivf_assign(c, cents, 1, "neighbor_id", "_cv")
+    corpus_cells = ivf_assign(c, cents, 1, "neighbor_id", "_cv").withColumn(
+        "_cn", norm("_cv")
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
     )
-    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv")
+    query_probes = ivf_assign(q, cents, probes, "query_id", "_qv").withColumn(
+        "_qn", norm("_qv")
+    )
 
     cand = corpus_cells.join(F.broadcast(query_probes), "_cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (
-        cand.select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cosine"), "rnk")
@@ -737,14 +782,18 @@ def pq_topk(
     cand = pq_adc_candidates(corpus, queries, cb, subs, rerank, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm("_cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm("_qv"))
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("_cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
     return (

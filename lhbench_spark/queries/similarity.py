@@ -592,17 +592,21 @@ def ann_pq_recall(spark, sf_dir):
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), similarity.as_double("embedding").alias("_cv")
-    )
+    ).withColumn("_cn", similarity.norm("_cv"))
     qv = queries.select(
         F.col("vec_id").alias("query_id"), similarity.as_double("embedding").alias("_qv")
-    )
+    ).withColumn("_qn", similarity.norm("_qv"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
     )
     rr = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id", similarity.cosine("_qv", "_cv").alias("_cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            similarity.cosine_prenormed("_qv", "_cv", "_qn", "_cn").alias("_cos"),
+        )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOPK)
         .select(F.col("query_id").alias("r_qid"), F.col("neighbor_id").alias("r_nid"))
