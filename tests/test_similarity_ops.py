@@ -145,3 +145,49 @@ def test_semantic_census_multichunk_matches_bruteforce(spark):
     r = got[0]
     assert (r.cell, r.n_vecs, r.n_dropped, r.n_kept) == (0, n, nd, n - nd)
     assert 0 < nd < n  # both paths actually exercised
+
+
+def test_ivf_assign_arrow_matches_hof_reference(spark):
+    """The Arrow-batched ivf_assign must reproduce the inline-HOF
+    reference assignment EXACTLY — same cells, same probe sets, same
+    multiplicity — on the real corpus and on an adversarial set with
+    exact distance ties (equidistant vectors, where only the (dist, cid)
+    tie-break order separates the two implementations)."""
+    emb = table(spark, SMOKE_SF, "embeddings")
+    cents = sim.ivf_centroids(emb, centroid_stride=125)
+    src = emb.select("vec_id", sim.as_double("embedding").alias("_ev"))
+    for n_cells in (1, 2):
+        got = sorted(
+            (r.vec_id, r._cell)
+            for r in sim.ivf_assign(src, cents, n_cells, "vec_id", "_ev").collect()
+        )
+        ref = sorted(
+            (r.vec_id, r._cell)
+            for r in sim.ivf_assign_hof(
+                src, cents, n_cells, "vec_id", "_ev"
+            ).collect()
+        )
+        assert got == ref
+
+    # exact ties: vectors equidistant from several centroids must pick the
+    # LOWEST cid under both implementations
+    dim = len(cents[0][1])
+    tie_rows = [
+        (100, [0.0] * dim),
+        (101, [0.5] * dim),
+        (102, list(cents[0][1])),
+    ]
+    tdf = spark.createDataFrame(tie_rows, "vec_id long, _ev array<double>")
+    tcents = [(7, [1.0] * dim), (3, [-1.0] * dim), (5, [1.0] * dim)]
+    got = sorted(
+        (r.vec_id, r._cell)
+        for r in sim.ivf_assign(tdf, tcents, 2, "vec_id", "_ev").collect()
+    )
+    ref = sorted(
+        (r.vec_id, r._cell)
+        for r in sim.ivf_assign_hof(tdf, tcents, 2, "vec_id", "_ev").collect()
+    )
+    assert got == ref
+    # vec 100 is exactly equidistant from cid 7 and cid 5 (same centroid)
+    # and from cid 3 — the 2-probe set must be the two lowest cids {3, 5}
+    assert [c for v, c in got if v == 100] == [3, 5]
