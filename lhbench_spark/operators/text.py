@@ -237,6 +237,15 @@ def charlm_perplexity(
         .select(F.col(id_col), s.alias("_s"))
         .filter(F.length("_s") >= 2)
     )
+    # TWO consumers (the corpus roll-up feeding the broadcast probability
+    # table, and the score join): without a materialization the O(chars)
+    # normalize + explode + two-level hash agg runs once per consumer —
+    # the train pass re-reads the whole corpus to build a ≤729-row table.
+    # Lazy DISK_ONLY localCheckpoint: the frame is O(docs · distinct
+    # bigrams) — corpus-sized, so it must not pin executor storage memory
+    # at 100 TB (same policy as the DML rewrite sets in tables.py).
+    from pyspark import StorageLevel
+
     doc_bg = (
         d.select(
             id_col,
@@ -246,6 +255,7 @@ def charlm_perplexity(
         )
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     corpus = doc_bg.groupBy("bg").agg(F.sum("n").alias("cnt"))
     ctx = corpus.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(

@@ -65,6 +65,26 @@ DEFAULT_TARGET_FILE_ROWS = 1_000_000
 # was a straggler at 100 TB feed sizes) while small commits still land
 # as the single file the metadata queries pin.
 TOMBSTONE_TARGET_FILE_ROWS = 4 * DEFAULT_TARGET_FILE_ROWS
+# Row-bound threshold above which lineage-materializing localCheckpoints
+# switch to DISK_ONLY. Scale-adaptive, not bench-tuned: the decision
+# derives from plan-time row bounds (manifest row sums, counted source
+# rows, declared write sizing), mirroring how the write paths derive
+# their file counts. Below the bound the default deserialized
+# MEMORY_AND_DISK blocks win (a Kryo serialize + block-store round trip
+# costs more than a small frame is worth); above it — or when no bound
+# is derivable — DISK_ONLY keeps O(rewrite-set) blocks out of executor
+# storage memory (r10 VERDICT #5).
+SPILL_SAFE_CKPT_ROWS = int(
+    os.environ.get("LHBENCH_CKPT_SPILL_ROWS", str(8 * DEFAULT_TARGET_FILE_ROWS))
+)
+
+
+def _ckpt_level(rows_bound: int | None) -> StorageLevel:
+    """Storage level for a materializing localCheckpoint given an UPPER
+    BOUND on the frame's rows (None = unbounded/unknown → spill-safe)."""
+    if rows_bound is not None and rows_bound <= SPILL_SAFE_CKPT_ROWS:
+        return StorageLevel.MEMORY_AND_DISK_DESER
+    return StorageLevel.DISK_ONLY
 
 
 class TableFS:
@@ -660,12 +680,19 @@ class ManagedTable:
             # once, so they skip the materialization entirely — the
             # write itself fires the observation (one pass, one job
             # fewer than r10, which checkpointed unconditionally).
-            # DISK_ONLY localCheckpoint, not the default
-            # MEMORY_AND_DISK: the frame is the whole table being
-            # loaded, and pinning O(table) blocks in executor storage
-            # memory is unsafe at 100 TB (r10 VERDICT #5).
+            # Storage level from the declared write sizing (_ckpt_level):
+            # the frame is the whole table being loaded, and at 100 TB
+            # (large/absent num_files) pinning O(table) blocks in
+            # executor storage memory is unsafe (r10 VERDICT #5), while
+            # a bench-scale load keeps the cheap in-memory blocks.
             if cluster_by or zorder_by:
-                df = df.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+                df = df.localCheckpoint(
+                    storageLevel=_ckpt_level(
+                        num_files * DEFAULT_TARGET_FILE_ROWS
+                        if num_files
+                        else None
+                    )
+                )
         if zorder_by:
             if cluster_by:
                 raise ValueError("cluster_by and zorder_by are exclusive")
@@ -1138,14 +1165,13 @@ class ManagedTable:
         if m.cluster_by:
             # Clustered commit: the range write would evaluate the
             # kept∪source lineage (touched-file reads + anti-join)
-            # twice — sampling pass + shuffle. Materialize once.
-            # DISK_ONLY, not the default MEMORY_AND_DISK: the frame is
-            # the full rewrite set, and pinning O(rewrite set) blocks
-            # in executor storage memory is unsafe at 100 TB (r10
-            # VERDICT #5); the blocks live on shuffle-local disk and
-            # die with the lineage.
+            # twice — sampling pass + shuffle. Materialize once. The
+            # storage level follows the known rewrite-set row bound
+            # (_ckpt_level): a 100 TB rewrite set must not pin executor
+            # storage memory (r10 VERDICT #5), a bench-scale one keeps
+            # the cheap deserialized blocks.
             new_data = new_data.localCheckpoint(
-                storageLevel=StorageLevel.DISK_ONLY
+                storageLevel=_ckpt_level(rewritten_rows + source_rows)
             )
         shaped = _shape_for_write(new_data, tuple(m.cluster_by), n_files)
         shaped.write.parquet(data_dir)
@@ -1273,11 +1299,12 @@ class ManagedTable:
         # ONE evaluation of the source projection: on clustered tables
         # the range write alone evaluates it twice (sampling + shuffle),
         # and the matched-count semi join would add a third — lazy
-        # DISK_ONLY localCheckpoint (spill-safe at feed scale).
+        # localCheckpoint, level by the source row bound when the caller
+        # supplied one (spill-safe at unbounded feed scale).
         src = source.select(*target.columns)
         if m.cluster_by:
             src = src.localCheckpoint(
-                eager=False, storageLevel=StorageLevel.DISK_ONLY
+                eager=False, storageLevel=_ckpt_level(source_rows)
             )
         # matched-count metric: a semi-join PASS OVER THE TABLE
         # (O(table-read) — the one part of a MoR merge whose cost is not
@@ -1345,7 +1372,7 @@ class ManagedTable:
                 f"mor merge key {on} must equal the declared primary key {pk}"
             )
         tkeys = target.select(*on).localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
+            eager=False, storageLevel=_ckpt_level(sum(e.rows for e in m.files))
         )
         skeys = source.select(*on).dropDuplicates()
         matched_keys = skeys.join(tkeys, on, "left_semi")
@@ -1430,15 +1457,17 @@ class ManagedTable:
             # semi-join count + anti-join kept). The left join against
             # the deduped source keys carries a match flag; the
             # materializing aggregation below returns the matched count
-            # and populates the DISK_ONLY cache the kept-side read then
-            # hits. Spill-safe (r10 VERDICT #5): the frame is
-            # rewrite-set-sized, released after the commit.
+            # and populates the checkpoint cache the kept-side read then
+            # hits. Spill-safe above the row bound (r10 VERDICT #5): the
+            # frame is rewrite-set-sized, released after the commit.
             touched_df = self._read_conformed(rewritten)
             flagged = (
                 touched_df.select(*target.columns)
                 .withColumn("_s", in_scope)
                 .join(skeys.withColumn("_m", F.lit(True)), on, "left")
-                .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+                .localCheckpoint(
+                    eager=False, storageLevel=_ckpt_level(rewritten_rows)
+                )
             )
             matched = int(
                 flagged.agg(
@@ -1460,11 +1489,11 @@ class ManagedTable:
             1, math.ceil((rewritten_rows + source_rows) / DEFAULT_TARGET_FILE_ROWS)
         )
         if m.cluster_by:
-            # same single-evaluation rationale (and storage level) as
-            # merge(): the range write's sampling pass would otherwise
+            # same single-evaluation rationale (and storage-level rule)
+            # as merge(): the range write's sampling pass would otherwise
             # re-evaluate kept ∪ source.
             new_data = new_data.localCheckpoint(
-                storageLevel=StorageLevel.DISK_ONLY
+                storageLevel=_ckpt_level(rewritten_rows + source_rows)
             )
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
             data_dir
@@ -1521,17 +1550,21 @@ class ManagedTable:
         # left join against the deduped source keys, materialized with
         # the match flag so ONE aggregation yields both the matched
         # count and the exact dead-key count that sizes the tombstone
-        # write. Lazy DISK_ONLY localCheckpoints: at 100 TB these
-        # frames are table-keys-sized and must not pin executor storage
-        # memory (r10 VERDICT #5); the blocks die with the lineage.
+        # write. Lazy localCheckpoints with _ckpt_level bounds: at
+        # 100 TB these frames are table-keys-sized and must not pin
+        # executor storage memory (r10 VERDICT #5); the blocks die with
+        # the lineage.
         src = source.select(*target.columns).localCheckpoint(
-            eager=False, storageLevel=StorageLevel.DISK_ONLY
+            eager=False, storageLevel=_ckpt_level(source_rows)
         )
         skeys = src.select(*on).dropDuplicates()
         flagged = (
             target.select(*on, F.coalesce(scope, F.lit(False)).alias("_in_scope"))
             .join(skeys.withColumn("_m", F.lit(True)), on, "left")
-            .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+            .localCheckpoint(
+                eager=False,
+                storageLevel=_ckpt_level(sum(e.rows for e in m.files)),
+            )
         )
         # Materializing aggregation: computes src + flagged into their
         # caches and returns both counts in one job (the r10 shape paid
@@ -1842,9 +1875,9 @@ class ManagedTable:
         if m.cluster_by:
             # A range-clustered commit write evaluates its input twice
             # (partition-boundary sampling + the shuffle); materialize
-            # the kept rows once instead. DISK_ONLY — rewrite-set-sized
-            # (r10 VERDICT #5).
-            kept = kept.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+            # the kept rows once instead. Storage level from the
+            # rewrite-set row bound (r10 VERDICT #5).
+            kept = kept.localCheckpoint(storageLevel=_ckpt_level(rewritten_rows))
         return self._commit_rewrite(
             "DELETE", untouched, kept, rewritten_rows,
             lambda new_entries: {
@@ -1887,7 +1920,7 @@ class ManagedTable:
             keys.repartition(1).write.parquet(ts_dir)
         else:
             keys = keys.localCheckpoint(
-                eager=False, storageLevel=StorageLevel.DISK_ONLY
+                eager=False, storageLevel=_ckpt_level(row_bound)
             )
             n_ts = max(1, math.ceil(_count_job(keys) / TOMBSTONE_TARGET_FILE_ROWS))
             keys.repartition(n_ts).write.parquet(ts_dir)
@@ -1953,9 +1986,9 @@ class ManagedTable:
         # include a MoR latest-per-key resolve window) would otherwise
         # re-run for the checks probe, the sizing count, the range
         # sampling, AND the write. O(matched rows). The sizing count is
-        # the job that populates the DISK_ONLY cache (one job fewer
-        # than the r10 eager-checkpoint shape, and nothing pinned in
-        # executor storage memory — r10 VERDICT #5).
+        # the job that populates the checkpoint cache (one job fewer
+        # than the r10 eager-checkpoint shape, and above the row bound
+        # nothing pinned in executor storage memory — r10 VERDICT #5).
         updated = matched.select(
             *[
                 F.expr(assignments[c]).cast(types[c]).alias(c)
@@ -1963,7 +1996,9 @@ class ManagedTable:
                 else F.col(c)
                 for c in cur_cols
             ]
-        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        ).localCheckpoint(
+            eager=False, storageLevel=_ckpt_level(sum(e.rows for e in m.files))
+        )
         rows_updated = _count_job(updated)
         if rows_updated == 0:
             return {"rows_updated": 0, "files_rewritten": 0, "files_added": 0}
@@ -2043,7 +2078,7 @@ class ManagedTable:
                 else F.col(c)
                 for c in touched_df.columns
             ]
-        ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
+        ).localCheckpoint(storageLevel=_ckpt_level(rewritten_rows))
         rows_updated = int(obs.get["updated"] or 0)
         if self.checks:
             # assignments can produce violating values; probe the
@@ -2711,10 +2746,10 @@ class ManagedTable:
             1, math.ceil((rewritten_rows + n_upserts) / DEFAULT_TARGET_FILE_ROWS)
         )
         if m.cluster_by:
-            # same single-evaluation rationale (and spill-safe storage
-            # level) as merge()
+            # same single-evaluation rationale (and storage-level rule)
+            # as merge()
             new_data = new_data.localCheckpoint(
-                storageLevel=StorageLevel.DISK_ONLY
+                storageLevel=_ckpt_level(rewritten_rows + n_upserts)
             )
         _shape_for_write(new_data, tuple(m.cluster_by), n_files).write.parquet(
             data_dir

@@ -8,6 +8,8 @@ end-to-end and assert their reported structure and invariants.
 
 from __future__ import annotations
 
+import pytest
+
 from lhbench_spark.workloads import file_count, merge_micro, refresh
 from tests.conftest import SMOKE_SF
 
@@ -116,6 +118,7 @@ def test_refresh_runner(spark):
     }
 
 
+@pytest.mark.slow
 def test_refresh_tpcds_multifact_runner(spark):
     """Multi-fact refresh breadth (refresh_tpcds.py): 2 rounds across
     the reference's full seven generated TPC-DS facts (sales + returns
