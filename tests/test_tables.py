@@ -1182,6 +1182,7 @@ def test_merge_when_matched_delete(spark, tmp_path):
     assert tm.read().count() == 50
 
 
+@pytest.mark.slow
 def test_mor_many_deltas_bounded_plan(spark, tmp_path):
     """50 un-compacted delta commits must resolve through ONE scan node
     (flat path→version lookup), not an O(versions) union — the plan a
